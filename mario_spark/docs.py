@@ -1,0 +1,71 @@
+"""Doc registry: deterministic dense doc_ids, doc lengths, collection stats.
+
+Lucene analogue: the doc store + norms + collection statistics that feed
+BM25 (mario delegates all of this to OpenSearch; the `_id` it assigns is
+the record's TimdexRecordId, /root/reference/pkg/client/elastic.go:103-107).
+
+Scale notes:
+- doc_id assignment uses the partition-offset technique: range-partition
+  by the natural key (url), sort within partitions, then add per-partition
+  base offsets computed from a small driver-side count. This avoids the
+  classic `row_number().over(Window.orderBy(...))` trap, which collapses
+  the whole table into ONE partition for the global sort.
+- Result is deterministic for a given dataset + partition count (ids
+  follow url order), which is what makes index builds reproducible and
+  resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mario_spark.analyze import tokenize_expr
+
+
+def assign_doc_ids(
+    df: DataFrame, order_col: str = "url", num_partitions: int | None = None
+) -> DataFrame:
+    """Add a dense, deterministic `doc_id` (long, 0-based, url-ordered)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(parts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = d.persist()
+    counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    out = (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def build_doc_table(pages: DataFrame, use_sql_tokenizer: bool = False) -> DataFrame:
+    """pages -> docs(doc_id, url, len, lang, tokens [, stored cols]).
+
+    If `doc_id` already exists (documents adapter) it is kept; otherwise
+    assigned densely. `len` is the token count (Lucene norm input).
+    """
+    d = pages if "doc_id" in pages.columns else assign_doc_ids(pages)
+    d = d.withColumn("tokens", tokenize_expr("text", use_sql=use_sql_tokenizer))
+    return d.withColumn("len", F.size("tokens").cast("long"))
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Collection stats feeding BM25: (n_docs, avgdl). Single global agg."""
+    return docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )

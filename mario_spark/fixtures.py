@@ -1,0 +1,233 @@
+"""Deterministic synthetic corpora + the reference query set.
+
+F1 `pages` (the authoritative input shape):
+    pages(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+Generated distributed (spark.range -> mapInPandas) and purely per-doc-id
+via counter-based Philox RNG, so content(i) is a pure function of
+(seed, i) regardless of partitioning — this is what makes 100TB-scale
+generation AND planted duplicates possible without cross-partition
+dependencies: a dup doc recomputes its source doc's text from its id.
+
+F2 `documents` adapter: maps the driver's read-only
+/root/testdata/sf*/documents.parquet onto the F1 shape.
+
+F3 query set: fixed, seeded — used by tests, the driver oracle contract,
+and bench.
+
+Mario analogue: mario's only fixture is 6 JSON records
+(/root/reference/fixtures/timdex_record_samples.json, count asserted at
+pkg/generator/jsonrecord_test.go:25); see tests/fixtures/timdex_sample.json
+for our independently-authored equivalent.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+VOCAB_SIZE = 10_000
+ZIPF_S = 1.07
+_EPOCH = pd.Timestamp("2025-01-01T00:00:00Z")
+
+# A handful of real + non-ASCII tokens occupying the head of the vocab so
+# Unicode/NFC handling is exercised constantly; the tail is synthetic.
+_HEAD_WORDS = [
+    "the", "data", "web", "search", "index", "spark", "query", "page",
+    "pérez", "zürich", "東京", "naïve", "crawl", "text", "open", "score",
+]
+
+
+def make_vocab(size: int = VOCAB_SIZE) -> list[str]:
+    return _HEAD_WORDS + [f"w{i:05d}" for i in range(size - len(_HEAD_WORDS))]
+
+
+def zipf_probs(size: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, size + 1, dtype=np.float64), s)
+    return p / p.sum()
+
+
+_LANGS = np.array(["en", "es", "de", "zh", "fr"])
+_LANG_P = np.array([0.7, 0.1, 0.08, 0.06, 0.06])
+
+
+def _rng_for(seed: int, doc_id: int, stream: int = 0) -> np.random.Generator:
+    """Counter-based per-doc RNG: pure function of (seed, doc_id)."""
+    return np.random.Generator(
+        np.random.Philox(key=seed, counter=[0, 0, stream, doc_id])
+    )
+
+
+def _doc_tokens(i: int, seed: int, vocab: list[str], probs: np.ndarray) -> list[str]:
+    """Deterministic token list for doc i. Dup-planting rules:
+
+    - i % 100 == 7 (i>=100): EXACT duplicate of doc i-100.
+    - i % 100 == 13 (i>=100): NEAR duplicate of doc i-100 (~3% tokens swapped).
+    """
+    if i >= 100 and i % 100 == 7:
+        return _doc_tokens(i - 100, seed, vocab, probs)
+    if i >= 100 and i % 100 == 13:
+        base = _doc_tokens(i - 100, seed, vocab, probs)
+        rng = _rng_for(seed, i, stream=1)
+        out = list(base)
+        n_swap = max(1, len(out) // 32)
+        idx = rng.choice(len(out), size=min(n_swap, len(out)), replace=False)
+        repl = rng.choice(len(vocab), size=len(idx), p=probs)
+        for j, r in zip(idx, repl):
+            out[j] = vocab[r]
+        return out
+    rng = _rng_for(seed, i)
+    if rng.random() < 0.02:  # ~2% near-empty docs
+        n = int(rng.integers(1, 4))
+    else:
+        n = int(np.clip(rng.lognormal(5.0, 0.6), 8, 2048))
+    return [vocab[k] for k in rng.choice(len(vocab), size=n, p=probs)]
+
+
+def _wrap_html(tokens: list[str], url: str) -> str:
+    """HTML wrapper s.t. extract(html) == ' '.join(tokens) byte-identically.
+
+    Every 7th token is wrapped in <em> (extraction strips inline tags);
+    boilerplate title/nav/script/footer must be ignored by the extractor.
+    """
+    body = " ".join(
+        f"<em>{t}</em>" if j % 7 == 6 else t for j, t in enumerate(tokens)
+    )
+    title = _html.escape(" ".join(tokens[:6]))
+    return (
+        f"<html><head><title>{title}</title>"
+        "<script>var t=performance.now();</script>"
+        '<style>p{margin:0}</style></head>'
+        f'<body><nav><a href="/">home</a> | <a href="/about">about</a></nav>'
+        f"<article>{body}</article>"
+        f"<footer>&copy; crawl of {_html.escape(url)}</footer></body></html>"
+    )
+
+
+def _gen_batch(ids: np.ndarray, seed: int, vocab: list[str], probs: np.ndarray) -> pd.DataFrame:
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in ids:
+        i = int(i)
+        toks = _doc_tokens(i, seed, vocab, probs)
+        text = " ".join(toks)
+        url = f"https://site{i % 97}.example/p/{i:08d}"
+        urls.append(url)
+        tss.append(_EPOCH + pd.Timedelta(seconds=i))
+        htmls.append(_wrap_html(toks, url).encode("utf-8"))
+        texts.append(text)
+        langs.append(_LANGS[_rng_for(seed, i, stream=2).choice(len(_LANGS), p=_LANG_P)])
+    return pd.DataFrame(
+        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+    )
+
+
+def pages_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Driver-side tiny corpus (unit tests / oracles)."""
+    vocab, probs = make_vocab(), zipf_probs()
+    return _gen_batch(np.arange(n_docs), seed, vocab, probs)
+
+
+def pages_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic pages corpus.
+
+    spark.range gives each task an id range; content is a pure function
+    of id, so the result is identical under any partitioning — the
+    property that makes this valid at cluster scale.
+    """
+    vocab, probs = make_vocab(), zipf_probs()
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b):
+                yield _gen_batch(b["id"].to_numpy(), seed, vocab, probs)
+
+    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(gen, PAGES_SCHEMA)
+
+
+# ------------------------------------------------------- documents adapter
+def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents.parquet onto the F1 `pages` shape.
+
+    html=NULL (extraction stage skipped), url synthesized from
+    (source, doc_id); deterministic warc_ts = epoch + doc_id seconds.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("testdata://"), "source", F.lit("/"), "doc_id").alias("url"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
+# -------------------------------------------------------------- query sets
+# Fixed query set over the driver documents corpus (vocab is the small
+# SQL-themed word list). Mix: head terms, rare term ('dup'), OOV ('zzz'),
+# 2-4 term disjunctive queries. Terms within a query are distinct.
+DOCUMENTS_QUERY_SET: list[tuple[int, str]] = [
+    (0, "join"),
+    (1, "the"),
+    (2, "dup"),
+    (3, "zzz"),                      # OOV -> empty result
+    (4, "spark query"),
+    (5, "hash join"),
+    (6, "window agg"),
+    (7, "slow fast merge"),
+    (8, "key value stream sort"),
+    (9, "customer order"),
+    (10, "a"),
+    (11, "vector scan"),
+    (12, "big data table"),
+    (13, "filter column"),
+]
+
+
+def make_pages_query_set(seed: int = 42, n: int = 50) -> list[tuple[int, str]]:
+    """F3 query set over the synthetic pages corpus: 20 single-term
+    (3 head, 3 rare, 2 OOV), 20 two-term, 10 three/four-term."""
+    vocab = make_vocab()
+    rng = np.random.Generator(np.random.Philox(key=seed, counter=[0, 0, 9, 0]))
+    qs: list[tuple[int, str]] = []
+    qid = 0
+    # single-term
+    for w in [vocab[0], vocab[1], vocab[2]]:  # head
+        qs.append((qid, w)); qid += 1
+    for _ in range(3):  # rare tail
+        qs.append((qid, vocab[int(rng.integers(VOCAB_SIZE - 2000, VOCAB_SIZE))])); qid += 1
+    for w in ["qqqxyz", "zzzoov"]:  # OOV
+        qs.append((qid, w)); qid += 1
+    while qid < 20:
+        qs.append((qid, vocab[int(rng.integers(0, 2000))])); qid += 1
+    # multi-term
+    for _ in range(20):
+        k = 2
+        idx = rng.choice(3000, size=k, replace=False)
+        qs.append((qid, " ".join(vocab[int(j)] for j in idx))); qid += 1
+    for _ in range(n - qid):
+        k = int(rng.integers(3, 5))
+        idx = rng.choice(3000, size=k, replace=False)
+        qs.append((qid, " ".join(vocab[int(j)] for j in idx))); qid += 1
+    return qs
+
+
+def query_terms_df(spark: SparkSession, query_set: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, term) pairs — queries analyzed with the same tokenizer."""
+    from mario_spark.analyze import py_tokenize
+
+    rows = [
+        (qid, t)
+        for qid, q in query_set
+        for t in dict.fromkeys(py_tokenize(q))  # distinct, order-stable
+    ]
+    return spark.createDataFrame(rows, "query_id long, term string")

@@ -1,0 +1,211 @@
+"""Driver-contract query suite: Spark implementations.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names/types match the DuckDB oracle in mario_spark.oracles exactly
+(aliases + casts are deliberate — the driver hashes values after sorting
+columns by name). Floating-point outputs are rounded (typically 4 dp)
+on BOTH sides so summation-order differences between engines can't flip
+the value hash; ranking uses rounded score + deterministic doc_id
+tie-break for the same reason.
+
+These are also the engine's public query API surface — bench.py and the
+tests drive the same functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mario_spark import analyze, docs, query
+from mario_spark.fixtures import DOCUMENTS_QUERY_SET, documents_as_pages, query_terms_df
+
+STOPWORDS = ["the", "a"]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docs.build_doc_table(documents_as_pages(spark, sf_dir))
+
+
+# ------------------------------------------------------------- text / index
+def doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 doc norms: token count per doc (pandas-UDF tokenizer path)."""
+    return _doc_table(spark, sf_dir).select("doc_id", "len")
+
+
+def term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per term (inverted-index dictionary stats)."""
+    tf = query.term_frequencies(_doc_table(spark, sf_dir))
+    return tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection stats feeding BM25: (n_docs, avgdl rounded 6dp)."""
+    d = docs.corpus_stats(_doc_table(spark, sf_dir))
+    return d.select("n_docs", F.round("avgdl", 6).alias("avgdl"))
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: BM25 top-10 per query of the fixed query set (OR semantics,
+    k1=1.2 b=0.75, rank on rounded score desc, doc_id asc)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return query.search_exhaustive(d, q, k=10)
+
+
+def keyword_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 keyword_no_trailing_punctuation analyzer (reference:
+    /root/reference/config/es_record_mappings.json:5-22), applied to a
+    synthesized keyword (first 20 chars of text + '.')."""
+    d = _documents(spark, sf_dir)
+    kw = F.concat(F.substring("text", 1, 20), F.lit("."))
+    return d.select(
+        "doc_id", analyze.normalize_keyword_expr(kw).alias("kw")
+    )
+
+
+def filter_lang_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 keyword exact-match + A8-style projection: Catalyst-native
+    filter/select; predicate pushes to the parquet scan."""
+    d = _documents(spark, sf_dir)
+    return d.filter(F.lower(F.col("lang")) == "en").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (training-data pipeline op), fully JVM-side:
+    runs [a-z]+|[0-9]+|punct over lowered text inside codegen."""
+    d = _documents(spark, sf_dir)
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing check: opaque binary column + byte length
+    (decode/feature-extract stubs live in mario_spark.ops.multimodal)."""
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+# ------------------------------------------------------------------- dedup
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: total docs, distinct texts, duplicate docs."""
+    d = _documents(spark, sf_dir)
+    g = d.groupBy(F.md5(F.encode("text", "utf-8")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    return g.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+    )
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups: (text md5, group size, keeper = min doc_id).
+    Hash-groupBy dedup — the 100TB-scale pattern (shuffle on 128-bit hash,
+    never on the full text)."""
+    d = _documents(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.encode("text", "utf-8")).alias("text_md5"))
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# -------------------------------------------------------------- relational
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style agg (coverage for §2.3 aggregations): partial+final
+    hash agg, predicate pushed to scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join (coverage for §2.3 joins): broadcast the
+    filtered customer dim; sort-merge lineitem⋈orders; top-10 via
+    rank on rounded revenue."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+    top = j.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "o_orderkey", "revenue"
+    )
+
+
+def date_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 multi-format date parse cascade (reference mapping
+    es_record_mappings.json:121-127: strict_year||strict_year_month||date):
+    orders dates re-rendered at 3 granularities by key, then parsed back
+    via a try_to_timestamp coalesce ladder."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.date_format("o_orderdate", "yyyy"))
+        .when(F.col("o_orderkey") % 3 == 1, F.date_format("o_orderdate", "yyyy-MM"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(s, F.lit("yyyy-MM")),
+        F.try_to_timestamp(s, F.lit("yyyy")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed_ts"),
+    )
+
+
+SUITE = {
+    "doc_lengths": doc_lengths,
+    "term_df": term_df,
+    "corpus_stats": corpus_stats,
+    "bm25_topk": bm25_topk,
+    "keyword_normalize": keyword_normalize,
+    "filter_lang_en": filter_lang_en,
+    "token_count_bpe": token_count_bpe,
+    "multimodal_bytes": multimodal_bytes,
+    "exact_dedup_stats": exact_dedup_stats,
+    "exact_dedup_groups": exact_dedup_groups,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "date_parse_cascade": date_parse_cascade,
+}
