@@ -1,0 +1,128 @@
+"""Codec round-trip, posting-block invariants, and WAND rank-identity
+vs the exhaustive scorer (SURVEY §5.2 layers 2, 3, 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mario_spark import codec, docs, query
+from mario_spark.fixtures import (
+    DOCUMENTS_QUERY_SET,
+    documents_as_pages,
+    make_pages_query_set,
+    pages_df,
+    query_terms_df,
+)
+from mario_spark.postings import BLOCK_SIZE, build_postings, idf
+from mario_spark.wand import search_wand
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------- codec
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_vbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(codec.vbyte_decode(codec.vbyte_encode(arr)), arr)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500, unique=True
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_docid_roundtrip(vals):
+    arr = np.sort(np.array(vals, dtype=np.int64))
+    assert np.array_equal(codec.decode_doc_ids(codec.encode_doc_ids(arr)), arr)
+
+
+def test_vbyte_empty():
+    assert codec.vbyte_encode(np.array([], dtype=np.uint64)) == b""
+    assert codec.vbyte_decode(b"").size == 0
+
+
+def test_vbyte_compression_ratio():
+    # small gaps should encode to ~1 byte each
+    ids = np.arange(0, 10_000, 3, dtype=np.int64)
+    assert len(codec.encode_doc_ids(ids)) < 1.2 * ids.size
+
+
+# ---------------------------------------------------------- block structure
+@pytest.fixture(scope="module")
+def built(spark):
+    d = docs.build_doc_table(documents_as_pages(spark, SF_DIR))
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, rw = build_postings(d, st_["n_docs"], st_["avgdl"], range_width=256)
+    pdf = post.toPandas()
+    return d, st_, pdf, rw
+
+
+def test_block_invariants(built):
+    d, st_, pdf, rw = built
+    assert (pdf["n"] <= BLOCK_SIZE).all()
+    assert (pdf["first_doc"] <= pdf["last_doc"]).all()
+    assert (pdf["first_doc"] // rw == pdf["dbucket"]).all()
+    assert (pdf["last_doc"] // rw == pdf["dbucket"]).all()
+    # df is term-global: equals total postings of the term
+    got_df = pdf.groupby("term")["n"].sum()
+    for term, sub in pdf.groupby("term"):
+        assert (sub["df"] == got_df[term]).all(), term
+    # decode one head term fully: doc ids strictly ascending per bucket
+    term = pdf.groupby("term")["df"].max().idxmax()
+    sub = pdf[pdf["term"] == term].sort_values(["dbucket", "block_id"])
+    for _, bgrp in sub.groupby("dbucket"):
+        ids = np.concatenate([codec.decode_doc_ids(r) for r in bgrp["doc_ids"]])
+        assert (np.diff(ids) > 0).all()
+
+
+def test_block_max_is_upper_bound(built):
+    d, st_, pdf, rw = built
+    n, avgdl = float(st_["n_docs"]), float(st_["avgdl"])
+    for r in pdf.sample(n=min(200, len(pdf)), random_state=0).itertuples():
+        tfs = codec.vbyte_decode(r.tfs).astype(float)
+        lens = codec.vbyte_decode(r.lens).astype(float)
+        sc = idf(n, r.df) * tfs * 2.2 / (tfs + 1.2 * (1 - 0.75 + 0.75 * lens / avgdl))
+        assert sc.max() <= r.max_score + 1e-9
+        assert tfs.max() == r.max_tf
+
+
+def test_postings_match_tf_table(built):
+    d, st_, pdf, rw = built
+    tf = query.term_frequencies(d).toPandas()
+    want = tf.groupby("term")["tf"].count().sort_index()
+    got = pdf.groupby("term")["n"].sum().sort_index()
+    assert want.index.tolist() == got.index.tolist()
+    assert (want.to_numpy() == got.to_numpy()).all()
+
+
+# ------------------------------------------------------- WAND rank identity
+def _canon(df):
+    pdf = df.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    return pdf
+
+
+def test_wand_rank_identical_documents(spark, built):
+    d, st_, _, rw = built
+    post, _ = build_postings(d, st_["n_docs"], st_["avgdl"], range_width=256)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    want = _canon(query.search_exhaustive(d, q, k=10))
+    got = _canon(search_wand(post, q, st_["n_docs"], st_["avgdl"], k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+
+
+def test_wand_rank_identical_pages(spark):
+    pages = pages_df(spark, 1200, seed=7, partitions=8)
+    d = docs.build_doc_table(pages).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, rw = build_postings(d, st_["n_docs"], st_["avgdl"])
+    q = query_terms_df(spark, make_pages_query_set(seed=7, n=30))
+    want = _canon(query.search_exhaustive(d, q, k=10))
+    got = _canon(search_wand(post, q, st_["n_docs"], st_["avgdl"], k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d.unpersist()
