@@ -1,0 +1,123 @@
+"""Benchmark harness (driver contract): one JSON line on stdout.
+
+Times the engine's headline paths at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  index_build      tokenize -> doc table -> compressed postings (B4/B5)
+                   over a deterministic synthetic pages corpus sized to
+                   the scale factor (docs_per_sec reported alongside)
+  bm25_wand        block-max WAND top-10, full query set, vs postings
+  bm25_exhaustive  exhaustive scorer on the driver documents table
+  plus representative suite queries (aggs, joins, dedup).
+
+Scaling-efficiency evidence (local[8] vs local[32], same input) is
+produced by scripts/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from mario_spark import docs, query
+    from mario_spark.fixtures import (
+        DOCUMENTS_QUERY_SET,
+        make_pages_query_set,
+        pages_df,
+        query_terms_df,
+    )
+    from mario_spark.postings import build_postings
+    from mario_spark.session import get_spark
+    from mario_spark.suite import SUITE
+    from mario_spark.wand import search_wand
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- index build over synthetic pages, sized to sf (sf0.1 -> 50k docs)
+    n_docs = max(2000, int(500_000 * sf)) if sf > 0 else 5000
+    pages = pages_df(spark, n_docs, seed=42).persist()
+    pages.count()  # materialize generation outside the timed section
+
+    built = {}
+
+    def _build() -> None:
+        d = docs.build_doc_table(pages).persist()
+        st = docs.corpus_stats(d).collect()[0]
+        post, rw = build_postings(d, st["n_docs"], st["avgdl"])
+        post = post.persist()
+        built["n_postings"] = post.count()
+        built["d"], built["st"], built["post"] = d, st, post
+
+    timed("index_build", _build)
+    extra["index_docs"] = n_docs
+    extra["docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+    qset = make_pages_query_set(seed=42, n=50)
+    qdf = query_terms_df(spark, qset)
+
+    timed(
+        "bm25_wand",
+        lambda: search_wand(
+            built["post"], qdf, built["st"]["n_docs"], built["st"]["avgdl"], k=10
+        ).count(),
+    )
+    extra["sec_per_query_wand"] = round(timings["bm25_wand"] / len(qset), 4)
+
+    timed(
+        "bm25_exhaustive",
+        lambda: query.search_exhaustive(built["d"], qdf, k=10).count(),
+    )
+
+    # --- representative suite queries on driver testdata
+    for name in [
+        "bm25_topk",
+        "term_df",
+        "exact_dedup_groups",
+        "q1_pricing_summary",
+        "q3_top_orders",
+    ]:
+        if name in SUITE:
+            timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

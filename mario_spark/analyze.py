@@ -32,7 +32,7 @@ import unicodedata
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, MapType, StringType
 
 # Token = maximal run of Unicode letters or digits (no underscore).
 # Python regex class [^\W_] == letters+digits; RE2/Java: [\p{L}\p{N}]+.
@@ -111,6 +111,30 @@ def tokenize_udf(s: pd.Series) -> pd.Series:
 @F.pandas_udf(StringType())
 def extract_udf(html: pd.Series) -> pd.Series:
     return pd_extract_text(html)
+
+
+@F.pandas_udf(MapType(StringType(), IntegerType()))
+def tokenize_count_udf(s: pd.Series) -> pd.Series:
+    """Fused tokenize + per-doc term count: text -> map<term, tf>.
+
+    One Arrow round-trip produces the tf map directly, so the postings
+    build needs NO (doc_id, term) hash-aggregation shuffle at all — the
+    map explodes JVM-side into pre-aggregated (term, tf) rows. At 100TB
+    this removes the single largest shuffle of the pipeline (raw token
+    explode is ~170 rows/doc; the map is ~0.6x that and already final).
+    """
+    out = []
+    findall = TOKEN_RE.findall
+    normalize = unicodedata.normalize
+    for v in s:
+        if v is None:
+            out.append({})
+        else:
+            c: dict[str, int] = {}
+            for t in findall(normalize("NFC", v).lower()):
+                c[t] = c.get(t, 0) + 1
+            out.append(c)
+    return pd.Series(out)
 
 
 # ------------------------------------------------------- JVM-side expressions

@@ -23,15 +23,26 @@ import numpy as np
 _MAX_VBYTE_LEN = 10  # 64 bits / 7 bits-per-byte, rounded up
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array to VByte bytes (vectorized)."""
+def vbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Bytes needed per value: 1 + number of 7-bit shifts still non-zero."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: 1 + number of 7-bit shifts still non-zero
     nb = np.ones(v.size, dtype=np.int64)
     for shift in range(7, 64, 7):
         nb += (v >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
+    return nb
+
+
+def vbyte_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode; also return per-value END byte offsets (cumsum of lengths).
+
+    offsets[i] is the byte position just past value i, so the encoding of
+    values[a:b] is buf[(offsets[a-1] if a else 0):offsets[b-1]] — this is
+    what lets the posting builder encode a whole partition in one call
+    and slice per 128-doc block."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nb = vbyte_lengths(v)
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -40,7 +51,12 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         byte = ((v[m] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
         is_last = nb[m] == i + 1
         out[starts[m] + i] = byte | np.where(is_last, 0, 0x80).astype(np.uint8)
-    return out.tobytes()
+    return out.tobytes(), ends
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to VByte bytes (vectorized)."""
+    return vbyte_encode_with_offsets(values)[0]
 
 
 def vbyte_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:

@@ -20,18 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mario_spark.analyze import tokenize_expr
+from mario_spark.analyze import extract_udf, tokenize_count_udf, tokenize_expr
 
 
 def assign_doc_ids(
     df: DataFrame, order_col: str = "url", num_partitions: int | None = None
 ) -> DataFrame:
-    """Add a dense, deterministic `doc_id` (long, 0-based, url-ordered)."""
+    """Add a dense, deterministic `doc_id` (long, 0-based, url-ordered).
+
+    Ids are a pure function of the dataset + partition count (NOT of
+    cluster size or task scheduling), which keeps index builds
+    reproducible and resumable. Callers should project away heavy
+    columns (html!) before calling — the range shuffle and the window
+    sort move whole rows.
+    """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    d = (
-        df.repartitionByRange(parts, order_col)
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
+    # no sortWithinPartitions here: the row_number window below performs
+    # the per-partition sort; sorting twice was pure waste
+    d = df.repartitionByRange(parts, order_col).withColumn(
+        "_pid", F.spark_partition_id()
     )
     d = d.persist()
     counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
@@ -52,15 +59,31 @@ def assign_doc_ids(
     return out
 
 
-def build_doc_table(pages: DataFrame, use_sql_tokenizer: bool = False) -> DataFrame:
-    """pages -> docs(doc_id, url, len, lang, tokens [, stored cols]).
+def build_doc_table(pages: DataFrame, extract_html: bool = False) -> DataFrame:
+    """pages -> docs(doc_id, url, lang, len, tf_map).
 
-    If `doc_id` already exists (documents adapter) it is kept; otherwise
-    assigned densely. `len` is the token count (Lucene norm input).
+    Stages: (optional) html->text extraction; slim projection (html and
+    any other heavy columns are dropped BEFORE the doc-id range shuffle);
+    dense doc_id assignment (kept if the source already has one); fused
+    tokenize+count pandas UDF producing tf_map; len = sum(tf) (the
+    Lucene norm input) computed JVM-side from the map.
     """
-    d = pages if "doc_id" in pages.columns else assign_doc_ids(pages)
-    d = d.withColumn("tokens", tokenize_expr("text", use_sql=use_sql_tokenizer))
-    return d.withColumn("len", F.size("tokens").cast("long"))
+    d = pages
+    if extract_html:
+        d = d.withColumn("text", extract_udf("html"))
+    keep = [c for c in ("doc_id", "url", "lang", "text") if c in d.columns]
+    d = d.select(*keep)
+    if "doc_id" not in d.columns:
+        d = assign_doc_ids(d)
+    d = d.withColumn("tf_map", tokenize_count_udf("text")).drop("text")
+    return d.withColumn(
+        "len",
+        F.aggregate(
+            F.map_values("tf_map"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ),
+    )
 
 
 def corpus_stats(docs: DataFrame) -> DataFrame:

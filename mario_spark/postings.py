@@ -14,24 +14,28 @@ Partitioning design (the scale story):
   to shards and merges top-k), and it is what keeps query-time scoring
   embarrassingly parallel: every posting of a given doc, for every term,
   lives in exactly one dbucket.
-- The build shuffles ONCE, grouping by (term, dbucket). For head terms
-  (stop words, df ~ N) the dbucket acts as the salt — a term's postings
-  are split across doc-ranges so no single task ever materializes a
-  whole head-term posting list. This is the "salted repartition on
-  term + explicit skew splitting for head terms" requirement, realised
-  with one shuffle instead of repartitionByRange-then-regroup (two).
+- Build shuffle: `repartitionByRange(term, dbucket)` +
+  `sortWithinPartitions(term, dbucket, doc_id)` — the salted
+  repartitionByRange on term. For head terms (stop words, df ~ N) the
+  dbucket is the salt: a term's postings are split across doc-ranges so
+  no single task ever materializes a whole head-term posting list.
   Group size is bounded by range_width regardless of df.
+- Encoding is `mapInPandas` over the sorted partitions, fully
+  vectorized: the WHOLE partition's gaps/tfs/lens are VByte-encoded in
+  one numpy pass, then sliced per block via precomputed byte offsets —
+  cost per block is one bytes-slice, never a per-group pandas call.
+  (A naive groupBy(term, dbucket).applyInPandas was measured ~8x
+  slower: one Python/pandas invocation per group dominates when the
+  Zipf tail yields millions of tiny groups.)
 - Dense doc ids (docs.assign_doc_ids) make the grid load-balanced by
-  construction; range_width is sized so a bucket's postings fit
-  comfortably in one task (default targets ~4 buckets per core at the
-  current scale; at 10^12 docs with range_width=2^22 this is ~240k
-  buckets — plenty of parallelism for 1000 executors).
+  construction; at 10^12 docs with range_width=2^22 the grid has ~240k
+  buckets — ample parallelism for a 1000-executor cluster.
 
 Block format (per (term, dbucket), doc_id-ascending, 128 docs/block):
-  doc_ids : delta + VByte          (codec.encode_doc_ids)
+  doc_ids : delta + VByte (first doc of each block stored absolute)
   tfs     : VByte
-  lens    : VByte  (exact doc lengths — Lucene quantizes norms to 1 byte;
-            we store exact lens because the correctness gate is
+  lens    : VByte  (exact doc lengths — Lucene quantizes norms to 1
+            byte; we store exact lens because the correctness gate is
             rank-identical *scores*, not just ranks)
   max_tf, max_score : block-max metadata for WAND pruning; max_score is
             the exact BM25 upper bound idf(t) * (k1+1) * max_d tf_norm.
@@ -60,6 +64,11 @@ POSTINGS_SCHEMA = (
     "max_tf int, max_score double, df long"
 )
 
+_COLS = [
+    "term", "dbucket", "block_id", "first_doc", "last_doc", "n",
+    "doc_ids", "tfs", "lens", "max_tf", "max_score", "df",
+]
+
 
 def idf(n_docs: float, df: float) -> float:
     """Lucene-8 BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
@@ -68,54 +77,110 @@ def idf(n_docs: float, df: float) -> float:
 
 def pick_range_width(n_docs: int, parallelism: int, blocks_per_bucket: int = 32) -> int:
     """Bucket width: >= one block, <= n_docs/parallelism-ish, power of two."""
-    target = max(BLOCK_SIZE, min(n_docs // max(1, parallelism) + 1, BLOCK_SIZE * blocks_per_bucket))
+    target = max(
+        BLOCK_SIZE,
+        min(n_docs // max(1, parallelism) + 1, BLOCK_SIZE * blocks_per_bucket),
+    )
     return 1 << int(math.ceil(math.log2(target)))
 
 
-def _encode_group(
+def _encode_chunk(
+    pdf: pd.DataFrame, n_docs: float, avgdl: float, k1: float, b: float
+) -> pd.DataFrame:
+    """Encode a sorted (term, dbucket, doc_id) chunk whose groups are
+    complete. Fully vectorized; one bytes-slice per output block."""
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.float64)
+    lens = pdf["len"].to_numpy(np.int64)
+    dfs = pdf["df"].to_numpy(np.int64)
+    terms = pdf["term"].to_numpy()
+    dbuckets = pdf["dbucket"].to_numpy(np.int64)
+
+    # group boundaries (term, dbucket)
+    new_group = np.ones(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        new_group[1:] = (terms[1:] != terms[:-1]) | (dbuckets[1:] != dbuckets[:-1])
+    group_start_idx = np.flatnonzero(new_group)
+    # position of each row within its group
+    group_of_row = np.cumsum(new_group) - 1
+    pos_in_group = np.arange(len(pdf)) - group_start_idx[group_of_row]
+
+    # block heads: every BLOCK_SIZE-th row of a group
+    head = pos_in_group % BLOCK_SIZE == 0
+    block_starts = np.flatnonzero(head)
+    block_ends = np.empty_like(block_starts)
+    block_ends[:-1] = block_starts[1:]
+    block_ends[-1] = len(pdf)
+
+    # gaps: delta within block, absolute at block head
+    gaps = ids.astype(np.uint64).copy()
+    gaps[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
+    gaps[block_starts] = ids[block_starts].astype(np.uint64)
+
+    id_buf, id_off = codec.vbyte_encode_with_offsets(gaps)
+    tf_buf, tf_off = codec.vbyte_encode_with_offsets(tfs.astype(np.uint64))
+    ln_buf, ln_off = codec.vbyte_encode_with_offsets(lens.astype(np.uint64))
+
+    contrib = (
+        np.log1p((n_docs - dfs + 0.5) / (dfs + 0.5))
+        * tfs
+        * (k1 + 1.0)
+        / (tfs + k1 * (1.0 - b + b * lens / avgdl))
+    )
+    max_tf = np.maximum.reduceat(tfs, block_starts)
+    max_score = np.maximum.reduceat(contrib, block_starts)
+
+    def _slices(buf: bytes, off: np.ndarray) -> list[bytes]:
+        s = np.where(block_starts > 0, off[block_starts - 1], 0)
+        e = off[block_ends - 1]
+        return [buf[a:z] for a, z in zip(s.tolist(), e.tolist())]
+
+    return pd.DataFrame(
+        {
+            "term": terms[block_starts],
+            "dbucket": dbuckets[block_starts].astype(np.int32),
+            "block_id": (pos_in_group[block_starts] // BLOCK_SIZE).astype(np.int32),
+            "first_doc": ids[block_starts],
+            "last_doc": ids[block_ends - 1],
+            "n": (block_ends - block_starts).astype(np.int32),
+            "doc_ids": _slices(id_buf, id_off),
+            "tfs": _slices(tf_buf, tf_off),
+            "lens": _slices(ln_buf, ln_off),
+            "max_tf": max_tf.astype(np.int32),
+            "max_score": max_score,
+            "df": dfs[block_starts],
+        },
+        columns=_COLS,
+    )
+
+
+def _encode_partition(
     n_docs: float, avgdl: float, k1: float, b: float
 ) -> "callable":
-    """Kernel for applyInPandas over one (term, dbucket) group."""
+    """mapInPandas kernel: buffer Arrow batches so (term, dbucket) groups
+    are never split at a batch boundary, then encode vectorized."""
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        dbucket = int(pdf["dbucket"].iloc[0])
-        dfreq = float(pdf["df"].iloc[0])
-        t_idf = idf(n_docs, dfreq)
-        ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.float64)
-        lens = pdf["len"].to_numpy(np.int64)
-        rows = []
-        for blk, s in enumerate(range(0, len(ids), BLOCK_SIZE)):
-            e = s + BLOCK_SIZE
-            bi, bt, bl = ids[s:e], tfs[s:e], lens[s:e]
-            tf_norm = bt * (k1 + 1.0) / (bt + k1 * (1.0 - b + b * bl / avgdl))
-            rows.append(
-                (
-                    term,
-                    dbucket,
-                    blk,
-                    int(bi[0]),
-                    int(bi[-1]),
-                    len(bi),
-                    codec.encode_doc_ids(bi),
-                    codec.vbyte_encode(bt.astype(np.uint64)),
-                    codec.vbyte_encode(bl.astype(np.uint64)),
-                    int(bt.max()),
-                    float(t_idf * tf_norm.max()),
-                    int(dfreq),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "dbucket", "block_id", "first_doc", "last_doc", "n",
-                "doc_ids", "tfs", "lens", "max_tf", "max_score", "df",
-            ],
-        )
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the (possibly incomplete) tail group
+            t = pdf["term"].to_numpy()
+            d = pdf["dbucket"].to_numpy()
+            same_tail = (t == t[-1]) & (d == d[-1])
+            # tail group is the contiguous suffix of equal keys
+            cut = len(pdf) - int(same_tail[::-1].argmin()) if not same_tail.all() else 0
+            buf = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield _encode_chunk(head, n_docs, avgdl, k1, b)
+        if buf is not None and len(buf):
+            yield _encode_chunk(buf, n_docs, avgdl, k1, b)
 
-    return encode
+    return gen
 
 
 def build_postings(
@@ -125,24 +190,29 @@ def build_postings(
     range_width: int | None = None,
     k1: float = K1,
     b: float = B,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """doc_table(doc_id, tokens, len) -> (postings DataFrame, range_width).
 
-    One wide shuffle: tf groupBy (partial+final hash agg, map-side
-    combine) -> join df on term (co-partitioned) -> applyInPandas on
-    (term, dbucket). Catalyst/AQE handle partition coalescing.
+    Stages: explode+hash-agg tf (map-side combine) -> shuffle join df on
+    term (co-partitioned with the agg) -> salted repartitionByRange on
+    (term, dbucket) -> in-partition sort -> vectorized mapInPandas encode.
     """
     spark = doc_table.sparkSession
     rw = range_width or pick_range_width(
         n_docs, spark.sparkContext.defaultParallelism
     )
+    parts = num_partitions or spark.sparkContext.defaultParallelism
     tf = term_frequencies(doc_table)
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     tf2 = tf.join(dfreq, "term").withColumn(
         "dbucket", (F.col("doc_id") / rw).cast("int")
     )
-    enc = tf2.groupBy("term", "dbucket").applyInPandas(
-        _encode_group(float(n_docs), float(avgdl), k1, b), POSTINGS_SCHEMA
+    sorted_tf = tf2.repartitionByRange(parts, "term", "dbucket").sortWithinPartitions(
+        "term", "dbucket", "doc_id"
+    )
+    enc = sorted_tf.mapInPandas(
+        _encode_partition(float(n_docs), float(avgdl), k1, b), POSTINGS_SCHEMA
     )
     return enc, rw
 

@@ -33,12 +33,19 @@ SCORE_DECIMALS = 4
 
 
 def term_frequencies(docs: DataFrame) -> DataFrame:
-    """docs(doc_id, tokens, len) -> tf(doc_id, term, tf, len).
+    """docs(doc_id, tf_map, len) -> tf(doc_id, term, tf, len).
 
-    explode + partial/final hash agg (map-side combine is automatic).
-    `len` rides along so the query path never needs a join back to the
-    doc table (Lucene stores norms with postings for the same reason).
+    The doc table's tf_map is already per-doc aggregated (fused
+    tokenize+count UDF), so this is a pure JVM-side map explode —
+    NO shuffle. `len` rides along so the query path never needs a join
+    back to the doc table (Lucene stores norms with postings for the
+    same reason). Falls back to explode+hash-agg for a raw `tokens`
+    array column.
     """
+    if "tf_map" in docs.columns:
+        return docs.select(
+            "doc_id", "len", F.explode("tf_map").alias("term", "tf")
+        ).withColumn("tf", F.col("tf").cast("double"))
     return (
         docs.select("doc_id", "len", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "term", "len")

@@ -6,25 +6,30 @@ mario's search contract is the mapping file — see SURVEY §3.3).
 
 Distributed shape = exactly the reference engine's: the index is
 document-partitioned (postings.dbucket == an ES shard); each task runs
-block-max-pruned scoring over ONE (query, dbucket) slice and emits a
-local top-k; the global answer is TakeOrderedAndProject over the tiny
-per-bucket candidates. No stage ever materializes a full posting list.
+block-max-pruned scoring over ONE dbucket for the WHOLE query batch and
+emits local top-k per query; the global answer is a tiny per-query rank
+over the union of bucket candidates. No stage ever materializes a full
+posting list, and posting blocks are shipped to exactly one task each
+(the query set travels in the task closure, never joined against the
+postings — a postings x queries join would replicate head-term blocks
+once per query).
 
-Pruning kernel (sound, fully vectorized — no per-doc Python loop):
- 1. Bootstrap a threshold θ: exactly score the candidate docs of the
-    rarest (highest-idf) query term only; θ = its k-th best total upper
-    bound... conservatively, the k-th best *exact partial* score. Any
-    later-dropped doc provably scores < θ.
- 2. Block pruning: drop block B of term t iff
-       max_score(B) + Σ_{t'≠t} max_score_bucket(t')  <  θ - ε.
-    Every doc in a dropped block has total score below θ, hence below
-    the true k-th score, so it cannot enter the top-k; docs that keep
-    at least one live block may get an underestimated score, but that
-    score stays < θ, so they cannot displace a true top-k doc either.
- 3. Exact vectorized BM25 (numpy bincount-style groupby) over surviving
-    blocks; local top-k.
-Tests assert rank identity (ids AND scores) vs the exhaustive scorer
-for every query in the fixed query set.
+Per-bucket kernel (sound pruning, fully vectorized):
+ 1. Each term's blocks are decoded AT MOST once per task and shared by
+    every query that contains the term; per-(term,doc) BM25 contribs
+    are likewise computed once.
+ 2. Bootstrap a threshold θ_q per query: exact partial scores of the
+    query's rarest (max-idf) term; θ_q = k-th best partial. The true
+    k-th best total is >= θ_q.
+ 3. Block pruning: drop block B of term t for query q iff
+       max_score(B) + Σ_{t'∈q, t'≠t} max_score_bucket(t') < θ_q - ε.
+    Every doc of a dropped block totals < θ_q <= true k-th score, so it
+    cannot enter the top-k; a doc with some blocks dropped can only be
+    underestimated, and its bound keeps it below θ_q, so it cannot
+    displace a true top-k doc either. Tests assert rank identity
+    (ids AND scores) vs the exhaustive scorer.
+ 4. Exact vectorized scoring (np.unique + bincount groupby) over the
+    surviving blocks; local top-k (score desc, doc_id asc).
 """
 
 from __future__ import annotations
@@ -41,70 +46,97 @@ from mario_spark.query import B, K1, SCORE_DECIMALS
 _EPS = 1e-9
 
 
-def _score_bucket(
-    pdf: pd.DataFrame, n_docs: float, avgdl: float, k: int, k1: float, b: float
-) -> pd.DataFrame:
-    """Block-max-pruned exact BM25 for one (query_id, dbucket) slice."""
-    query_id = int(pdf["query_id"].iloc[0])
+class _TermData:
+    """Decoded postings of one term within one dbucket."""
 
-    # Per-term bucket-level upper bounds.
-    per_term_max = pdf.groupby("term")["max_score"].max()
-    total_ub = float(per_term_max.sum())
+    __slots__ = ("ids", "contrib", "block_max", "block_lens", "df")
 
-    # 1. Bootstrap θ from the rarest term (min df => max idf).
-    rare_term = pdf.loc[pdf["df"].idxmin(), "term"]
-    theta = -np.inf
-    rare_rows = pdf[pdf["term"] == rare_term]
-    r_df = float(rare_rows["df"].iloc[0])
-    r_idf = _idf(n_docs, r_df)
-    ids_l, sc_l = [], []
-    for r in rare_rows.itertuples(index=False):
-        ids = codec.decode_doc_ids(r.doc_ids)
-        tfs = codec.vbyte_decode(r.tfs).astype(np.float64)
-        lens = codec.vbyte_decode(r.lens).astype(np.float64)
-        ids_l.append(ids)
-        sc_l.append(r_idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * lens / avgdl)))
-    if ids_l:
-        boot = np.concatenate(sc_l)
-        if boot.size >= k:
-            theta = float(np.partition(boot, boot.size - k)[boot.size - k])
-
-    # 2. Prune blocks that cannot reach θ.
-    ub_other = total_ub - pdf["term"].map(per_term_max).to_numpy()
-    live = (pdf["max_score"].to_numpy() + ub_other) >= (theta - _EPS)
-    pdf = pdf[live]
-    if pdf.empty:
-        return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-            {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+    def __init__(self, rows: pd.DataFrame, n_docs: float, avgdl: float, k1: float, b: float):
+        self.df = float(rows["df"].iloc[0])
+        t_idf = _idf(n_docs, self.df)
+        ids_l, tf_l, ln_l = [], [], []
+        for r in rows.itertuples(index=False):
+            ids_l.append(codec.decode_doc_ids(r.doc_ids))
+            tf_l.append(codec.vbyte_decode(r.tfs))
+            ln_l.append(codec.vbyte_decode(r.lens))
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tf_l).astype(np.float64)
+        lens = np.concatenate(ln_l).astype(np.float64)
+        self.ids = ids
+        self.contrib = (
+            t_idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * lens / avgdl))
         )
+        self.block_max = rows["max_score"].to_numpy(np.float64)
+        self.block_lens = rows["n"].to_numpy(np.int64)
 
-    # 3. Exact scoring of surviving blocks, vectorized groupby-sum.
-    all_ids, all_contrib = [], []
-    for term, grp in pdf.groupby("term", sort=False):
-        t_idf = _idf(n_docs, float(grp["df"].iloc[0]))
-        for r in grp.itertuples(index=False):
-            ids = codec.decode_doc_ids(r.doc_ids)
-            tfs = codec.vbyte_decode(r.tfs).astype(np.float64)
-            lens = codec.vbyte_decode(r.lens).astype(np.float64)
-            all_ids.append(ids)
-            all_contrib.append(
-                t_idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * lens / avgdl))
-            )
-    ids = np.concatenate(all_ids)
-    contrib = np.concatenate(all_contrib)
-    uniq, inv = np.unique(ids, return_inverse=True)
-    totals = np.bincount(inv, weights=contrib)
 
-    # Local top-k (score desc, doc_id asc) — keep only what can matter globally.
-    if uniq.size > k:
+def _bucket_kernel(
+    pdf: pd.DataFrame,
+    queries: list[tuple[int, list[str]]],
+    n_docs: float,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """Score every query against one dbucket's candidate blocks."""
+    by_term: dict[str, pd.DataFrame] = {
+        t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)
+    }
+    cache: dict[str, _TermData] = {}
+
+    def term_data(t: str) -> _TermData:
+        if t not in cache:
+            cache[t] = _TermData(by_term[t], n_docs, avgdl, k1, b)
+        return cache[t]
+
+    bucket_max = {t: float(g["max_score"].max()) for t, g in by_term.items()}
+
+    out_q, out_d, out_s = [], [], []
+    for qid, qterms in queries:
+        terms = [t for t in qterms if t in by_term]
+        if not terms:
+            continue
+        # 2. bootstrap θ from the rarest term present in this bucket
+        rare = min(terms, key=lambda t: float(by_term[t]["df"].iloc[0]))
+        boot = term_data(rare).contrib
+        theta = (
+            float(np.partition(boot, boot.size - k)[boot.size - k])
+            if boot.size >= k
+            else -np.inf
+        )
+        total_ub = sum(bucket_max[t] for t in terms)
+        ids_parts, contrib_parts = [], []
+        for t in terms:
+            td = term_data(t)
+            ub_other = total_ub - bucket_max[t]
+            live = (td.block_max + ub_other) >= (theta - _EPS)
+            if live.all():
+                ids_parts.append(td.ids)
+                contrib_parts.append(td.contrib)
+            elif live.any():
+                m = np.repeat(live, td.block_lens)
+                ids_parts.append(td.ids[m])
+                contrib_parts.append(td.contrib[m])
+        if not ids_parts:
+            continue
+        ids = np.concatenate(ids_parts)
+        contrib = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        totals = np.bincount(inv, weights=contrib)
         order = np.lexsort((uniq, -totals))[:k]
-    else:
-        order = np.lexsort((uniq, -totals))
+        out_q.append(np.full(order.size, qid, dtype=np.int64))
+        out_d.append(uniq[order].astype(np.int64))
+        out_s.append(totals[order])
+    if not out_q:
+        return pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64"})
     return pd.DataFrame(
         {
-            "query_id": np.full(order.size, query_id, dtype=np.int64),
-            "doc_id": uniq[order].astype(np.int64),
-            "score": totals[order],
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
         }
     )
 
@@ -120,22 +152,26 @@ def search_wand(
 ) -> DataFrame:
     """postings x (query_id, term) -> (query_id, rank, doc_id, score).
 
-    Plan: filter postings to queried terms (pushed to the scan; at scale
-    the postings table is laid out so `term` predicates prune files),
-    broadcast-join the tiny query-term table, group by (query_id,
-    dbucket) -> pruned scoring kernel -> per-query rank window over the
-    small candidate union.
+    Plan: collect the tiny query-term table driver-side (it IS the
+    query), filter postings to queried terms (predicate pushed into the
+    scan — at scale the postings layout prunes whole files by term),
+    group by dbucket -> batch scoring kernel -> per-query rank window
+    over the small candidate union.
     """
-    terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
-    cand = postings.filter(F.col("term").isin(terms)).join(
-        F.broadcast(query_terms), "term"
-    )
+    qrows = query_terms.collect()
+    qmap: dict[int, list[str]] = {}
+    for r in qrows:
+        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
+    queries = sorted(qmap.items())
+    terms = sorted({t for _, ts in queries for t in ts})
+
+    cand = postings.filter(F.col("term").isin(terms))
     nd, ad = float(n_docs), float(avgdl)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_bucket(pdf, nd, ad, k, k1, b)
+        return _bucket_kernel(pdf, queries, nd, ad, k, k1, b)
 
-    local = cand.groupBy("query_id", "dbucket").applyInPandas(
+    local = cand.groupBy("dbucket").applyInPandas(
         kernel, "query_id long, doc_id long, score double"
     )
     s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
