@@ -66,10 +66,10 @@ def main() -> None:
     def _build() -> None:
         d = docs.build_doc_table(pages).persist()
         st = docs.corpus_stats(d).collect()[0]
-        post, rw = build_postings(d, st["n_docs"], st["avgdl"])
-        post = post.persist()
+        post, dic, rw = build_postings(d, st["n_docs"])
+        post, dic = post.persist(), dic.persist()
         built["n_postings"] = post.count()
-        built["d"], built["st"], built["post"] = d, st, post
+        built["d"], built["st"], built["post"], built["dic"] = d, st, post, dic
 
     timed("index_build", _build)
     extra["index_docs"] = n_docs
@@ -81,7 +81,8 @@ def main() -> None:
     timed(
         "bm25_wand",
         lambda: search_wand(
-            built["post"], qdf, built["st"]["n_docs"], built["st"]["avgdl"], k=10
+            built["post"], built["dic"], qdf,
+            built["st"]["n_docs"], built["st"]["avgdl"], k=10,
         ).count(),
     )
     extra["sec_per_query_wand"] = round(timings["bm25_wand"] / len(qset), 4)

@@ -37,10 +37,19 @@ Block format (per (term, dbucket), doc_id-ascending, 128 docs/block):
   lens    : VByte  (exact doc lengths — Lucene quantizes norms to 1
             byte; we store exact lens because the correctness gate is
             rank-identical *scores*, not just ranks)
-  max_tf, max_score : block-max metadata for WAND pruning; max_score is
-            the exact BM25 upper bound idf(t) * (k1+1) * max_d tf_norm.
-  df      : term-global document frequency (repeated per block row so
-            query time needs no dictionary join).
+  max_tf, min_len : impact metadata for block-max WAND pruning. We
+            deliberately do NOT bake idf/avgdl-dependent scores into
+            blocks (Lucene 8 stores (tf, norm) impact pairs for the
+            same reason): global stats change when segments are
+            appended or merged, so the stored index must be
+            stats-free. The query-time upper bound
+            idf(t)*(k1+1)*max_tf/(max_tf + k1*(1-b+b*min_len/avgdl))
+            is computed with CURRENT collection stats and is a valid
+            block max because tf_norm is increasing in tf and
+            decreasing in len.
+
+Term-global df lives in the separate `dictionary` table (additive
+across doc-disjoint segments, so merges are metadata-only).
 """
 
 from __future__ import annotations
@@ -61,12 +70,12 @@ BLOCK_SIZE = 128
 POSTINGS_SCHEMA = (
     "term string, dbucket int, block_id int, first_doc long, last_doc long, "
     "n int, doc_ids binary, tfs binary, lens binary, "
-    "max_tf int, max_score double, df long"
+    "max_tf int, min_len long"
 )
 
 _COLS = [
     "term", "dbucket", "block_id", "first_doc", "last_doc", "n",
-    "doc_ids", "tfs", "lens", "max_tf", "max_score", "df",
+    "doc_ids", "tfs", "lens", "max_tf", "min_len",
 ]
 
 
@@ -84,15 +93,12 @@ def pick_range_width(n_docs: int, parallelism: int, blocks_per_bucket: int = 32)
     return 1 << int(math.ceil(math.log2(target)))
 
 
-def _encode_chunk(
-    pdf: pd.DataFrame, n_docs: float, avgdl: float, k1: float, b: float
-) -> pd.DataFrame:
+def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     """Encode a sorted (term, dbucket, doc_id) chunk whose groups are
     complete. Fully vectorized; one bytes-slice per output block."""
     ids = pdf["doc_id"].to_numpy(np.int64)
     tfs = pdf["tf"].to_numpy(np.float64)
     lens = pdf["len"].to_numpy(np.int64)
-    dfs = pdf["df"].to_numpy(np.int64)
     terms = pdf["term"].to_numpy()
     dbuckets = pdf["dbucket"].to_numpy(np.int64)
 
@@ -121,14 +127,8 @@ def _encode_chunk(
     tf_buf, tf_off = codec.vbyte_encode_with_offsets(tfs.astype(np.uint64))
     ln_buf, ln_off = codec.vbyte_encode_with_offsets(lens.astype(np.uint64))
 
-    contrib = (
-        np.log1p((n_docs - dfs + 0.5) / (dfs + 0.5))
-        * tfs
-        * (k1 + 1.0)
-        / (tfs + k1 * (1.0 - b + b * lens / avgdl))
-    )
     max_tf = np.maximum.reduceat(tfs, block_starts)
-    max_score = np.maximum.reduceat(contrib, block_starts)
+    min_len = np.minimum.reduceat(lens, block_starts)
 
     def _slices(buf: bytes, off: np.ndarray) -> list[bytes]:
         s = np.where(block_starts > 0, off[block_starts - 1], 0)
@@ -147,16 +147,13 @@ def _encode_chunk(
             "tfs": _slices(tf_buf, tf_off),
             "lens": _slices(ln_buf, ln_off),
             "max_tf": max_tf.astype(np.int32),
-            "max_score": max_score,
-            "df": dfs[block_starts],
+            "min_len": min_len.astype(np.int64),
         },
         columns=_COLS,
     )
 
 
-def _encode_partition(
-    n_docs: float, avgdl: float, k1: float, b: float
-) -> "callable":
+def _encode_partition() -> "callable":
     """mapInPandas kernel: buffer Arrow batches so (term, dbucket) groups
     are never split at a batch boundary, then encode vectorized."""
 
@@ -176,9 +173,9 @@ def _encode_partition(
             buf = pdf.iloc[cut:]
             head = pdf.iloc[:cut]
             if len(head):
-                yield _encode_chunk(head, n_docs, avgdl, k1, b)
+                yield _encode_chunk(head)
         if buf is not None and len(buf):
-            yield _encode_chunk(buf, n_docs, avgdl, k1, b)
+            yield _encode_chunk(buf)
 
     return gen
 
@@ -186,17 +183,16 @@ def _encode_partition(
 def build_postings(
     doc_table: DataFrame,
     n_docs: int,
-    avgdl: float,
     range_width: int | None = None,
-    k1: float = K1,
-    b: float = B,
     num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
-    """doc_table(doc_id, tokens, len) -> (postings DataFrame, range_width).
+) -> tuple[DataFrame, DataFrame, int]:
+    """doc_table(doc_id, tf_map, len) -> (postings, dictionary, range_width).
 
-    Stages: explode+hash-agg tf (map-side combine) -> shuffle join df on
-    term (co-partitioned with the agg) -> salted repartitionByRange on
-    (term, dbucket) -> in-partition sort -> vectorized mapInPandas encode.
+    Stages: JVM map-explode of tf_map (NO agg shuffle) -> salted
+    repartitionByRange on (term, dbucket) -> in-partition sort ->
+    vectorized mapInPandas encode. The dictionary (term, df) is its own
+    small aggregation; it is NOT joined into the postings — stats stay
+    out of the stored blocks so segments remain mergeable.
     """
     spark = doc_table.sparkSession
     rw = range_width or pick_range_width(
@@ -204,27 +200,35 @@ def build_postings(
     )
     parts = num_partitions or spark.sparkContext.defaultParallelism
     tf = term_frequencies(doc_table)
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    tf2 = tf.join(dfreq, "term").withColumn(
-        "dbucket", (F.col("doc_id") / rw).cast("int")
-    )
+    dictionary = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    tf2 = tf.withColumn("dbucket", (F.col("doc_id") / rw).cast("int"))
     sorted_tf = tf2.repartitionByRange(parts, "term", "dbucket").sortWithinPartitions(
         "term", "dbucket", "doc_id"
     )
-    enc = sorted_tf.mapInPandas(
-        _encode_partition(float(n_docs), float(avgdl), k1, b), POSTINGS_SCHEMA
-    )
-    return enc, rw
+    enc = sorted_tf.mapInPandas(_encode_partition(), POSTINGS_SCHEMA)
+    return enc, dictionary, rw
+
+
+def block_upper_bound(
+    idf_t: float,
+    max_tf: np.ndarray,
+    min_len: np.ndarray,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> np.ndarray:
+    """Query-time block-max bound from stored impacts + current stats."""
+    mt = np.asarray(max_tf, dtype=np.float64)
+    ml = np.asarray(min_len, dtype=np.float64)
+    return idf_t * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * ml / avgdl))
 
 
 def decode_postings_pdf(pdf: pd.DataFrame) -> Iterator[tuple]:
-    """Yield (term, doc_ids, tfs, lens, df, max_score) per block row."""
+    """Yield (term, doc_ids, tfs, lens) per block row."""
     for r in pdf.itertuples(index=False):
         yield (
             r.term,
             codec.decode_doc_ids(r.doc_ids),
             codec.vbyte_decode(r.tfs).astype(np.float64),
             codec.vbyte_decode(r.lens).astype(np.float64),
-            float(r.df),
-            float(r.max_score),
         )

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mario_spark import codec
+from mario_spark.postings import block_upper_bound
 from mario_spark.postings import idf as _idf
 from mario_spark.query import B, K1, SCORE_DECIMALS
 
@@ -49,11 +50,9 @@ _EPS = 1e-9
 class _TermData:
     """Decoded postings of one term within one dbucket."""
 
-    __slots__ = ("ids", "contrib", "block_max", "block_lens", "df")
+    __slots__ = ("ids", "contrib", "block_max", "block_lens")
 
-    def __init__(self, rows: pd.DataFrame, n_docs: float, avgdl: float, k1: float, b: float):
-        self.df = float(rows["df"].iloc[0])
-        t_idf = _idf(n_docs, self.df)
+    def __init__(self, rows: pd.DataFrame, t_idf: float, avgdl: float, k1: float, b: float):
         ids_l, tf_l, ln_l = [], [], []
         for r in rows.itertuples(index=False):
             ids_l.append(codec.decode_doc_ids(r.doc_ids))
@@ -66,14 +65,22 @@ class _TermData:
         self.contrib = (
             t_idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * lens / avgdl))
         )
-        self.block_max = rows["max_score"].to_numpy(np.float64)
+        # block-max bound from stored impacts + CURRENT collection stats
+        self.block_max = block_upper_bound(
+            t_idf,
+            rows["max_tf"].to_numpy(),
+            rows["min_len"].to_numpy(),
+            avgdl,
+            k1,
+            b,
+        )
         self.block_lens = rows["n"].to_numpy(np.int64)
 
 
 def _bucket_kernel(
     pdf: pd.DataFrame,
     queries: list[tuple[int, list[str]]],
-    n_docs: float,
+    idf_map: dict[str, float],
     avgdl: float,
     k: int,
     k1: float,
@@ -87,10 +94,22 @@ def _bucket_kernel(
 
     def term_data(t: str) -> _TermData:
         if t not in cache:
-            cache[t] = _TermData(by_term[t], n_docs, avgdl, k1, b)
+            cache[t] = _TermData(by_term[t], idf_map[t], avgdl, k1, b)
         return cache[t]
 
-    bucket_max = {t: float(g["max_score"].max()) for t, g in by_term.items()}
+    bucket_max = {
+        t: float(
+            block_upper_bound(
+                idf_map[t],
+                g["max_tf"].to_numpy(),
+                g["min_len"].to_numpy(),
+                avgdl,
+                k1,
+                b,
+            ).max()
+        )
+        for t, g in by_term.items()
+    }
 
     out_q, out_d, out_s = [], [], []
     for qid, qterms in queries:
@@ -98,7 +117,8 @@ def _bucket_kernel(
         if not terms:
             continue
         # 2. bootstrap θ from the rarest term present in this bucket
-        rare = min(terms, key=lambda t: float(by_term[t]["df"].iloc[0]))
+        # (max idf == min df, so pick by idf)
+        rare = max(terms, key=lambda t: idf_map[t])
         boot = term_data(rare).contrib
         theta = (
             float(np.partition(boot, boot.size - k)[boot.size - k])
@@ -143,6 +163,7 @@ def _bucket_kernel(
 
 def search_wand(
     postings: DataFrame,
+    dictionary: DataFrame,
     query_terms: DataFrame,
     n_docs: int,
     avgdl: float,
@@ -165,11 +186,16 @@ def search_wand(
     queries = sorted(qmap.items())
     terms = sorted({t for _, ts in queries for t in ts})
 
-    cand = postings.filter(F.col("term").isin(terms))
+    # tiny driver-side dictionary lookup for just the queried terms;
+    # terms absent from the dictionary (OOV) simply have no postings
+    df_rows = dictionary.filter(F.col("term").isin(terms)).collect()
     nd, ad = float(n_docs), float(avgdl)
+    idf_map = {r["term"]: _idf(nd, float(r["df"])) for r in df_rows}
+
+    cand = postings.filter(F.col("term").isin(terms))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_kernel(pdf, queries, nd, ad, k, k1, b)
+        return _bucket_kernel(pdf, queries, idf_map, ad, k, k1, b)
 
     local = cand.groupBy("dbucket").applyInPandas(
         kernel, "query_id long, doc_id long, score double"

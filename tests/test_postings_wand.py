@@ -17,7 +17,7 @@ from mario_spark.fixtures import (
     pages_df,
     query_terms_df,
 )
-from mario_spark.postings import BLOCK_SIZE, build_postings, idf
+from mario_spark.postings import BLOCK_SIZE, block_upper_bound, build_postings, idf
 from mario_spark.wand import search_wand
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -56,25 +56,25 @@ def test_vbyte_compression_ratio():
 # ---------------------------------------------------------- block structure
 @pytest.fixture(scope="module")
 def built(spark):
-    d = docs.build_doc_table(documents_as_pages(spark, SF_DIR))
+    d = docs.build_doc_table(documents_as_pages(spark, SF_DIR)).persist()
     st_ = docs.corpus_stats(d).collect()[0]
-    post, rw = build_postings(d, st_["n_docs"], st_["avgdl"], range_width=256)
+    post, dic, rw = build_postings(d, st_["n_docs"], range_width=256)
     pdf = post.toPandas()
-    return d, st_, pdf, rw
+    dic_pdf = dic.toPandas().set_index("term")["df"]
+    return d, st_, pdf, rw, dic_pdf
 
 
 def test_block_invariants(built):
-    d, st_, pdf, rw = built
+    d, st_, pdf, rw, dic = built
     assert (pdf["n"] <= BLOCK_SIZE).all()
     assert (pdf["first_doc"] <= pdf["last_doc"]).all()
     assert (pdf["first_doc"] // rw == pdf["dbucket"]).all()
     assert (pdf["last_doc"] // rw == pdf["dbucket"]).all()
-    # df is term-global: equals total postings of the term
+    # dictionary df equals total postings of the term
     got_df = pdf.groupby("term")["n"].sum()
-    for term, sub in pdf.groupby("term"):
-        assert (sub["df"] == got_df[term]).all(), term
+    assert (dic.sort_index() == got_df.sort_index()).all()
     # decode one head term fully: doc ids strictly ascending per bucket
-    term = pdf.groupby("term")["df"].max().idxmax()
+    term = dic.idxmax()
     sub = pdf[pdf["term"] == term].sort_values(["dbucket", "block_id"])
     for _, bgrp in sub.groupby("dbucket"):
         ids = np.concatenate([codec.decode_doc_ids(r) for r in bgrp["doc_ids"]])
@@ -82,18 +82,21 @@ def test_block_invariants(built):
 
 
 def test_block_max_is_upper_bound(built):
-    d, st_, pdf, rw = built
+    d, st_, pdf, rw, dic = built
     n, avgdl = float(st_["n_docs"]), float(st_["avgdl"])
     for r in pdf.sample(n=min(200, len(pdf)), random_state=0).itertuples():
         tfs = codec.vbyte_decode(r.tfs).astype(float)
         lens = codec.vbyte_decode(r.lens).astype(float)
-        sc = idf(n, r.df) * tfs * 2.2 / (tfs + 1.2 * (1 - 0.75 + 0.75 * lens / avgdl))
-        assert sc.max() <= r.max_score + 1e-9
+        t_idf = idf(n, float(dic[r.term]))
+        sc = t_idf * tfs * 2.2 / (tfs + 1.2 * (1 - 0.75 + 0.75 * lens / avgdl))
+        ub = block_upper_bound(t_idf, np.array([r.max_tf]), np.array([r.min_len]), avgdl)
+        assert sc.max() <= ub[0] + 1e-9
         assert tfs.max() == r.max_tf
+        assert lens.min() == r.min_len
 
 
 def test_postings_match_tf_table(built):
-    d, st_, pdf, rw = built
+    d, st_, pdf, rw, dic = built
     tf = query.term_frequencies(d).toPandas()
     want = tf.groupby("term")["tf"].count().sort_index()
     got = pdf.groupby("term")["n"].sum().sort_index()
@@ -108,11 +111,11 @@ def _canon(df):
 
 
 def test_wand_rank_identical_documents(spark, built):
-    d, st_, _, rw = built
-    post, _ = build_postings(d, st_["n_docs"], st_["avgdl"], range_width=256)
+    d, st_, _, rw, _dic = built
+    post, dic, _ = build_postings(d, st_["n_docs"], range_width=256)
     q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
     want = _canon(query.search_exhaustive(d, q, k=10))
-    got = _canon(search_wand(post, q, st_["n_docs"], st_["avgdl"], k=10))
+    got = _canon(search_wand(post, dic, q, st_["n_docs"], st_["avgdl"], k=10))
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
 
 
@@ -120,9 +123,9 @@ def test_wand_rank_identical_pages(spark):
     pages = pages_df(spark, 1200, seed=7, partitions=8)
     d = docs.build_doc_table(pages).persist()
     st_ = docs.corpus_stats(d).collect()[0]
-    post, rw = build_postings(d, st_["n_docs"], st_["avgdl"])
+    post, dic, rw = build_postings(d, st_["n_docs"])
     q = query_terms_df(spark, make_pages_query_set(seed=7, n=30))
     want = _canon(query.search_exhaustive(d, q, k=10))
-    got = _canon(search_wand(post, q, st_["n_docs"], st_["avgdl"], k=10))
+    got = _canon(search_wand(post, dic, q, st_["n_docs"], st_["avgdl"], k=10))
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
     d.unpersist()
