@@ -1,0 +1,170 @@
+"""CLI mirroring mario's command surface (A17/A18:
+/root/reference/cmd/mario/main.go:34-222 — subcommands aliases,
+indexes, ping, ingest, promote, reindex, delete; plus our engine-native
+query and merge). Deploys via `spark-submit --py-files mario_spark.zip
+-m mario_spark.cli ...` or plain `python -m mario_spark.cli`.
+
+Flag parity:
+  ingest -s SOURCE [--new] [--auto] [-c json|title|silent|index] FILE
+    mario: ingester.go:54-126. `--new` names the index
+    `<source>-<utc-ts>` (ingester.go:62-63); without it, appends to the
+    current index behind the alias (and never auto-promotes,
+    ingester.go:65-73). Consumers: `index` (default; replaces mario's
+    `es`) builds the inverted index; `json`/`title`/`silent` are the
+    debug sinks of consumers.go:39-94.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+DEFAULT_ROOT = "/tmp/mario_spark_indexes"
+
+
+def _spark(args):
+    from mario_spark.session import get_spark
+
+    return get_spark("mario_spark_cli")
+
+
+def _catalog(spark, args):
+    from mario_spark.index import Catalog
+
+    return Catalog(spark, args.root)
+
+
+def _load_raw(spark, path: str):
+    """JSON-array file (mario's only live format, jsonrecord.go:19-52;
+    FAILFAST = its log.Fatal on malformed) or parquet pages/documents."""
+    if path.endswith(".json"):
+        from mario_spark.record import read_records
+
+        return read_records(spark, path)
+    df = spark.read.parquet(path)
+    if "text" in df.columns and "url" not in df.columns:
+        from mario_spark.fixtures import documents_as_pages
+
+        return documents_as_pages(spark, path.rsplit("/", 1)[0])
+    return df
+
+
+def _as_pages(raw, source: str):
+    if "timdex_record_id" in raw.columns:
+        from mario_spark.record import records_as_pages
+
+        return records_as_pages(raw, source)
+    return raw
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="mario-spark")
+    ap.add_argument("--root", default=DEFAULT_ROOT, help="catalog root dir")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("ping")
+    sub.add_parser("aliases")
+    sub.add_parser("indexes")
+
+    p = sub.add_parser("ingest")
+    p.add_argument("-s", "--source", required=True)
+    p.add_argument("--new", action="store_true", dest="new_index")
+    p.add_argument("--auto", action="store_true")
+    p.add_argument(
+        "-c", "--consumer", default="index",
+        choices=["index", "json", "title", "silent"],
+    )
+    p.add_argument("file")
+
+    p = sub.add_parser("promote")
+    p.add_argument("-i", "--index", required=True)
+
+    p = sub.add_parser("reindex")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-d", "--destination", required=True)
+
+    p = sub.add_parser("delete")
+    p.add_argument("-i", "--index", required=True)
+
+    p = sub.add_parser("query")
+    p.add_argument("-i", "--index", required=True, help="index name or alias")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("text", nargs="+")
+
+    p = sub.add_parser("merge")
+    p.add_argument("-i", "--index", required=True)
+
+    args = ap.parse_args(argv)
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+
+    if args.cmd == "ping":
+        print(json.dumps(cat.ping()))
+    elif args.cmd == "aliases":
+        print(json.dumps(cat.aliases(), indent=1))
+    elif args.cmd == "indexes":
+        print(json.dumps(cat.indexes(), indent=1))
+    elif args.cmd == "ingest":
+        raw = _load_raw(spark, args.file)
+        if args.consumer == "json":
+            # consumers.go:39-59 — pretty JSON to stdout
+            for row in raw.toJSON().collect():
+                print(row)
+            return 0
+        if args.consumer == "title":
+            # consumers.go:68-77 — single-column projection of Title
+            col = "title" if "title" in raw.columns else "url"
+            for r in raw.select(col).collect():
+                print(r[0])
+            return 0
+        if args.consumer == "silent":
+            print(raw.count())
+            return 0
+        pages = _as_pages(raw, args.source)
+        if args.new_index:
+            name = cat.index_name(args.source)
+        else:
+            name = cat.current(args.source)
+            if name is None:
+                name = cat.index_name(args.source)
+            args.auto = False  # ingester.go:72 — never auto-promote appends
+        idx = cat.create(name)
+        st = idx.ingest(pages, source=args.file)
+        if args.auto:
+            cat.promote(name)
+        print(json.dumps({"index": name, **st}))
+    elif args.cmd == "promote":
+        cat.promote(args.index)
+        print(json.dumps(cat.aliases()))
+    elif args.cmd == "reindex":
+        n = cat.reindex(args.index, args.destination)
+        print(n)
+    elif args.cmd == "delete":
+        cat.delete(args.index)
+    elif args.cmd == "query":
+        from mario_spark.fixtures import query_terms_df
+
+        idx = cat.resolve(args.index)
+        q = query_terms_df(spark, [(0, " ".join(args.text))])
+        res = idx.search(q, k=args.k)
+        docs = idx.docs().select("doc_id", "url")
+        out = (
+            res.join(F.broadcast(docs.join(res.select("doc_id"), "doc_id")), "doc_id")
+            .orderBy("rank")
+            .collect()
+        )
+        for r in out:
+            print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"], "url": r["url"]}))
+    elif args.cmd == "merge":
+        from mario_spark.merge import compact_segments
+
+        seg = compact_segments(cat.resolve(args.index))
+        print(json.dumps({"merged_into": seg}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,406 @@
+"""Persistent segmented index: build, resume, manifest, query.
+
+Storage layout (one directory per index under a catalog root; the
+API is Iceberg-shaped — every commit is a single atomic rename — so the
+same interface maps onto an Iceberg catalog on a real deployment, per
+SURVEY §7 step 9):
+
+    <root>/aliases.json                    atomic alias registry
+    <root>/<index>/_meta.json              range_width, k1, b, source, parts
+    <root>/<index>/segments/<seg>/
+        _seg.json                          commit marker + segment stats
+        docs/       parquet (doc_id, url, lang, len)
+        postings/   parquet (codec blocks, term-sorted files)
+        dictionary/ parquet (term, df)
+    <root>/<index>/manifest/<seg>.parquet  per-(segment, dbucket) lineage
+                                           + docs/postings/bytes metrics
+
+Reference parity: index naming `<source>-<utc-ts>`
+(/root/reference/pkg/ingester/ingester.go:62-63); segments mirror
+Lucene's per-commit segments, which mario gets implicitly from ES bulk
+appends (/root/reference/pkg/client/elastic.go:102-108).
+
+Scale + resume design:
+- Docs are densely id'd once (deterministic for a dataset + pinned
+  partition count, recorded in _meta.json), then built in SEGMENTS =
+  contiguous doc-id ranges aligned to the dbucket grid. Each segment is
+  one bounded Spark job; its commit is the atomic rename of _seg.json.
+  A re-run recomputes nothing for committed segments (the kill-and-
+  resume test asserts the rebuilt index is byte-identical).
+- Segments are doc-disjoint, so collection stats and the dictionary
+  are ADDITIVE: open-time stats = sum over segment stats; no global
+  recompute on append/merge. Blocks store stats-free impacts
+  (postings.py), so appended segments never invalidate old ones.
+- Per-partition metrics (docs, postings blocks, payload bytes per
+  dbucket) are derived from the encoded blocks themselves and written
+  with the segment — the lineage/metrics requirement of the north star.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mario_spark import docs as docsmod
+from mario_spark.postings import build_postings, pick_range_width
+from mario_spark.query import B, K1
+from mario_spark.wand import search_wand
+
+DOCS_COLS = ["doc_id", "url", "lang", "len"]
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Single-commit JSON write (tmp + rename). The Iceberg analogue is
+    a catalog commit; on POSIX rename is atomic."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+@dataclass
+class IndexPaths:
+    root: str
+    name: str
+
+    @property
+    def base(self) -> str:
+        return os.path.join(self.root, self.name)
+
+    @property
+    def meta(self) -> str:
+        return os.path.join(self.base, "_meta.json")
+
+    def seg(self, seg_id: int) -> str:
+        return os.path.join(self.base, "segments", f"{seg_id:05d}")
+
+    def seg_meta(self, seg_id: int) -> str:
+        return os.path.join(self.seg(seg_id), "_seg.json")
+
+    def manifest(self, seg_id: int) -> str:
+        return os.path.join(self.base, "manifest", f"{seg_id:05d}.parquet")
+
+    def committed_segments(self) -> list[int]:
+        segdir = os.path.join(self.base, "segments")
+        if not os.path.isdir(segdir):
+            return []
+        out = []
+        for d in sorted(os.listdir(segdir)):
+            m = _read_json(os.path.join(segdir, d, "_seg.json"))
+            if m and m.get("status") == "committed":
+                out.append(int(d))
+        return out
+
+
+class Index:
+    """Handle to one on-disk index."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.paths = IndexPaths(root, name)
+
+    # ------------------------------------------------------------- build
+    def ingest(
+        self,
+        pages: DataFrame,
+        segment_docs: int | None = None,
+        range_width: int | None = None,
+        extract_html: bool = False,
+        source: str = "",
+        fail_after_segment: int | None = None,
+    ) -> dict:
+        """Build (or resume building) the index from a pages DataFrame.
+
+        `fail_after_segment` exists for the resume test: raises after
+        committing that many segments, simulating a mid-build crash.
+        Returns the final stats dict.
+        """
+        sp = self.spark
+        meta = _read_json(self.paths.meta)
+        if meta is None:
+            parts = sp.sparkContext.defaultParallelism
+            os.makedirs(self.paths.base, exist_ok=True)
+            # count first: range_width and segmentation must be pinned
+            # before any segment commits, else a resume could re-plan
+            slim_cols = [c for c in ("doc_id", "url", "lang", "text", "html") if c in pages.columns]
+            n_docs = pages.count()
+            rw = range_width or pick_range_width(n_docs, parts)
+            seg_docs = segment_docs or max(rw, int(math.ceil(n_docs / 4 / rw)) * rw)
+            seg_docs = int(math.ceil(seg_docs / rw) * rw)  # align to grid
+            meta = {
+                "name": self.paths.name,
+                "source": source,
+                "n_docs": n_docs,
+                "range_width": rw,
+                "segment_docs": seg_docs,
+                "id_partitions": parts,
+                "k1": K1,
+                "b": B,
+                "created": time.strftime("%Y-%m-%dt%H-%M-%Sz", time.gmtime()),
+                "slim_cols": slim_cols,
+            }
+            _atomic_write_json(self.paths.meta, meta)
+        rw = meta["range_width"]
+        n_docs = meta["n_docs"]
+        seg_docs = meta["segment_docs"]
+        n_segments = max(1, int(math.ceil(n_docs / seg_docs)))
+
+        done = set(self.paths.committed_segments())
+        todo = [s for s in range(n_segments) if s not in done]
+        if todo:
+            # deterministic dense ids over the WHOLE input (pinned partition
+            # count), then per-segment bounded jobs
+            if extract_html:
+                pages = pages.withColumn(
+                    "text", docsmod.extract_udf("html")
+                )
+            slim = pages.select(
+                *[c for c in ("doc_id", "url", "lang", "text") if c in pages.columns]
+            )
+            if "doc_id" not in slim.columns:
+                slim = docsmod.assign_doc_ids(
+                    slim, num_partitions=meta["id_partitions"]
+                )
+            slim = slim.persist()
+            built = 0
+            for s in todo:
+                lo, hi = s * seg_docs, min((s + 1) * seg_docs, n_docs)
+                self._build_segment(slim, s, lo, hi, rw)
+                built += 1
+                if fail_after_segment is not None and built >= fail_after_segment:
+                    slim.unpersist()
+                    raise RuntimeError(
+                        f"simulated failure after {built} segments"
+                    )
+            slim.unpersist()
+        return self.stats()
+
+    def _build_segment(self, slim: DataFrame, seg_id: int, lo: int, hi: int, rw: int) -> None:
+        sp = self.spark
+        p = self.paths
+        seg_dir = p.seg(seg_id)
+        os.makedirs(seg_dir, exist_ok=True)
+        sl = slim.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        d = docsmod.build_doc_table(sl).persist()
+        seg_rows = d.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s")
+        ).collect()[0]
+        seg_n, seg_len = int(seg_rows["n"]), int(seg_rows["s"])
+        post, dic, _ = build_postings(d, max(seg_n, 1), range_width=rw)
+        post = post.persist()
+        post.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+        dic.write.mode("overwrite").parquet(os.path.join(seg_dir, "dictionary"))
+        d.select(*[c for c in DOCS_COLS if c in d.columns]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seg_dir, "docs"))
+        # per-partition (dbucket) metrics + lineage — the checkpoint manifest
+        os.makedirs(os.path.join(p.base, "manifest"), exist_ok=True)
+        (
+            post.groupBy("dbucket")
+            .agg(
+                F.sum("n").cast("long").alias("postings"),
+                F.count("*").cast("long").alias("blocks"),
+                (
+                    F.sum(F.octet_length("doc_ids"))
+                    + F.sum(F.octet_length("tfs"))
+                    + F.sum(F.octet_length("lens"))
+                )
+                .cast("long")
+                .alias("payload_bytes"),
+            )
+            .withColumn("segment", F.lit(seg_id))
+            .withColumn("doc_lo", F.lit(lo).cast("long"))
+            .withColumn("doc_hi", F.lit(hi).cast("long"))
+            .write.mode("overwrite")
+            .parquet(p.manifest(seg_id))
+        )
+        post.unpersist()
+        d.unpersist()
+        # the commit point: everything above is invisible until this rename
+        _atomic_write_json(
+            p.seg_meta(seg_id),
+            {
+                "status": "committed",
+                "n_docs": seg_n,
+                "sum_len": seg_len,
+                "doc_lo": lo,
+                "doc_hi": hi,
+                "built": time.strftime("%Y-%m-%dt%H-%M-%Sz", time.gmtime()),
+            },
+        )
+
+    # ------------------------------------------------------------- reads
+    def _seg_paths(self, sub: str) -> list[str]:
+        return [
+            os.path.join(self.paths.seg(s), sub)
+            for s in self.paths.committed_segments()
+        ]
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(*self._seg_paths("postings"))
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(*self._seg_paths("docs"))
+
+    def dictionary(self) -> DataFrame:
+        """Union of segment dictionaries; df is additive (doc-disjoint)."""
+        d = self.spark.read.parquet(*self._seg_paths("dictionary"))
+        return d.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+
+    def manifest(self) -> DataFrame:
+        p = [self.paths.manifest(s) for s in self.paths.committed_segments()]
+        return self.spark.read.parquet(*p)
+
+    def stats(self) -> dict:
+        """Collection stats by summing segment commit markers (no scan)."""
+        n, s = 0, 0
+        for seg in self.paths.committed_segments():
+            m = _read_json(self.paths.seg_meta(seg)) or {}
+            n += m.get("n_docs", 0)
+            s += m.get("sum_len", 0)
+        return {
+            "n_docs": n,
+            "avgdl": (s / n) if n else 0.0,
+            "segments": len(self.paths.committed_segments()),
+        }
+
+    # ------------------------------------------------------------- query
+    def search(self, query_terms: DataFrame, k: int = 10) -> DataFrame:
+        st = self.stats()
+        return search_wand(
+            self.postings(), self.dictionary(), query_terms,
+            st["n_docs"], st["avgdl"], k=k,
+        )
+
+
+# ---------------------------------------------------------------- catalog
+class Catalog:
+    """Index lifecycle ops mirroring mario's CLI surface (A10-A16):
+    create / current / promote / delete / reindex / indexes / aliases /
+    ping  (/root/reference/pkg/client/elastic.go:46-164,
+    /root/reference/cmd/mario/main.go:34-222). The alias registry is a
+    single JSON document updated by atomic rename — the Iceberg
+    analogue of ES's atomic alias-actions call (ADR 0009)."""
+
+    DEFAULT_ALIAS = "timdex-prod"  # elastic.go:20
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _aliases_path(self) -> str:
+        return os.path.join(self.root, "aliases.json")
+
+    def _read_aliases(self) -> dict[str, list[str]]:
+        return _read_json(self._aliases_path) or {}
+
+    # A10 — idempotent create
+    def create(self, name: str) -> Index:
+        idx = Index(self.spark, self.root, name)
+        os.makedirs(idx.paths.base, exist_ok=True)
+        return idx
+
+    def open(self, name: str) -> Index:
+        return Index(self.spark, self.root, name)
+
+    @staticmethod
+    def index_name(source: str) -> str:
+        """`<source>-<utc-ts>` exactly as ingester.go:62-63."""
+        return f"{source}-{time.strftime('%Y-%m-%dt%H-%M-%Sz', time.gmtime())}"
+
+    # A11 — the one index behind the alias for a source prefix
+    def current(self, source: str, alias: str = DEFAULT_ALIAS) -> str | None:
+        members = self._read_aliases().get(alias, [])
+        hits = [m for m in members if m.split("-")[0] == source]
+        if len(hits) > 1:
+            raise ValueError(f"multiple current indexes for {source}: {hits}")
+        return hits[0] if hits else None
+
+    # A12 — atomic promote: add new, drop previous same-prefix, ONE commit
+    def promote(self, name: str, alias: str = DEFAULT_ALIAS) -> None:
+        aliases = self._read_aliases()
+        source = name.split("-")[0]
+        members = [
+            m for m in aliases.get(alias, []) if m.split("-")[0] != source
+        ]
+        members.append(name)
+        aliases[alias] = sorted(members)
+        _atomic_write_json(self._aliases_path, aliases)
+
+    # A13
+    def delete(self, name: str) -> None:
+        aliases = self._read_aliases()
+        changed = False
+        for a, ms in aliases.items():
+            if name in ms:
+                ms.remove(name)
+                changed = True
+        if changed:
+            _atomic_write_json(self._aliases_path, aliases)
+        base = os.path.join(self.root, name)
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+
+    # A14 — reindex = server-side copy; here a segment-preserving copy
+    def reindex(self, src: str, dst: str) -> int:
+        s = self.open(src)
+        d = self.create(dst)
+        shutil.copytree(s.paths.base, d.paths.base, dirs_exist_ok=True)
+        return d.stats()["n_docs"]
+
+    # A15 — listings
+    def indexes(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.root)):
+            base = os.path.join(self.root, name)
+            if not os.path.isdir(base):
+                continue
+            idx = self.open(name)
+            st = idx.stats()
+            size = 0
+            for dirpath, _, files in os.walk(base):
+                size += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+            out.append(
+                {
+                    "index": name,
+                    "docs": st["n_docs"],
+                    "segments": st["segments"],
+                    "size_bytes": size,
+                }
+            )
+        return out
+
+    def aliases(self) -> dict[str, list[str]]:
+        return self._read_aliases()
+
+    # A16
+    def ping(self) -> dict:
+        return {"engine": "mario_spark", "spark": self.spark.version}
+
+    def resolve(self, name_or_alias: str) -> Index:
+        """Open by index name or alias (search goes through the alias)."""
+        aliases = self._read_aliases()
+        if name_or_alias in aliases:
+            members = aliases[name_or_alias]
+            if len(members) != 1:
+                raise ValueError(
+                    f"alias {name_or_alias} has {len(members)} members"
+                )
+            return self.open(members[0])
+        return self.open(name_or_alias)

@@ -1,0 +1,141 @@
+"""Segment merge / compaction (B8).
+
+Mario gets segment merging for free from Lucene's background merges
+(segments appear because every ES bulk append creates them —
+/root/reference/pkg/client/elastic.go:102-108); this module re-expresses
+it Spark-first.
+
+Two regimes:
+- **Logical merge is free.** Segments are doc-disjoint and aligned to
+  the shared dbucket grid (index.py pins range_width per index), so the
+  query path already reads the union of segments with no rewrite —
+  exactly like Lucene searching multiple segments.
+- **Compaction (this module)** physically rewrites K segments into one:
+  decode blocks back to tf rows (vectorized mapInPandas), then the same
+  salted repartitionByRange(term, dbucket) + sort + re-encode as a
+  fresh build (postings.encode_tf_rows). This is a distributed
+  sort-merge on (term, doc_id); head-term skew is handled the same way
+  as at build time — the dbucket grid splits any term's postings across
+  partitions, so no task ever holds a full stop-word posting list.
+  Useful when many small ingests leave under-filled blocks (a block
+  spanning two source segments gets re-packed to 128 docs).
+
+Commit protocol: the merged segment is written under a NEW segment id,
+its _seg.json rename is the commit, and only then are the source
+segment directories removed — a crash at any point leaves a readable
+index (either the old segments or old+new never overlap doc ranges
+because the new segment's marker carries the union range and loaders
+read only committed markers; source markers are deleted first).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mario_spark import codec
+from mario_spark.index import Index, _atomic_write_json, _read_json
+from mario_spark.postings import encode_tf_rows
+
+TF_ROWS_SCHEMA = "term string, doc_id long, tf long, len long"
+
+
+def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Posting blocks -> raw tf rows, vectorized per Arrow batch."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        terms, ids, tfs, lens = [], [], [], []
+        counts = pdf["n"].to_numpy(np.int64)
+        for r in pdf.itertuples(index=False):
+            ids.append(codec.decode_doc_ids(r.doc_ids))
+            tfs.append(codec.vbyte_decode(r.tfs))
+            lens.append(codec.vbyte_decode(r.lens))
+        yield pd.DataFrame(
+            {
+                "term": np.repeat(pdf["term"].to_numpy(), counts),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs).astype(np.int64),
+                "len": np.concatenate(lens).astype(np.int64),
+            }
+        )
+
+
+def decode_to_tf_rows(postings: DataFrame) -> DataFrame:
+    return postings.mapInPandas(_decode_partition, TF_ROWS_SCHEMA)
+
+
+def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:
+    """Rewrite the given (default: all) committed segments into one new
+    segment. Returns the new segment id. Query results are unchanged
+    (tests assert rank identity before/after)."""
+    p = index.paths
+    committed = p.committed_segments()
+    seg_ids = sorted(seg_ids if seg_ids is not None else committed)
+    if not seg_ids or any(s not in committed for s in seg_ids):
+        raise ValueError(f"segments not committed: {seg_ids}")
+    meta = _read_json(p.meta)
+    rw = meta["range_width"]
+    new_id = max(committed) + 1
+
+    sp = index.spark
+    post = sp.read.parquet(*[os.path.join(p.seg(s), "postings") for s in seg_ids])
+    docs = sp.read.parquet(*[os.path.join(p.seg(s), "docs") for s in seg_ids])
+    dic = (
+        sp.read.parquet(*[os.path.join(p.seg(s), "dictionary") for s in seg_ids])
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+
+    tf_rows = decode_to_tf_rows(post)
+    merged = encode_tf_rows(tf_rows, rw)
+
+    seg_dir = p.seg(new_id)
+    os.makedirs(seg_dir, exist_ok=True)
+    merged.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+    dic.write.mode("overwrite").parquet(os.path.join(seg_dir, "dictionary"))
+    docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+
+    # consolidated manifest + stats for the new segment
+    mans = [_read_json(p.seg_meta(s)) for s in seg_ids]
+    os.makedirs(os.path.join(p.base, "manifest"), exist_ok=True)
+    (
+        sp.read.parquet(*[p.manifest(s) for s in seg_ids if os.path.exists(p.manifest(s))])
+        .groupBy("dbucket")
+        .agg(
+            F.sum("postings").alias("postings"),
+            F.sum("blocks").alias("blocks"),
+            F.sum("payload_bytes").alias("payload_bytes"),
+        )
+        .withColumn("segment", F.lit(new_id))
+        .withColumn("doc_lo", F.lit(min(m["doc_lo"] for m in mans)).cast("long"))
+        .withColumn("doc_hi", F.lit(max(m["doc_hi"] for m in mans)).cast("long"))
+        .write.mode("overwrite")
+        .parquet(p.manifest(new_id))
+    )
+    # commit point
+    _atomic_write_json(
+        p.seg_meta(new_id),
+        {
+            "status": "committed",
+            "n_docs": sum(m["n_docs"] for m in mans),
+            "sum_len": sum(m["sum_len"] for m in mans),
+            "doc_lo": min(m["doc_lo"] for m in mans),
+            "doc_hi": max(m["doc_hi"] for m in mans),
+            "merged_from": seg_ids,
+        },
+    )
+    # retire sources: markers first (loaders stop seeing them), then data
+    for s in seg_ids:
+        os.remove(p.seg_meta(s))
+    for s in seg_ids:
+        shutil.rmtree(p.seg(s), ignore_errors=True)
+        if os.path.exists(p.manifest(s)):
+            shutil.rmtree(p.manifest(s), ignore_errors=True)
+    return new_id

@@ -198,15 +198,26 @@ def build_postings(
     rw = range_width or pick_range_width(
         n_docs, spark.sparkContext.defaultParallelism
     )
-    parts = num_partitions or spark.sparkContext.defaultParallelism
     tf = term_frequencies(doc_table)
     dictionary = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    tf2 = tf.withColumn("dbucket", (F.col("doc_id") / rw).cast("int"))
+    return encode_tf_rows(tf, rw, num_partitions), dictionary, rw
+
+
+def encode_tf_rows(
+    tf: DataFrame, range_width: int, num_partitions: int | None = None
+) -> DataFrame:
+    """tf(doc_id, term, tf, len) -> encoded posting blocks.
+
+    The shared tail of both the fresh build and the segment-merge
+    re-encode path: salted repartitionByRange on (term, dbucket) +
+    in-partition sort + vectorized encode.
+    """
+    parts = num_partitions or tf.sparkSession.sparkContext.defaultParallelism
+    tf2 = tf.withColumn("dbucket", (F.col("doc_id") / range_width).cast("int"))
     sorted_tf = tf2.repartitionByRange(parts, "term", "dbucket").sortWithinPartitions(
         "term", "dbucket", "doc_id"
     )
-    enc = sorted_tf.mapInPandas(_encode_partition(), POSTINGS_SCHEMA)
-    return enc, dictionary, rw
+    return sorted_tf.mapInPandas(_encode_partition(), POSTINGS_SCHEMA)
 
 
 def block_upper_bound(

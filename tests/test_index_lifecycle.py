@@ -1,0 +1,206 @@
+"""Index lifecycle: segmented build, resume-after-crash, merge/compact,
+catalog ops (A10-A16), Record JSON source (A3), CLI surface (A18)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from mario_spark import query
+from mario_spark.docs import build_doc_table
+from mario_spark.fixtures import (
+    documents_as_pages,
+    make_pages_query_set,
+    pages_df,
+    query_terms_df,
+)
+from mario_spark.index import Catalog
+from mario_spark.merge import compact_segments
+
+SF_DIR = "/root/testdata/sf0.001"
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "timdex_sample.json")
+
+
+def _canon(df):
+    return df.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "catalog")
+
+
+def test_ingest_query_matches_exhaustive(spark, root):
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 900, seed=3, partitions=4)
+    idx = cat.create("pages-2026-01-01t00-00-00z")
+    st = idx.ingest(pages, segment_docs=256)
+    assert st["n_docs"] == 900
+    assert st["segments"] == 4  # 900 docs / 256-aligned segments
+
+    q = query_terms_df(spark, make_pages_query_set(seed=3, n=12))
+    d = build_doc_table(pages).persist()
+    want = _canon(query.search_exhaustive(d, q, k=10))
+    got = _canon(idx.search(q, k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d.unpersist()
+
+    # manifest: per-(segment, dbucket) metrics exist and sum to postings
+    man = idx.manifest().toPandas()
+    assert man["postings"].sum() == idx.postings().toPandas()["n"].sum()
+    assert set(man["segment"].unique()) == {0, 1, 2, 3}
+
+
+def test_resume_after_crash_is_identical(spark, root):
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 700, seed=5, partitions=4)
+
+    # full build in one go -> reference answer
+    full = cat.create("full-2026-01-01t00-00-00z")
+    full.ingest(pages, segment_docs=256)
+
+    # crashed build: dies after 1 segment, then resumes
+    part = cat.create("part-2026-01-01t00-00-00z")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        part.ingest(pages, segment_docs=256, fail_after_segment=1)
+    assert len(part.paths.committed_segments()) == 1
+    st = part.ingest(pages, segment_docs=256)  # resume
+    assert st["n_docs"] == 700 and st["segments"] == 3
+
+    a = full.postings().toPandas().sort_values(
+        ["term", "dbucket", "block_id"], ignore_index=True
+    )
+    b = part.postings().toPandas().sort_values(
+        ["term", "dbucket", "block_id"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    q = query_terms_df(spark, make_pages_query_set(seed=5, n=8))
+    pd.testing.assert_frame_equal(
+        _canon(full.search(q)), _canon(part.search(q)), check_exact=False, atol=1e-9
+    )
+
+
+def test_merge_preserves_results(spark, root):
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 600, seed=9, partitions=4)
+    idx = cat.create("m-2026-01-01t00-00-00z")
+    idx.ingest(pages, segment_docs=256)
+    assert idx.stats()["segments"] == 3
+
+    q = query_terms_df(spark, make_pages_query_set(seed=9, n=10))
+    before = _canon(idx.search(q))
+    new_seg = compact_segments(idx)
+    st = idx.stats()
+    assert st["segments"] == 1 and st["n_docs"] == 600
+    after = _canon(idx.search(q))
+    pd.testing.assert_frame_equal(after, before, check_exact=False, atol=1e-9)
+    # compaction repacks blocks: merged index has no more blocks than before
+    assert idx.paths.committed_segments() == [new_seg]
+
+
+def test_catalog_ops(spark, root):
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 300, seed=1, partitions=2)
+    name1 = "src1-2026-01-01t00-00-00z"
+    name2 = "src1-2026-02-02t00-00-00z"
+    cat.create(name1).ingest(pages)
+    cat.create(name2).ingest(pages)
+
+    # A12 promote swaps same-prefix index in one commit
+    cat.promote(name1)
+    assert cat.current("src1") == name1
+    cat.promote(name2)
+    assert cat.current("src1") == name2
+    assert name1 not in cat.aliases()[Catalog.DEFAULT_ALIAS]
+
+    # resolve via alias
+    assert cat.resolve(Catalog.DEFAULT_ALIAS).paths.name == name2
+
+    # A14 reindex copies docs
+    n = cat.reindex(name2, "copy-2026-01-01t00-00-00z")
+    assert n == 300
+
+    # A15 listings
+    listing = {i["index"]: i for i in cat.indexes()}
+    assert listing[name2]["docs"] == 300
+    assert listing[name2]["size_bytes"] > 0
+
+    # A16 ping
+    assert cat.ping()["spark"] == spark.version
+
+    # A13 delete drops dir + alias membership
+    cat.delete(name2)
+    assert cat.current("src1") is None
+    assert not os.path.isdir(os.path.join(root, name2))
+
+
+def test_record_schema_and_source(spark):
+    from mario_spark.record import read_records, records_as_pages, parse_date_expr
+    import pyspark.sql.functions as F
+
+    recs = read_records(spark, FIXTURE)
+    rows = recs.collect()
+    assert len(rows) == 6  # jsonrecord_test.go:25 asserts 6 on its fixture
+    by_id = {r["timdex_record_id"]: r for r in rows}
+    # unknown key silently dropped (Go decoder semantics)
+    assert by_id["alma:990003"]["publication_information"] is None
+    # nested contributor with non-ASCII value survives
+    assert by_id["alma:990001"]["contributors"][0]["value"] == "Pérez, Alejandra"
+    assert by_id["alma:990001"]["contributors"][0]["mit_affiliated"] is True
+    # geo point
+    assert by_id["alma:990003"]["locations"][0]["geopoint"][0] == pytest.approx(8.5417)
+    # date range bounds
+    r = by_id["aspace:repo2-441"]["dates"][0]["range"]
+    assert r["gte"] == "1964" and r["lt"] == "1989"
+
+    pages = records_as_pages(recs)
+    p = {r["url"]: r for r in pages.collect()}
+    # searchable text includes title + nested subject values,
+    # excludes index:false fields (physical_description, source_link)
+    t1 = p["alma:990001"]["text"]
+    assert "Query optimization" in t1 and "columnar storage" in t1
+    assert "340 pages" not in t1 and "example.edu" not in t1
+    assert p["alma:990001"]["lang"] == "eng"
+
+    # B11 date cascade: year / year-month / full date / basic_date
+    d = recs.select(
+        "timdex_record_id",
+        parse_date_expr(F.element_at("dates", 1)["value"]).alias("ts"),
+    )
+    got = {r["timdex_record_id"]: r["ts"] for r in d.collect()}
+    assert got["alma:990001"].year == 2019
+    assert (got["alma:990002"].year, got["alma:990002"].month) == (2003, 7)
+    assert got["dspace:7721"].day == 14
+    assert (got["alma:990004"].year, got["alma:990004"].month, got["alma:990004"].day) == (1999, 12, 31)
+
+
+def test_cli_roundtrip(spark, root, capsys):
+    from mario_spark import cli
+
+    # silent consumer = count only (consumers.go:85-94)
+    cli.main(["--root", root, "ingest", "-s", "alma", "-c", "silent", FIXTURE])
+    assert capsys.readouterr().out.strip() == "6"
+
+    # title consumer prints titles (consumers.go:68-77)
+    cli.main(["--root", root, "ingest", "-s", "alma", "-c", "title", FIXTURE])
+    out = capsys.readouterr().out
+    assert "Distributed query processing over columnar storage" in out
+
+    # full ingest -> index + auto-promote, then query through the alias
+    cli.main(["--root", root, "ingest", "-s", "alma", "--new", "--auto", FIXTURE])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_docs"] == 6
+
+    cli.main(["--root", root, "aliases"])
+    aliases = json.loads(capsys.readouterr().out)
+    assert len(aliases[cli.DEFAULT_ROOT and "timdex-prod"]) == 1
+
+    cli.main(["--root", root, "query", "-i", "timdex-prod", "indexing"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any("art of indexing" not in ln for ln in lines)  # urls are record ids
+    top = json.loads(lines[0])
+    assert top["rank"] == 1 and top["url"].startswith("alma:")
