@@ -1,0 +1,173 @@
+"""Embedding similarity search over an array<float> column.
+
+Two regimes, per the training-data-pipeline requirement:
+- `brute_topk`: exact cosine top-k — the correctness baseline. The
+  Spark path is a broadcast of the (small) query matrix + a vectorized
+  numpy matmul inside mapInPandas per partition, then a per-query
+  global top-k. This is the right 100TB shape: the corpus never
+  shuffles, each partition emits <= k rows per query, and the matmul is
+  BLAS-speed; the final TakeOrdered touches only
+  n_partitions * k * n_queries rows.
+- `lsh_nearest_pairs`: random-hyperplane LSH bucketing (sign-bit
+  signature from fixed ±1 hyperplanes), exact cosine within buckets —
+  the scale path for all-pairs similarity: the quadratic join is
+  confined to buckets. Hyperplanes are pinned literals so the DuckDB
+  oracle reproduces the bucketing exactly.
+
+All cosines are computed in float64 (DuckDB's list_cosine_similarity is
+float32 and disagrees at ~1e-7 — the oracles spell out the float64 sum
+instead) and rounded to 4dp for cross-engine value identity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_HYPERPLANES = 4
+_HP_SEED = 1234
+
+
+def hyperplanes(dim: int = 64, n: int = N_HYPERPLANES, seed: int = _HP_SEED) -> np.ndarray:
+    """Fixed ±1 hyperplanes, pure function of (seed, n, dim)."""
+    rng = np.random.Generator(np.random.Philox(key=seed, counter=[0, 0, 0, 0]))
+    return rng.choice(np.array([-1.0, 1.0]), size=(n, dim))
+
+
+def cosine_expr(a: str, b: str):
+    """Float64 cosine as a Column (zip_with + aggregate, JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+def brute_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """-> (query_id, rank, vec_id, cos) exact cosine top-k per query.
+
+    Self-matches are excluded. Scores rounded 4dp; rank ties break on
+    vec_id asc (same determinism contract as BM25 top-k).
+    """
+    spark = embeddings.sparkSession
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cos = Qn @ Vn.T  # (q, n)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(qids)):
+                c = cos[qi]
+                mask = ids != qids[qi]
+                cm, im = c[mask], ids[mask]
+                # local top-k: score desc, vec_id asc
+                order = np.lexsort((im, -cm))[:k]
+                out_q.append(np.full(order.size, qids[qi], dtype=np.int64))
+                out_v.append(im[order])
+                out_c.append(cm[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    local = embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "query_id long, vec_id long, cos double"
+    )
+    s = local.withColumn("cos", F.round("cos", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def bucket_signature_expr(hp: np.ndarray):
+    """LSH bucket id: sum of sign bits vs the pinned hyperplanes.
+
+    Built as a JVM expression (aggregate over the embedding array) —
+    identical arithmetic to the SQL oracle.
+    """
+    sig = F.lit(0)
+    for i, row in enumerate(hp):
+        dot = F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(float(v)) for v in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_nearest_pairs(
+    embeddings: DataFrame, top_pairs: int = 20, dim: int = 64
+) -> DataFrame:
+    """-> top `top_pairs` same-bucket pairs by cosine desc.
+
+    (bucket, vec_a, vec_b, cos): the LSH-confined all-pairs similarity.
+    Deterministic: cosine rounded 4dp, ties break (vec_a, vec_b) asc.
+    """
+    hp = hyperplanes(dim)
+    e = embeddings.select(
+        "vec_id", "embedding", bucket_signature_expr(hp).alias("bucket")
+    )
+    a = e.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, F.col("bucket") == F.col("bucket_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine_expr("ea", "eb"), 4))
+        .select("bucket", "vec_a", "vec_b", "cos")
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_pairs)
+        .select("rank", "bucket", "vec_a", "vec_b", "cos")
+    )

@@ -1,0 +1,118 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, document fingerprinting (winnowing).
+
+All three are deliberately pure Catalyst expressions (whole-stage
+codegen, zero Python in the hot path) and have exact DuckDB oracles.
+Token counting (the fourth op of this family) lives in
+suite.token_count_bpe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# n-gram-heuristic language ID: tiny per-language stopword lists.
+# Sorted langs give the deterministic tie-break (first max wins).
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est"],
+}
+
+_TOKENS = r"regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+', 0)"
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """-> (doc_id, pred_lang, hits): argmax stopword-hit count.
+
+    Ties break to the alphabetically-first language; hits counts token
+    OCCURRENCES (not distinct), matching the oracle's list_filter.
+    """
+    counts = []
+    for lang in sorted(STOPWORDS):
+        arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        counts.append(
+            f"size(filter({_TOKENS}, t -> array_contains(array({arr}), t)))"
+            f" as c_{lang}"
+        )
+    d = documents.selectExpr("doc_id", *counts)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):  # first max wins -> evaluate in order
+        pred = F.when(F.col(f"c_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return d.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("hits")
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """-> (doc_id, n_tokens, punct_ratio, stop_ratio, mean_wlen, quality).
+
+    Composite heuristic used to filter training text: length band +
+    punctuation density + stopword density + mean word length. All
+    ratios rounded 4dp; quality rounded 4dp.
+    """
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    d = documents.selectExpr(
+        "doc_id",
+        f"size({_TOKENS}) as n_tokens",
+        f"size(filter({_TOKENS}, t -> array_contains(array({en}), t))) as n_stop",
+        "length(text) as n_chars",
+        r"length(regexp_replace(text, '[\\p{L}\\p{N}\\s]+', '')) as n_punct",
+        f"aggregate({_TOKENS}, 0L, (a, t) -> a + length(t)) as sum_wlen",
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    punct = F.round(F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1)), 4)
+    stop = F.round(F.col("n_stop") / nt, 4)
+    wlen = F.round(F.col("sum_wlen") / nt, 4)
+    # quality in [0,1]: reward 50..1024 tokens, some stopwords, low punct
+    len_ok = (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 1024)
+    q = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        stop.alias("stop_ratio"),
+        wlen.alias("mean_wlen"),
+        F.round(q, 4).alias("quality"),
+    )
+
+
+WINNOW_K = 8  # char-gram size
+WINNOW_W = 4  # window of consecutive gram hashes
+
+
+def winnow_fingerprints(documents: DataFrame) -> DataFrame:
+    """Winnowing (rolling-hash document fingerprinting):
+    -> (doc_id, n_fp, fp_min) where fingerprints are the distinct
+    per-window minima of md5 over char 8-grams (window=4).
+
+    The sliding-window min is a bounded rank window per doc — parallel
+    across docs, never global.
+    """
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(0))
+            )
+        ).alias("p"),
+        "text",
+    ).select("doc_id", "p", F.expr(f"md5(substr(text, p, {WINNOW_K}))").alias("g"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    mins = grams.withColumn("wm", F.min("g").over(w))
+    return mins.groupBy("doc_id").agg(
+        F.countDistinct("wm").cast("long").alias("n_fp"),
+        F.min("wm").alias("fp_min"),
+    )

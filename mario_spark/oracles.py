@@ -162,6 +162,246 @@ SELECT o_orderkey,
 FROM s
 """
 
+# ---------------------------------------------------- training-pipeline ops
+# distinct (doc_id, term) pairs — same tokenizer as _TOKS_CTE
+_DTERMS_CTE = f"""
+dterms AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}')) AS term
+  FROM documents
+)"""
+
+_MH_COLS = ", ".join(
+    f"min(md5(term || '#{i}')) AS mh{i}" for i in range(8)
+)
+
+MINHASH_SIGNATURES = f"""
+WITH {_DTERMS_CTE}
+SELECT doc_id, {_MH_COLS} FROM dterms GROUP BY doc_id
+"""
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_key FROM sig"
+    for b in range(4)
+)
+
+MINHASH_LSH_PAIRS = f"""
+WITH {_DTERMS_CTE},
+sig AS (SELECT doc_id, {_MH_COLS} FROM dterms GROUP BY doc_id),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r USING (band_key)
+  WHERE l.doc_id < r.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM dterms GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN dterms ta ON ta.doc_id = c.doc_a
+  JOIN dterms tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+"""
+
+
+def _simhash_oracle() -> str:
+    from mario_spark.ops.dedup import simhash_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT doc_id, {simhash_sql("term", "tf", dialect="duckdb")} AS simhash
+FROM tf GROUP BY doc_id
+"""
+
+
+def _simhash_pairs_oracle() -> str:
+    from mario_spark.ops.dedup import hamming_sql
+
+    ham = hamming_sql("a.simhash", "b.simhash", dialect="duckdb")
+    return f"""
+WITH sh AS ({_simhash_oracle()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({ham})::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE ({ham}) <= 6
+"""
+
+
+NGRAM_JACCARD_PAIRS = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, p, 5) AS term
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(len(text) - 4, 0))) AS p
+    FROM documents
+  )
+),
+mins AS (SELECT doc_id, min(md5(term)) AS mg FROM grams GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mins a JOIN mins b ON a.mg = b.mg AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN grams ta ON ta.doc_id = c.doc_a
+  JOIN grams tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.8
+"""
+
+# float64 cosine spelled out (list_cosine_similarity is float32)
+_COS64 = (
+    "(list_sum(list_transform(generate_series(1, 64), "
+    "i -> ({A}[i]::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, 64), j -> {A}[j]::DOUBLE * {A}[j]::DOUBLE))))"
+    " * ({B}[i]::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, 64), j -> {B}[j]::DOUBLE * {B}[j]::DOUBLE)))))))"
+)
+
+ANN_BRUTE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+sc AS (
+  SELECT q.query_id, e.vec_id,
+         round({_COS64.format(A="q.qe", B="e.embedding")}, 4) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= 10
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    from mario_spark.ops.ann import hyperplanes
+
+    hp = hyperplanes()
+    sig_terms = []
+    for i, row in enumerate(hp):
+        lits = ", ".join(str(float(v)) for v in row)
+        dot = (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"i -> embedding[i]::DOUBLE * ([{lits}])[i]))"
+        )
+        sig_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    sig = " + ".join(sig_terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_COS64.format(A="a.embedding", B="b.embedding")}, 4) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY cos DESC, vec_a ASC, vec_b ASC) AS rank
+  FROM pairs
+)
+SELECT rank, bucket, vec_a, vec_b, cos FROM rk WHERE rank <= 20
+"""
+
+
+def _lang_id_oracle() -> str:
+    from mario_spark.ops.textstats import STOPWORDS
+
+    toks = r"regexp_extract_all(lower(text), '[\p{L}\p{N}]+')"
+    cols, langs = [], sorted(STOPWORDS)
+    for lg in langs:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        cols.append(
+            f"len(list_filter({toks}, t -> list_contains([{lst}], t))) AS c_{lg}"
+        )
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH c AS (SELECT doc_id, {", ".join(cols)} FROM documents)
+SELECT doc_id, {pred} AS pred_lang, {best}::BIGINT AS hits FROM c
+"""
+
+
+def _quality_oracle() -> str:
+    from mario_spark.ops.textstats import STOPWORDS
+
+    toks = r"regexp_extract_all(lower(text), '[\p{L}\p{N}]+')"
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         len(list_filter({toks}, t -> list_contains([{en}], t))) AS n_stop,
+         len(text) AS n_chars,
+         len(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]+', '', 'g')) AS n_punct,
+         list_sum(list_transform({toks}, t -> len(t))) AS sum_wlen
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens::BIGINT AS n_tokens,
+       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio,
+       round(coalesce(sum_wlen, 0) / greatest(n_tokens, 1), 4) AS mean_wlen,
+       round(
+         (CASE WHEN n_tokens BETWEEN 50 AND 1024 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN round(n_stop / greatest(n_tokens, 1), 4) >= 0.01 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN round(n_punct / greatest(n_chars, 1), 4) <= 0.1 THEN 0.3 ELSE 0.0 END),
+       4) AS quality
+FROM d
+"""
+
+
+WINNOW_FINGERPRINTS = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(len(text) - 7, 0))) AS p
+  FROM documents
+),
+h AS (SELECT doc_id, p, md5(substr(text, p, 8)) AS g FROM pos),
+w AS (
+  SELECT doc_id,
+         min(g) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+  FROM h
+)
+SELECT doc_id, count(DISTINCT wm)::BIGINT AS n_fp, min(wm) AS fp_min
+FROM w GROUP BY doc_id
+"""
+
+MULTIMODAL_DECODE = r"""
+WITH b AS (
+  SELECT doc_id,
+         (64 + n_chars % 577)::INT AS width,
+         (64 + doc_id % 419)::INT AS height,
+         regexp_replace(substr(text, 1, 32), '[^\x20-\x7e]', '?', 'g') AS body
+  FROM documents
+)
+SELECT doc_id, width, height,
+       round(list_sum(list_transform(generate_series(1, len(body)),
+                                     i -> ascii(substr(body, i, 1))))::DOUBLE
+             / len(body), 4) AS mean_luma,
+       (12 + len(body))::BIGINT AS n_bytes
+FROM b
+"""
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -176,4 +416,16 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_PRICING_SUMMARY,
     "q3_top_orders": Q3_TOP_ORDERS,
     "date_parse_cascade": DATE_PARSE_CASCADE,
+    "bm25_topk_wand": bm25_topk_sql(),
+    "minhash_signatures": MINHASH_SIGNATURES,
+    "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
+    "simhash64": _simhash_oracle(),
+    "simhash_pairs": _simhash_pairs_oracle(),
+    "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS,
+    "ann_brute_topk": ANN_BRUTE_TOPK,
+    "ann_lsh_pairs": _ann_lsh_oracle(),
+    "lang_id": _lang_id_oracle(),
+    "quality_score": _quality_oracle(),
+    "winnow_fingerprints": WINNOW_FINGERPRINTS,
+    "multimodal_decode": MULTIMODAL_DECODE,
 }

@@ -57,6 +57,21 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.search_exhaustive(d, q, k=10)
 
 
+def bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as bm25_topk, served by the production path:
+    compressed postings + block-max WAND (rank-identical by design;
+    the driver verifies it against the same SQL oracle)."""
+    from mario_spark import docs as docsmod
+    from mario_spark.postings import build_postings
+    from mario_spark.wand import search_wand
+
+    d = _doc_table(spark, sf_dir).persist()
+    st = docsmod.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st["n_docs"])
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return search_wand(post, dic, q, st["n_docs"], st["avgdl"], k=10)
+
+
 def keyword_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 keyword_no_trailing_punctuation analyzer (reference:
     /root/reference/config/es_record_mappings.json:5-22), applied to a
@@ -194,6 +209,79 @@ def date_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- training-pipeline ops
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import dedup
+
+    return dedup.minhash_signatures(_documents(spark, sf_dir))
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import dedup
+
+    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir))
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import dedup
+
+    return dedup.simhash64(_documents(spark, sf_dir))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import dedup
+
+    return dedup.simhash_pairs(_documents(spark, sf_dir))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import dedup
+
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir))
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.brute_topk(e, ANN_QUERY_IDS, k=10)
+
+
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_nearest_pairs(e, top_pairs=20)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import textstats
+
+    return textstats.lang_id(_documents(spark, sf_dir))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import textstats
+
+    return textstats.quality_score(_documents(spark, sf_dir))
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import textstats
+
+    return textstats.winnow_fingerprints(_documents(spark, sf_dir))
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark.ops import multimodal
+
+    payloads = multimodal.synth_payload(_documents(spark, sf_dir))
+    return multimodal.decode_features(payloads)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -208,4 +296,16 @@ SUITE = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "date_parse_cascade": date_parse_cascade,
+    "bm25_topk_wand": bm25_topk_wand,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash64": simhash64,
+    "simhash_pairs": simhash_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ann_brute_topk": ann_brute_topk,
+    "ann_lsh_pairs": ann_lsh_pairs,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "winnow_fingerprints": winnow_fingerprints,
+    "multimodal_decode": multimodal_decode,
 }

@@ -1,0 +1,84 @@
+"""Training-pipeline ops: planted-duplicate recovery on the synthetic
+pages corpus, LSH recall vs brute force, multimodal stub gating."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mario_spark.fixtures import pages_df
+from mario_spark.ops import ann, dedup, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark):
+    # doc i%100==7 (i>=100) is an EXACT dup of i-100; i%100==13 a NEAR dup
+    from pyspark.sql import functions as F
+
+    p = pages_df(spark, 500, seed=11, partitions=4)
+    return p.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    ).persist()
+
+
+def test_minhash_finds_planted_exact_dups(spark, docs_pdf):
+    pairs = dedup.minhash_lsh_pairs(docs_pdf, threshold=0.9).toPandas()
+    planted = {(i - 100, i) for i in range(100, 500) if i % 100 == 7}
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # every exact dup pair must be recovered with jaccard 1.0
+    assert planted <= found
+    j = pairs.set_index(["doc_a", "doc_b"])["jaccard"]
+    for p in planted:
+        assert j[p] == 1.0
+
+
+def test_simhash_exact_dups_have_zero_hamming(spark, docs_pdf):
+    pairs = dedup.simhash_pairs(docs_pdf, max_hamming=0).toPandas()
+    planted = {(i - 100, i) for i in range(100, 500) if i % 100 == 7}
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert planted <= found
+
+
+def test_ngram_jaccard_finds_exact_dups(spark, docs_pdf):
+    pairs = dedup.ngram_jaccard_pairs(docs_pdf, threshold=0.99).toPandas()
+    planted = {(i - 100, i) for i in range(100, 500) if i % 100 == 7}
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert planted <= found
+
+
+def test_ann_brute_matches_numpy(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ann.brute_topk(e, [0, 7], k=5).toPandas()
+    pdf = e.toPandas().sort_values("vec_id")
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for qid in (0, 7):
+        c = Vn[ids == qid] @ Vn.T
+        c = c.ravel()
+        mask = ids != qid
+        cm, im = np.round(c[mask], 4), ids[mask]
+        order = np.lexsort((im, -cm))[:5]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert sub["vec_id"].tolist() == im[order].tolist()
+        np.testing.assert_allclose(sub["cos"].to_numpy(), cm[order], atol=1e-9)
+
+
+def test_multimodal_stub_gating(spark):
+    assert multimodal._decode_image(b"IMG000800100abcdef")[0] == 80
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal._decode_image(b"IMG000800100abcdef", fake=False)
+    # malformed payloads degrade to zeros, never crash the batch
+    assert multimodal._decode_image(b"short") == (0, 0, 0.0)
+
+
+def test_multimodal_plumbing_roundtrip(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = multimodal.decode_features(multimodal.synth_payload(d)).toPandas()
+    src = d.select("doc_id", "n_chars").toPandas()
+    m = out.merge(src, on="doc_id")
+    assert (m["width"] == 64 + m["n_chars"] % 577).all()
+    assert (m["height"] == 64 + m["doc_id"] % 419).all()
+    assert (m["n_bytes"] > 12).all()
