@@ -61,6 +61,19 @@ def main() -> None:
     pages = pages_df(spark, n_docs, seed=42).persist()
     pages.count()  # materialize generation outside the timed section
 
+    # warm-up: a miniature build+query spins up the Python worker pool
+    # and compiles codegen/JIT once, so the timed sections measure the
+    # engine, not session cold-start (cost amortized to ~0 in any real
+    # long-running job)
+    wd = docs.build_doc_table(pages_df(spark, 2000, seed=1)).persist()
+    wst = docs.corpus_stats(wd).collect()[0]
+    wpost, wdic, _ = build_postings(wd, wst["n_docs"])
+    search_wand(
+        wpost, wdic, query_terms_df(spark, make_pages_query_set(seed=1, n=5)),
+        wst["n_docs"], wst["avgdl"], k=10,
+    ).count()
+    wd.unpersist()
+
     built = {}
 
     def _build() -> None:

@@ -7,10 +7,12 @@ query-side operator (tokenization, inverted index, BM25, top-k) is
 delegated to OpenSearch/Lucene via config/es_record_mappings.json. This
 package implements BOTH halves natively on Spark:
 
-- Half A (ETL): sources/sinks/pipeline  -> mario_spark.etl, mario_spark.catalog
+- Half A (ETL): record schema + JSON source (mario_spark.record), index
+  lifecycle/catalog/CLI (mario_spark.index, mario_spark.cli)
 - Half B (search engine): analyzers, inverted index build with delta+VByte
   compressed postings and block-max metadata, segment merge, BM25
-  block-max-WAND top-k -> mario_spark.analyze/.docs/.postings/.query/.wand
+  block-max-WAND top-k -> mario_spark.analyze/.docs/.postings/.query/
+  .wand/.merge
 
 Plus large-scale training-data pipeline operators (dedup, similarity
 search, text stats, multimodal plumbing) under mario_spark.ops.

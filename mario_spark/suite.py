@@ -187,6 +187,34 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation over the events stream
+    table (1-hour windows per event_type): the batch expression of the
+    engine's streaming-shaped workload. The same F.window + agg plan is
+    what readStream would execute incrementally with a watermark —
+    mario itself is finite-batch (SURVEY §2.3 Streaming), so batch
+    semantics are the contract here."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
 def date_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 multi-format date parse cascade (reference mapping
     es_record_mappings.json:121-127: strict_year||strict_year_month||date):
@@ -275,6 +303,37 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.winnow_fingerprints(_documents(spark, sf_dir))
 
 
+def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 geo_point distance query. documents has no geo column, so a
+    deterministic (lon, lat) is synthesized per doc_id (same arithmetic
+    in the oracle); filter = within 5000 km of (0, 0)."""
+    from mario_spark.ops import geo
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            (F.col("doc_id") % 360 - 180 + 0.5).cast("float"),
+            ((F.col("doc_id") * 7) % 170 - 85 + 0.5).cast("float"),
+        ).alias("geopoint"),
+    )
+    return geo.geo_distance_filter(d, "geopoint", 0.0, 0.0, 5000.0).select(
+        "doc_id", "distance_km"
+    )
+
+
+def completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 completion suggester: prefix dimension table over each doc's
+    first token (keyword_no_trailing_punctuation-ish input), then top-5
+    lookup for the typed prefix 'ha'."""
+    from mario_spark.ops import geo
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").getItem(0).alias("v")
+    )
+    table = geo.build_completion_table(d, "v", "doc_id")
+    return geo.suggest(table, "ha", k=5)
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import multimodal
 
@@ -296,6 +355,7 @@ SUITE = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "date_parse_cascade": date_parse_cascade,
+    "events_windowed": events_windowed,
     "bm25_topk_wand": bm25_topk_wand,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -308,4 +368,6 @@ SUITE = {
     "quality_score": quality_score,
     "winnow_fingerprints": winnow_fingerprints,
     "multimodal_decode": multimodal_decode,
+    "geo_distance": geo_distance,
+    "completion_suggest": completion_suggest,
 }

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the optimizations we rely on at 100TB must
+be visible in .explain output, not just hoped for (SURVEY §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_parquet_filter_pushdown(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(d.filter(F.col("lang") == "en").select("doc_id"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan.replace(" ", "")
+    # column pruning: scan must read only what the query needs
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "doc_id" in read_schema
+
+
+def test_postings_term_filter_pushes_to_scan(spark, tmp_path):
+    from mario_spark import docs
+    from mario_spark.fixtures import documents_as_pages
+    from mario_spark.postings import build_postings
+
+    d = docs.build_doc_table(documents_as_pages(spark, SF_DIR))
+    post, dic, _ = build_postings(d, 500, range_width=256)
+    path = str(tmp_path / "postings")
+    post.write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = _plan(stored.filter(F.col("term").isin(["join", "scan"])))
+    flat = plan.replace(" ", "")
+    assert "PushedFilters" in plan and "In(term" in flat
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    from mario_spark.suite import q3_top_orders
+
+    plan = _plan(q3_top_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """The per-term idf table (tiny) must broadcast into the tf join —
+    never a shuffle of the full tf stream against it."""
+    from mario_spark.suite import bm25_topk
+
+    plan = _plan(bm25_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_codegen_covers_jvm_token_count(spark):
+    from mario_spark.suite import token_count_bpe
+
+    plan = _plan(token_count_bpe(spark, SF_DIR))
+    # formatted mode marks codegen stages with a leading '*'
+    assert "* Project" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global top-k must plan as TakeOrderedAndProject, not a full sort."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _plan(li.orderBy(F.desc("l_extendedprice")).limit(5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_id_assignment_never_single_partitions(spark):
+    """The classic row_number-over-global-Window trap collapses to ONE
+    partition; our partition-offset technique must not."""
+    from mario_spark import docs
+    from mario_spark.fixtures import pages_df
+
+    pages = pages_df(spark, 400, seed=2, partitions=4)
+    ids = docs.assign_doc_ids(pages.select("url", "lang", "text"))
+    plan = _plan(ids)
+    # a global Window would show 'Window' with no partition spec and a
+    # preceding Exchange SinglePartition
+    assert "SinglePartition" not in plan
