@@ -126,13 +126,17 @@ def main(argv: list[str] | None = None) -> int:
         pages = _as_pages(raw, args.source)
         if args.new_index:
             name = cat.index_name(args.source)
+            idx = cat.create(name)
+            st = idx.ingest(pages, source=args.file)
         else:
             name = cat.current(args.source)
             if name is None:
                 name = cat.index_name(args.source)
             args.auto = False  # ingester.go:72 — never auto-promote appends
-        idx = cat.create(name)
-        st = idx.ingest(pages, source=args.file)
+            idx = cat.create(name)
+            # append into the current index (mario's default path,
+            # ingester.go:65-73); falls back to a fresh build if empty
+            st = idx.append(pages, source=args.file)
         if args.auto:
             cat.promote(name)
         print(json.dumps({"index": name, **st}))

@@ -243,6 +243,47 @@ class Index:
             },
         )
 
+    def append(self, pages: DataFrame, source: str = "") -> dict:
+        """Incremental ingest into an EXISTING index (mario's default
+        ingest path: without --new it appends to the current index,
+        ingester.go:65-73). New docs get dense ids starting at the next
+        dbucket-grid boundary above the current max doc id, so new
+        segments stay doc-disjoint and grid-aligned with the old ones —
+        which is what makes the append metadata-only for everything
+        already written (stats-free blocks, additive dictionary).
+        """
+        meta = _read_json(self.paths.meta)
+        if meta is None:
+            return self.ingest(pages, source=source)
+        rw = meta["range_width"]
+        committed = self.paths.committed_segments()
+        doc_hi = 0
+        for s in committed:
+            m = _read_json(self.paths.seg_meta(s)) or {}
+            doc_hi = max(doc_hi, m.get("doc_hi", 0))
+        base = int(math.ceil(doc_hi / rw) * rw)
+
+        slim = pages.select(
+            *[c for c in ("doc_id", "url", "lang", "text") if c in pages.columns]
+        )
+        if "doc_id" not in slim.columns:
+            slim = docsmod.assign_doc_ids(
+                slim, num_partitions=meta["id_partitions"]
+            )
+        slim = slim.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(base)).cast("long")
+        ).persist()
+        n_new = slim.count()
+        seg_docs = meta["segment_docs"]
+        next_seg = (max(committed) + 1) if committed else 0
+        n_segments = max(1, int(math.ceil(n_new / seg_docs)))
+        for i in range(n_segments):
+            lo = base + i * seg_docs
+            hi = min(base + (i + 1) * seg_docs, base + n_new)
+            self._build_segment(slim, next_seg + i, lo, hi, rw)
+        slim.unpersist()
+        return self.stats()
+
     # ------------------------------------------------------------- reads
     def _seg_paths(self, sub: str) -> list[str]:
         return [

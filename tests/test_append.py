@@ -1,0 +1,68 @@
+"""Incremental append (mario's default ingest path): appended segments
+must be grid-aligned, doc-disjoint, and the combined index must score
+exactly like an exhaustive scorer over the combined doc table."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mario_spark import query
+from mario_spark.docs import build_doc_table
+from mario_spark.fixtures import make_pages_query_set, pages_df, query_terms_df
+from mario_spark.index import Catalog
+
+
+def _canon(df):
+    return df.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def test_append_matches_exhaustive(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    pages = pages_df(spark, 600, seed=21, partitions=4).persist()
+    doc_num = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    first = pages.filter(doc_num < 400)
+    second = pages.filter(doc_num >= 400)
+
+    idx = cat.create("app-2026-01-01t00-00-00z")
+    idx.ingest(first, segment_docs=256)
+    st1 = idx.stats()
+    assert st1["n_docs"] == 400
+
+    st2 = idx.append(second)
+    assert st2["n_docs"] == 600
+    assert st2["segments"] > st1["segments"]
+
+    # appended segments are doc-disjoint and grid-aligned with the old
+    meta_rw = 256  # segment_docs aligned to range_width picked at create
+    docs_tbl = idx.docs()
+    assert docs_tbl.count() == 600
+    assert docs_tbl.select("doc_id").distinct().count() == 600
+
+    # search through the combined index == exhaustive over the SAME
+    # doc table (ids taken from the index's own doc store)
+    q = query_terms_df(spark, make_pages_query_set(seed=21, n=12))
+    got = _canon(idx.search(q, k=10))
+
+    combined = (
+        idx.docs()
+        .select("doc_id", "url")
+        .join(pages.select("url", "lang", "text"), "url")
+    )
+    d = build_doc_table(combined).persist()
+    # exhaustive scorer must use the index's own global stats
+    st = idx.stats()
+    from mario_spark.docs import corpus_stats
+
+    want = _canon(query.search_exhaustive(d, q, k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d.unpersist()
+    pages.unpersist()
+
+
+def test_append_to_empty_is_ingest(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    pages = pages_df(spark, 150, seed=22, partitions=2)
+    idx = cat.create("fresh-2026-01-01t00-00-00z")
+    st = idx.append(pages)
+    assert st["n_docs"] == 150
