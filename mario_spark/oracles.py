@@ -52,9 +52,11 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len), 6) AS avgdl FROM dl
 """
 
 
-def bm25_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+def bm25_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75, conjunctive: bool = False) -> str:
+    src = "sc JOIN qn USING (query_id) WHERE nt = qn" if conjunctive else "sc"
     return f"""
 WITH q(query_id, term) AS (VALUES {_query_values()}),
+qn AS (SELECT query_id, count(DISTINCT term) AS qn FROM q GROUP BY 1),
 {_TOKS_CTE},
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
@@ -64,7 +66,8 @@ sc AS (
   SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
          sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
               * (tf.tf * ({k1} + 1.0))
-              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw,
+         count(DISTINCT tf.term) AS nt
   FROM q
   JOIN tf  USING (term)
   JOIN dfr USING (term)
@@ -76,7 +79,7 @@ rk AS (
   SELECT query_id, doc_id, round(raw, 4) AS score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
-  FROM sc
+  FROM {src}
 )
 SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
@@ -462,6 +465,7 @@ ORACLES: dict[str, str] = {
     "date_parse_cascade": DATE_PARSE_CASCADE,
     "events_windowed": EVENTS_WINDOWED,
     "bm25_topk_wand": bm25_topk_sql(),
+    "bm25_topk_and": bm25_topk_sql(conjunctive=True),
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
     "simhash64": _simhash_oracle(),

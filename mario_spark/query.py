@@ -113,12 +113,49 @@ def topk(scored: DataFrame, k: int = 10) -> DataFrame:
 
 
 def search_exhaustive(
-    docs: DataFrame, query_terms: DataFrame, k: int = 10
+    docs: DataFrame, query_terms: DataFrame, k: int = 10, conjunctive: bool = False
 ) -> DataFrame:
-    """End-to-end exhaustive BM25 top-k from a tokenized doc table."""
+    """End-to-end exhaustive BM25 top-k from a tokenized doc table.
+
+    conjunctive=True gives ES bool-must semantics (a doc must contain
+    EVERY query term; still BM25-summed and ranked identically) — the
+    filter is a HAVING count(distinct matched term) == |query| on the
+    same aggregation, so it adds no extra shuffle.
+    """
     from mario_spark.docs import corpus_stats
 
     tf = term_frequencies(docs)
-    return topk(
-        bm25_scores(tf, doc_frequencies(tf), corpus_stats(docs), query_terms), k
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    if not conjunctive:
+        return topk(bm25_scores(tf, dfreq, stats, query_terms), k)
+    q_idf = (
+        query_terms.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .select("query_id", "term", "idf", "avgdl")
     )
+    qn = query_terms.groupBy("query_id").agg(
+        F.countDistinct("term").alias("qn")
+    )
+    scored = (
+        tf.join(F.broadcast(q_idf), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("len") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("nt") == F.col("qn"))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(scored, k)

@@ -72,6 +72,23 @@ def bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_wand(post, dic, q, st["n_docs"], st["avgdl"], k=10)
 
 
+def bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (ES bool-must) BM25 top-10 via the production WAND
+    path: a doc must contain every query term; rarest-first sorted
+    intersection per bucket."""
+    from mario_spark import docs as docsmod
+    from mario_spark.postings import build_postings
+    from mario_spark.wand import search_wand
+
+    d = _doc_table(spark, sf_dir).persist()
+    st = docsmod.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st["n_docs"])
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return search_wand(
+        post, dic, q, st["n_docs"], st["avgdl"], k=10, conjunctive=True
+    )
+
+
 def keyword_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 keyword_no_trailing_punctuation analyzer (reference:
     /root/reference/config/es_record_mappings.json:5-22), applied to a
@@ -357,6 +374,7 @@ SUITE = {
     "date_parse_cascade": date_parse_cascade,
     "events_windowed": events_windowed,
     "bm25_topk_wand": bm25_topk_wand,
+    "bm25_topk_and": bm25_topk_and,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash64": simhash64,

@@ -77,6 +77,27 @@ class _TermData:
         self.block_lens = rows["n"].to_numpy(np.int64)
 
 
+def _conjunctive_scores(
+    tds: list["_TermData"],
+) -> tuple[np.ndarray, np.ndarray]:
+    """AND semantics: docs present in EVERY term's postings, scored.
+
+    Classic rarest-first sorted-list intersection (doc ids are sorted
+    within a bucket), then per-term contrib lookup via searchsorted.
+    """
+    tds = sorted(tds, key=lambda t: t.ids.size)
+    ids = tds[0].ids
+    for td in tds[1:]:
+        ids = ids[np.isin(ids, td.ids, assume_unique=True)]
+        if ids.size == 0:
+            return ids, np.empty(0)
+    total = np.zeros(ids.size)
+    for td in tds:
+        pos = np.searchsorted(td.ids, ids)
+        total += td.contrib[pos]
+    return ids, total
+
+
 def _bucket_kernel(
     pdf: pd.DataFrame,
     queries: list[tuple[int, list[str]]],
@@ -85,6 +106,7 @@ def _bucket_kernel(
     k: int,
     k1: float,
     b: float,
+    conjunctive: bool = False,
 ) -> pd.DataFrame:
     """Score every query against one dbucket's candidate blocks."""
     by_term: dict[str, pd.DataFrame] = {
@@ -115,6 +137,19 @@ def _bucket_kernel(
     for qid, qterms in queries:
         terms = [t for t in qterms if t in by_term]
         if not terms:
+            continue
+        if conjunctive:
+            # a doc needs EVERY term; all its postings live in this
+            # bucket, so a term absent here rules out the whole bucket
+            if len(terms) < len(qterms):
+                continue
+            ids, totals = _conjunctive_scores([term_data(t) for t in terms])
+            if ids.size == 0:
+                continue
+            order = np.lexsort((ids, -totals))[:k]
+            out_q.append(np.full(order.size, qid, dtype=np.int64))
+            out_d.append(ids[order].astype(np.int64))
+            out_s.append(totals[order])
             continue
         # 2. bootstrap θ from the rarest term present in this bucket
         # (max idf == min df, so pick by idf)
@@ -170,8 +205,12 @@ def search_wand(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """postings x (query_id, term) -> (query_id, rank, doc_id, score).
+
+    conjunctive=True = ES bool-must: rarest-first sorted intersection
+    per bucket (and whole-bucket skip when any term is absent there).
 
     Plan: collect the tiny query-term table driver-side (it IS the
     query), filter postings to queried terms (predicate pushed into the
@@ -195,7 +234,7 @@ def search_wand(
     cand = postings.filter(F.col("term").isin(terms))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_kernel(pdf, queries, idf_map, ad, k, k1, b)
+        return _bucket_kernel(pdf, queries, idf_map, ad, k, k1, b, conjunctive)
 
     local = cand.groupBy("dbucket").applyInPandas(
         kernel, "query_id long, doc_id long, score double"

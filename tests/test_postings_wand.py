@@ -129,3 +129,20 @@ def test_wand_rank_identical_pages(spark):
     got = _canon(search_wand(post, dic, q, st_["n_docs"], st_["avgdl"], k=10))
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
     d.unpersist()
+
+
+def test_wand_conjunctive_rank_identical(spark):
+    pages = pages_df(spark, 900, seed=13, partitions=8)
+    d = docs.build_doc_table(pages).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st_["n_docs"])
+    q = query_terms_df(spark, make_pages_query_set(seed=13, n=30))
+    want = _canon(query.search_exhaustive(d, q, k=10, conjunctive=True))
+    got = _canon(
+        search_wand(
+            post, dic, q, st_["n_docs"], st_["avgdl"], k=10, conjunctive=True
+        )
+    )
+    assert len(want) > 0  # multi-term AND queries do match something
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d.unpersist()
