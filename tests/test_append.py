@@ -66,3 +66,26 @@ def test_append_to_empty_is_ingest(spark, tmp_path):
     idx = cat.create("fresh-2026-01-01t00-00-00z")
     st = idx.append(pages)
     assert st["n_docs"] == 150
+
+
+def test_ingest_from_html_extraction_matches_text(spark, tmp_path):
+    """The per-row fidelity invariant end-to-end: building the index
+    from the html column (extract_html=True) must produce the exact
+    index built from the ground-truth text column, because
+    extract(html) == text byte-identically on the synthetic corpus."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    pages = pages_df(spark, 300, seed=31, partitions=4).persist()
+
+    a = cat.create("text-2026-01-01t00-00-00z")
+    a.ingest(pages.drop("html"))
+    b = cat.create("html-2026-01-01t00-00-00z")
+    b.ingest(pages.drop("text"), extract_html=True)
+
+    pa = a.postings().toPandas().sort_values(
+        ["term", "dbucket", "block_id"], ignore_index=True
+    )
+    pb = b.postings().toPandas().sort_values(
+        ["term", "dbucket", "block_id"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(pa, pb)
+    pages.unpersist()
