@@ -36,7 +36,12 @@ def assign_doc_ids(
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # no sortWithinPartitions here: the row_number window below performs
-    # the per-partition sort; sorting twice was pure waste
+    # the per-partition sort; sorting twice was pure waste.
+    # Tie-break: duplicate order_col values (equal range keys land in one
+    # partition) get a deterministic content-hash tiebreaker, so ids are
+    # stable across runs even with duplicate urls — the pinned-id
+    # guarantee resume and byte-identical rebuilds depend on.
+    tiebreak = F.xxhash64(*[c for c in df.columns if c != order_col])
     d = df.repartitionByRange(parts, order_col).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -50,7 +55,7 @@ def assign_doc_ids(
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    w = Window.partitionBy("_pid").orderBy(F.col(order_col), tiebreak)
     out = (
         d.join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", (F.col("_offset") + F.row_number().over(w) - 1).cast("long"))

@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass
@@ -286,10 +287,13 @@ class Index:
 
     # ------------------------------------------------------------- reads
     def _seg_paths(self, sub: str) -> list[str]:
-        return [
-            os.path.join(self.paths.seg(s), sub)
-            for s in self.paths.committed_segments()
-        ]
+        segs = self.paths.committed_segments()
+        if not segs:
+            raise ValueError(
+                f"index '{self.paths.name}' has no committed segments "
+                "(never ingested, or crashed before the first commit)"
+            )
+        return [os.path.join(self.paths.seg(s), sub) for s in segs]
 
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(*self._seg_paths("postings"))
@@ -303,8 +307,14 @@ class Index:
         return d.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
 
     def manifest(self) -> DataFrame:
-        p = [self.paths.manifest(s) for s in self.paths.committed_segments()]
-        return self.spark.read.parquet(*p)
+        segs = self.paths.committed_segments()
+        if not segs:
+            raise ValueError(
+                f"index '{self.paths.name}' has no committed segments"
+            )
+        return self.spark.read.parquet(
+            *[self.paths.manifest(s) for s in segs]
+        )
 
     def stats(self) -> dict:
         """Collection stats by summing segment commit markers (no scan)."""
@@ -365,20 +375,29 @@ class Catalog:
         """`<source>-<utc-ts>` exactly as ingester.go:62-63."""
         return f"{source}-{time.strftime('%Y-%m-%dt%H-%M-%Sz', time.gmtime())}"
 
+    # `<source>-<yyyy-mm-ddthh-mm-ssz>` -> source. Strips the timestamp
+    # SUFFIX instead of split('-')[0] (the reference's elastic.go:115
+    # approach), so source names containing dashes resolve correctly.
+    _TS_SUFFIX = re.compile(r"-\d{4}-\d{2}-\d{2}t\d{2}-\d{2}-\d{2}z$")
+
+    @classmethod
+    def source_of(cls, name: str) -> str:
+        return cls._TS_SUFFIX.sub("", name)
+
     # A11 — the one index behind the alias for a source prefix
     def current(self, source: str, alias: str = DEFAULT_ALIAS) -> str | None:
         members = self._read_aliases().get(alias, [])
-        hits = [m for m in members if m.split("-")[0] == source]
+        hits = [m for m in members if self.source_of(m) == source]
         if len(hits) > 1:
             raise ValueError(f"multiple current indexes for {source}: {hits}")
         return hits[0] if hits else None
 
-    # A12 — atomic promote: add new, drop previous same-prefix, ONE commit
+    # A12 — atomic promote: add new, drop previous same-source, ONE commit
     def promote(self, name: str, alias: str = DEFAULT_ALIAS) -> None:
         aliases = self._read_aliases()
-        source = name.split("-")[0]
+        source = self.source_of(name)
         members = [
-            m for m in aliases.get(alias, []) if m.split("-")[0] != source
+            m for m in aliases.get(alias, []) if self.source_of(m) != source
         ]
         members.append(name)
         aliases[alias] = sorted(members)

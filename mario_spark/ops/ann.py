@@ -36,6 +36,17 @@ def hyperplanes(dim: int = 64, n: int = N_HYPERPLANES, seed: int = _HP_SEED) -> 
     return rng.choice(np.array([-1.0, 1.0]), size=(n, dim))
 
 
+def auto_hyperplanes(n_vectors: int, target_bucket: int = 256) -> int:
+    """Scale-aware hyperplane count: ~log2(n / target_bucket), so mean
+    bucket size stays ~target_bucket and the within-bucket quadratic is
+    bounded as the corpus grows (4 planes = 16 buckets is a demo
+    setting; 10^9 vectors at target 256 needs ~22 planes).
+    """
+    import math
+
+    return max(N_HYPERPLANES, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
+
+
 def cosine_expr(a: str, b: str):
     """Float64 cosine as a Column (zip_with + aggregate, JVM-side)."""
     dot = F.aggregate(
@@ -138,14 +149,22 @@ def bucket_signature_expr(hp: np.ndarray):
 
 
 def lsh_nearest_pairs(
-    embeddings: DataFrame, top_pairs: int = 20, dim: int = 64
+    embeddings: DataFrame,
+    top_pairs: int = 20,
+    dim: int = 64,
+    n_hyperplanes: int = N_HYPERPLANES,
 ) -> DataFrame:
     """-> top `top_pairs` same-bucket pairs by cosine desc.
 
     (bucket, vec_a, vec_b, cos): the LSH-confined all-pairs similarity.
     Deterministic: cosine rounded 4dp, ties break (vec_a, vec_b) asc.
+    Default n_hyperplanes=4 matches the pinned oracle; at scale pass
+    auto_hyperplanes(n) so buckets stay ~constant-size. The global
+    top-pairs finish is orderBy().limit() (TakeOrderedAndProject — each
+    partition keeps `top_pairs` rows, the driver merges), never a
+    single-partition window over all pairs.
     """
-    hp = hyperplanes(dim)
+    hp = hyperplanes(dim, n_hyperplanes)
     e = embeddings.select(
         "vec_id", "embedding", bucket_signature_expr(hp).alias("bucket")
     )
@@ -165,9 +184,13 @@ def lsh_nearest_pairs(
         .withColumn("cos", F.round(cosine_expr("ea", "eb"), 4))
         .select("bucket", "vec_a", "vec_b", "cos")
     )
+    top = pairs.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b")).limit(
+        top_pairs
+    )
+    # rank window runs over <= top_pairs rows only (post-limit), so the
+    # single-partition sort it implies is trivially bounded
     w = Window.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_pairs)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "bucket", "vec_a", "vec_b", "cos")
     )

@@ -17,8 +17,8 @@ Scale notes (the 100TB story):
   to buckets, which banding keeps small).
 - Verification joins (exact Jaccard) touch candidate pairs only.
 - SimHash: fully JVM-side generated SQL (no Python), one agg per doc;
-  the O(pairs) hamming join here is the sandbox demo — at scale you
-  band on simhash prefixes exactly like MinHash-LSH.
+  pair generation is banded on band-pair keys (exact recall for the
+  hamming threshold by pigeonhole — see simhash_pairs), never all-pairs.
 """
 
 from __future__ import annotations
@@ -174,17 +174,69 @@ def hamming_sql(a: str, b: str, dialect: str = "spark") -> str:
     return " + ".join(parts)
 
 
+SIMHASH_BANDS = 8  # 8 bands x 8 bits (2 hex chars) over the 64-bit hash
+
+
 def simhash_pairs(
     documents: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX
 ) -> DataFrame:
-    """-> (doc_a, doc_b, hamming) for pairs within max_hamming bits."""
+    """-> (doc_a, doc_b, hamming) for pairs within max_hamming bits.
+
+    Banded candidate generation (Manku et al., WWW'07 block-permutation
+    scheme) — NO cross join, identical output to the exhaustive
+    all-pairs scan, which is what the DuckDB oracle still computes:
+
+    - Split the 64-bit simhash into 8 bands of 8 bits. Each of the
+      <= max_hamming differing bits falls in exactly one band, so a pair
+      within hamming 6 has >= 8 - 6 = 2 identical bands.
+    - Join key = a PAIR of bands (i<j, 16 bits): any qualifying pair
+      shares two clean bands, hence collides on at least one of the
+      C(8,2)=28 combo keys. Exact recall by pigeonhole; 16-bit keys keep
+      buckets ~N/65536 per combo, confining the quadratic verify.
+    - Exact hamming (generated codegen SQL, no UDF) filters candidates.
+
+    Shuffle carries (doc_id, 16-hex simhash) x28 — never text. At 100TB
+    the same shape holds; for tighter buckets raise the band count and
+    combo order r (guarantee needs n_bands - max_hamming >= r).
+    """
+    # combo order r=2 needs >= max_hamming + 2 bands; fall back to
+    # single-band keys (coarser buckets, same recall guarantee) if a
+    # caller raises max_hamming past 6
+    r = 2 if SIMHASH_BANDS - max_hamming >= 2 else 1
+    if SIMHASH_BANDS - max_hamming < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {SIMHASH_BANDS} bands"
+        )
     sh = simhash64(documents)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
-    return (
-        a.crossJoin(b)
+    band = [F.substring("simhash", 1 + 2 * i, 2) for i in range(SIMHASH_BANDS)]
+    if r == 2:
+        keys = [
+            F.concat_ws("", F.lit(f"{i}.{j}:"), band[i], band[j])
+            for i in range(SIMHASH_BANDS)
+            for j in range(i + 1, SIMHASH_BANDS)
+        ]
+    else:
+        keys = [
+            F.concat_ws("", F.lit(f"{i}:"), band[i])
+            for i in range(SIMHASH_BANDS)
+        ]
+    e = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("band_key")
+    )
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band_key"
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band_key"
+    )
+    cand = (
+        a.join(b, "band_key")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.expr(hamming_sql("sa", "sb")).cast("long"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr(hamming_sql("sa", "sb")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -192,12 +244,20 @@ def simhash_pairs(
 
 # ------------------------------------------------------------ n-gram Jaccard
 def char_ngrams(documents: DataFrame, k: int = NGRAM_K) -> DataFrame:
-    """(doc_id, gram) distinct character k-grams, JVM-side."""
+    """(doc_id, gram) distinct character k-grams, JVM-side.
+
+    Texts shorter than k are filtered out BEFORE the sequence: Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0] (unlike DuckDB's empty
+    generate_series(1, 0)), which would emit spurious grams for
+    near-empty docs. The filter matches the oracle exactly (short docs
+    produce zero gram rows either way).
+    """
     return (
-        documents.select(
+        documents.filter(F.length("text") >= k)
+        .select(
             "doc_id",
             F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0)))
+                F.sequence(F.lit(1), F.length("text") - (k - 1))
             ).alias("p"),
             "text",
         )
@@ -206,25 +266,42 @@ def char_ngrams(documents: DataFrame, k: int = NGRAM_K) -> DataFrame:
     )
 
 
+NGRAM_BANDS = 4  # r independent min-hashes; recall = 1 - (1-J)^r
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     k: int = NGRAM_K,
     threshold: float = NGRAM_JACCARD_THRESHOLD,
+    n_bands: int = NGRAM_BANDS,
 ) -> DataFrame:
-    """1-band min-wise LSH on char k-grams + exact Jaccard verify.
+    """Multi-band min-wise LSH on char k-grams + exact Jaccard verify.
 
-    Candidate pairs share the minimum md5(gram) (valid min-wise
-    collision: P[min-hash equal] = Jaccard); verified exactly.
-    -> (doc_a, doc_b, jaccard) rounded 4dp, >= threshold.
+    r independent min-hashes (salted md5); candidates = pairs sharing
+    ANY band's minimum (P[collision on band] = Jaccard, so candidate
+    recall = 1 - (1-J)^r — at J=0.8, r=4 that is 0.9984 vs 0.8 for the
+    single-band variant). Verified by exact Jaccard; 4dp, >= threshold.
     """
     grams = char_ngrams(documents, k)
-    mins = grams.groupBy("doc_id").agg(F.min(F.md5("gram")).alias("mg"))
-    a = mins.select(F.col("doc_id").alias("doc_a"), F.col("mg").alias("ma"))
-    b = mins.select(F.col("doc_id").alias("doc_b"), F.col("mg").alias("mb"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", "gram", F.lit(str(i))))).alias(f"mg{i}")
+        for i in range(n_bands)
+    ]
+    mins = grams.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for i in range(n_bands):
+        part = mins.select(
+            "doc_id",
+            F.concat_ws(":", F.lit(str(i)), F.col(f"mg{i}")).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
     cand = (
-        a.join(b, F.col("ma") == F.col("mb"))
+        a.join(b, "band_key")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
     )
     g = grams.withColumnRenamed("gram", "term")
     return _verify_jaccard(g, cand, threshold)

@@ -97,12 +97,13 @@ def winnow_fingerprints(documents: DataFrame) -> DataFrame:
     The sliding-window min is a bounded rank window per doc — parallel
     across docs, never global.
     """
-    grams = documents.select(
+    # texts shorter than K are dropped before the sequence: Spark's
+    # sequence(1, 0) is a DESCENDING [1, 0] (DuckDB's generate_series
+    # is empty), so the guard keeps short docs from emitting bogus grams
+    grams = documents.filter(F.length("text") >= WINNOW_K).select(
         "doc_id",
         F.explode(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("text") - (WINNOW_K - 1), F.lit(0))
-            )
+            F.sequence(F.lit(1), F.length("text") - (WINNOW_K - 1))
         ).alias("p"),
         "text",
     ).select("doc_id", "p", F.expr(f"md5(substr(text, p, {WINNOW_K}))").alias("g"))

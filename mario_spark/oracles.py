@@ -242,7 +242,15 @@ WHERE ({ham}) <= 6
 """
 
 
-NGRAM_JACCARD_PAIRS = """
+_NG_MINS = ", ".join(
+    f"min(md5(term || '#{i}')) AS mg{i}" for i in range(4)
+)
+_NG_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, '{i}' || ':' || mg{i} AS band_key FROM mins"
+    for i in range(4)
+)
+
+NGRAM_JACCARD_PAIRS = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, substr(text, p, 5) AS term
   FROM (
@@ -251,10 +259,11 @@ WITH grams AS (
     FROM documents
   )
 ),
-mins AS (SELECT doc_id, min(md5(term)) AS mg FROM grams GROUP BY 1),
+mins AS (SELECT doc_id, {_NG_MINS} FROM grams GROUP BY 1),
+bands AS ({_NG_BANDS}),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM mins a JOIN mins b ON a.mg = b.mg AND a.doc_id < b.doc_id
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
 inter AS (
@@ -398,9 +407,9 @@ WITH b AS (
   FROM documents
 )
 SELECT doc_id, width, height,
-       round(list_sum(list_transform(generate_series(1, len(body)),
-                                     i -> ascii(substr(body, i, 1))))::DOUBLE
-             / len(body), 4) AS mean_luma,
+       coalesce(round(list_sum(list_transform(generate_series(1, len(body)),
+                                              i -> ascii(substr(body, i, 1))))::DOUBLE
+                      / nullif(len(body), 0), 4), 0.0) AS mean_luma,
        (12 + len(body))::BIGINT AS n_bytes
 FROM b
 """
@@ -431,6 +440,18 @@ d AS (
   FROM g
 )
 SELECT doc_id, distance_km FROM d WHERE distance_km <= 5000.0
+"""
+
+GEO_BBOX = """
+WITH g AS (
+  SELECT doc_id,
+         (doc_id % 360 - 180 + 0.5)::FLOAT::DOUBLE AS lon,
+         ((doc_id * 7) % 170 - 85 + 0.5)::FLOAT::DOUBLE AS lat
+  FROM documents
+)
+SELECT doc_id, round(lon, 4) AS lon, round(lat, 4) AS lat
+FROM g
+WHERE lon >= -50 AND lon <= 50 AND lat >= -30 AND lat <= 30
 """
 
 COMPLETION_SUGGEST = """
@@ -478,5 +499,6 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "multimodal_decode": MULTIMODAL_DECODE,
     "geo_distance": GEO_DISTANCE,
+    "geo_bbox": GEO_BBOX,
     "completion_suggest": COMPLETION_SUGGEST,
 }

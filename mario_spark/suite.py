@@ -338,6 +338,28 @@ def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 geo_point bounding-box query: same synthesized (lon, lat) as
+    geo_distance; box = lon in [-50, 50], lat in [-30, 30]. Pure
+    comparisons — the predicate stays in codegen and would push to a
+    scan over materialized lon/lat columns."""
+    from mario_spark.ops import geo
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            (F.col("doc_id") % 360 - 180 + 0.5).cast("float"),
+            ((F.col("doc_id") * 7) % 170 - 85 + 0.5).cast("float"),
+        ).alias("geopoint"),
+    )
+    out = geo.geo_bbox_filter(d, "geopoint", -50.0, -30.0, 50.0, 30.0)
+    return out.select(
+        "doc_id",
+        F.round(F.col("geopoint").getItem(0).cast("double"), 4).alias("lon"),
+        F.round(F.col("geopoint").getItem(1).cast("double"), 4).alias("lat"),
+    )
+
+
 def completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B13 completion suggester: prefix dimension table over each doc's
     first token (keyword_no_trailing_punctuation-ish input), then top-5
@@ -387,5 +409,6 @@ SUITE = {
     "winnow_fingerprints": winnow_fingerprints,
     "multimodal_decode": multimodal_decode,
     "geo_distance": geo_distance,
+    "geo_bbox": geo_bbox,
     "completion_suggest": completion_suggest,
 }

@@ -14,20 +14,25 @@ posting list, and posting blocks are shipped to exactly one task each
 postings — a postings x queries join would replicate head-term blocks
 once per query).
 
-Per-bucket kernel (sound pruning, fully vectorized):
- 1. Each term's blocks are decoded AT MOST once per task and shared by
-    every query that contains the term; per-(term,doc) BM25 contribs
-    are likewise computed once.
- 2. Bootstrap a threshold θ_q per query: exact partial scores of the
+Per-bucket kernel (sound pruning, fully vectorized, PRUNE BEFORE
+DECODE — the block-max mask is computed from stored impacts, so pruned
+blocks are never VByte-decoded at all):
+ 1. Bootstrap a threshold θ_q per query: exact partial scores of the
     query's rarest (max-idf) term; θ_q = k-th best partial. The true
-    k-th best total is >= θ_q.
- 3. Block pruning: drop block B of term t for query q iff
-       max_score(B) + Σ_{t'∈q, t'≠t} max_score_bucket(t') < θ_q - ε.
-    Every doc of a dropped block totals < θ_q <= true k-th score, so it
-    cannot enter the top-k; a doc with some blocks dropped can only be
-    underestimated, and its bound keeps it below θ_q, so it cannot
-    displace a true top-k doc either. Tests assert rank identity
-    (ids AND scores) vs the exhaustive scorer.
+    k-th best total is >= θ_q. (Only the rarest term — the term with
+    the FEWEST blocks — is fully decoded for this.)
+ 2. Block pruning: drop block B of term t for query q iff
+       max_score(B) + Σ_{t'∈q, t'≠t} max_score_bucket(t') < θ_q - ε,
+    where max_score(B) comes from the STORED (max_tf, min_len) impacts
+    — no decode needed. Every doc of a dropped block totals < θ_q <=
+    true k-th score, so it cannot enter the top-k; a doc with some
+    blocks dropped can only be underestimated, and its bound keeps it
+    below θ_q, so it cannot displace a true top-k doc either. Tests
+    assert rank identity (ids AND scores) vs the exhaustive scorer.
+ 3. Only surviving blocks are decoded; each block is decoded AT MOST
+    once per task (per-block cache shared across the query batch, so
+    batch amortization is kept while single-query latency now pays
+    decode only for live blocks).
  4. Exact vectorized scoring (np.unique + bincount groupby) over the
     surviving blocks; local top-k (score desc, doc_id asc).
 """
@@ -48,23 +53,22 @@ _EPS = 1e-9
 
 
 class _TermData:
-    """Decoded postings of one term within one dbucket."""
+    """One term's posting blocks within one dbucket — LAZY decode.
 
-    __slots__ = ("ids", "contrib", "block_max", "block_lens")
+    __init__ touches only the block METADATA (stored impacts); actual
+    VByte decode happens per block, on demand, with a per-block cache
+    shared across the whole query batch of the task.
+    """
+
+    __slots__ = (
+        "raw_ids", "raw_tfs", "raw_lens", "block_max", "block_lens",
+        "t_idf", "avgdl", "k1", "b", "_blocks", "_full",
+    )
 
     def __init__(self, rows: pd.DataFrame, t_idf: float, avgdl: float, k1: float, b: float):
-        ids_l, tf_l, ln_l = [], [], []
-        for r in rows.itertuples(index=False):
-            ids_l.append(codec.decode_doc_ids(r.doc_ids))
-            tf_l.append(codec.vbyte_decode(r.tfs))
-            ln_l.append(codec.vbyte_decode(r.lens))
-        ids = np.concatenate(ids_l)
-        tfs = np.concatenate(tf_l).astype(np.float64)
-        lens = np.concatenate(ln_l).astype(np.float64)
-        self.ids = ids
-        self.contrib = (
-            t_idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * lens / avgdl))
-        )
+        self.raw_ids = rows["doc_ids"].tolist()
+        self.raw_tfs = rows["tfs"].tolist()
+        self.raw_lens = rows["lens"].tolist()
         # block-max bound from stored impacts + CURRENT collection stats
         self.block_max = block_upper_bound(
             t_idf,
@@ -75,6 +79,60 @@ class _TermData:
             b,
         )
         self.block_lens = rows["n"].to_numpy(np.int64)
+        self.t_idf, self.avgdl, self.k1, self.b = t_idf, avgdl, k1, b
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
+
+    def _contrib(self, tfs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        k1, b = self.k1, self.b
+        return (
+            self.t_idf * tfs * (k1 + 1.0)
+            / (tfs + k1 * (1.0 - b + b * lens / self.avgdl))
+        )
+
+    def _block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._blocks.get(i)
+        if hit is None:
+            tfs = codec.vbyte_decode(self.raw_tfs[i]).astype(np.float64)
+            lens = codec.vbyte_decode(self.raw_lens[i]).astype(np.float64)
+            hit = (codec.decode_doc_ids(self.raw_ids[i]), self._contrib(tfs, lens))
+            self._blocks[i] = hit
+        return hit
+
+    def full(self) -> tuple[np.ndarray, np.ndarray]:
+        """All blocks decoded (cached): (doc_ids, contribs), id-sorted."""
+        if self._full is None:
+            n = len(self.raw_ids)
+            parts = [self._block(i) for i in range(n)]
+            self._full = (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+            self._blocks.clear()  # superseded by the full arrays
+        return self._full
+
+    def gather(self, live: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, contribs) of the live blocks only — pruned blocks
+        are never decoded (unless a previous query already paid for the
+        full arrays, in which case slicing them is cheaper)."""
+        if live.all():
+            return self.full()
+        if self._full is not None:
+            m = np.repeat(live, self.block_lens)
+            return self._full[0][m], self._full[1][m]
+        idx = np.flatnonzero(live)
+        if idx.size == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0)
+        parts = [self._block(int(i)) for i in idx]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    @property
+    def n_postings(self) -> int:
+        return int(self.block_lens.sum())
 
 
 def _conjunctive_scores(
@@ -84,17 +142,23 @@ def _conjunctive_scores(
 
     Classic rarest-first sorted-list intersection (doc ids are sorted
     within a bucket), then per-term contrib lookup via searchsorted.
+    Rarest-first also bounds decode: after the first intersection the
+    candidate id range could prune later terms' blocks by
+    (first_doc, last_doc); kept simple here — AND queries decode their
+    terms fully.
     """
-    tds = sorted(tds, key=lambda t: t.ids.size)
-    ids = tds[0].ids
+    tds = sorted(tds, key=lambda t: t.n_postings)
+    ids, _ = tds[0].full()
     for td in tds[1:]:
-        ids = ids[np.isin(ids, td.ids, assume_unique=True)]
+        t_ids, _ = td.full()
+        ids = ids[np.isin(ids, t_ids, assume_unique=True)]
         if ids.size == 0:
             return ids, np.empty(0)
     total = np.zeros(ids.size)
     for td in tds:
-        pos = np.searchsorted(td.ids, ids)
-        total += td.contrib[pos]
+        t_ids, t_contrib = td.full()
+        pos = np.searchsorted(t_ids, ids)
+        total += t_contrib[pos]
     return ids, total
 
 
@@ -109,33 +173,16 @@ def _bucket_kernel(
     conjunctive: bool = False,
 ) -> pd.DataFrame:
     """Score every query against one dbucket's candidate blocks."""
-    by_term: dict[str, pd.DataFrame] = {
-        t: g.sort_values("block_id") for t, g in pdf.groupby("term", sort=False)
+    # metadata-only construction: NO decode happens here
+    tds: dict[str, _TermData] = {
+        t: _TermData(g.sort_values("block_id"), idf_map[t], avgdl, k1, b)
+        for t, g in pdf.groupby("term", sort=False)
     }
-    cache: dict[str, _TermData] = {}
-
-    def term_data(t: str) -> _TermData:
-        if t not in cache:
-            cache[t] = _TermData(by_term[t], idf_map[t], avgdl, k1, b)
-        return cache[t]
-
-    bucket_max = {
-        t: float(
-            block_upper_bound(
-                idf_map[t],
-                g["max_tf"].to_numpy(),
-                g["min_len"].to_numpy(),
-                avgdl,
-                k1,
-                b,
-            ).max()
-        )
-        for t, g in by_term.items()
-    }
+    bucket_max = {t: float(td.block_max.max()) for t, td in tds.items()}
 
     out_q, out_d, out_s = [], [], []
     for qid, qterms in queries:
-        terms = [t for t in qterms if t in by_term]
+        terms = [t for t in qterms if t in tds]
         if not terms:
             continue
         if conjunctive:
@@ -143,7 +190,7 @@ def _bucket_kernel(
             # bucket, so a term absent here rules out the whole bucket
             if len(terms) < len(qterms):
                 continue
-            ids, totals = _conjunctive_scores([term_data(t) for t in terms])
+            ids, totals = _conjunctive_scores([tds[t] for t in terms])
             if ids.size == 0:
                 continue
             order = np.lexsort((ids, -totals))[:k]
@@ -151,10 +198,10 @@ def _bucket_kernel(
             out_d.append(ids[order].astype(np.int64))
             out_s.append(totals[order])
             continue
-        # 2. bootstrap θ from the rarest term present in this bucket
-        # (max idf == min df, so pick by idf)
+        # 1. bootstrap θ from the rarest term present in this bucket
+        # (max idf == min df, so pick by idf) — the only forced decode
         rare = max(terms, key=lambda t: idf_map[t])
-        boot = term_data(rare).contrib
+        _, boot = tds[rare].full()
         theta = (
             float(np.partition(boot, boot.size - k)[boot.size - k])
             if boot.size >= k
@@ -163,16 +210,14 @@ def _bucket_kernel(
         total_ub = sum(bucket_max[t] for t in terms)
         ids_parts, contrib_parts = [], []
         for t in terms:
-            td = term_data(t)
+            td = tds[t]
             ub_other = total_ub - bucket_max[t]
+            # 2. prune on STORED impacts, 3. decode survivors only
             live = (td.block_max + ub_other) >= (theta - _EPS)
-            if live.all():
-                ids_parts.append(td.ids)
-                contrib_parts.append(td.contrib)
-            elif live.any():
-                m = np.repeat(live, td.block_lens)
-                ids_parts.append(td.ids[m])
-                contrib_parts.append(td.contrib[m])
+            t_ids, t_contrib = td.gather(live)
+            if t_ids.size:
+                ids_parts.append(t_ids)
+                contrib_parts.append(t_contrib)
         if not ids_parts:
             continue
         ids = np.concatenate(ids_parts)

@@ -75,6 +75,35 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_simhash_pairs_no_cross_join(spark):
+    """Banded simhash pair generation must plan as an equi-join on the
+    band key — never CartesianProduct / BroadcastNestedLoopJoin."""
+    from mario_spark.suite import simhash_pairs
+
+    plan = _plan(simhash_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_pairs_no_cross_join(spark):
+    from mario_spark.suite import ngram_jaccard_pairs
+
+    plan = _plan(ngram_jaccard_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_topk_uses_take_ordered(spark):
+    """The global top-pairs finish must be TakeOrderedAndProject (each
+    partition keeps k rows), not a single-partition global rank window
+    over every candidate pair."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(ann.lsh_nearest_pairs(e, top_pairs=20))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_doc_id_assignment_never_single_partitions(spark):
     """The classic row_number-over-global-Window trap collapses to ONE
     partition; our partition-offset technique must not."""
