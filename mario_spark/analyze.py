@@ -137,6 +137,29 @@ def tokenize_count_udf(s: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(MapType(StringType(), ArrayType(IntegerType())))
+def tokenize_positions_udf(s: pd.Series) -> pd.Series:
+    """Fused tokenize + positional index: text -> map<term, [positions]>.
+
+    Positions are 0-based token ordinals (Lucene's position increments
+    with the default analyzer). tf == len(positions), so the postings
+    builder derives both streams from this ONE Arrow round-trip — same
+    no-shuffle property as tokenize_count_udf.
+    """
+    out = []
+    findall = TOKEN_RE.findall
+    normalize = unicodedata.normalize
+    for v in s:
+        if v is None:
+            out.append({})
+        else:
+            d: dict[str, list[int]] = {}
+            for i, t in enumerate(findall(normalize("NFC", v).lower())):
+                d.setdefault(t, []).append(i)
+            out.append(d)
+    return pd.Series(out)
+
+
 # ------------------------------------------------------- JVM-side expressions
 def tokenize_expr(col, use_sql: bool = False):
     """Tokenization as a Column expression.

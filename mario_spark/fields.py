@@ -1,0 +1,164 @@
+"""Field-scoped full-text search (per-field inverted index + BM25).
+
+ES lets a query target any single analyzed field (`title:` vs
+`contents:`) with that field's OWN statistics — every `"type":"text"`
+field in /root/reference/config/es_record_mappings.json:33-401 is an
+independent Lucene inverted index with per-field df and avgFieldLength.
+mario relies on this contractually; round 1 indexed one concatenated
+`searchable_text` blob, which cannot answer a field-scoped query.
+
+Spark-first design — ONE postings table, field-prefixed terms:
+
+- The posting key becomes `"<field>:<term>"` (tokens are Unicode
+  letters/digits only, so ':' can never collide with token content).
+  This reuses the existing block codec, dictionary, WAND kernel and —
+  critically — the same scan pruning: a field-scoped query filters
+  postings on the prefixed term, which pushes to parquet exactly like
+  the unscoped path. No second table, no schema fork, no extra shuffle:
+  the per-(term, dbucket) build shuffle just carries a slightly longer
+  key.
+- Per-field BM25 statistics follow Lucene exactly: df falls out of the
+  prefixed dictionary for free; (n_docs, avgdl) are computed PER FIELD
+  over docs that have at least one token in that field (Lucene's
+  docCount/avgFieldLength exclude docs missing the field).
+- Multi-field (§2 B10: text + keyword sibling) stays what it was —
+  keyword variants are materialized columns; this module covers the
+  analyzed variants.
+
+Scale: k fields multiply the tf stream by the fields' combined token
+count (title is tiny next to contents), and the dbucket grid bounds
+per-task group size exactly as before. Queries touch one field's terms
+only, so query-time cost is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mario_spark.analyze import tokenize_count_udf
+from mario_spark.docs import assign_doc_ids
+from mario_spark.postings import (
+    dictionary_from_postings,
+    encode_tf_rows,
+    pick_range_width,
+)
+from mario_spark.wand import search_wand
+
+FIELD_SEP = ":"
+
+
+def build_field_doc_table(
+    pages: DataFrame, fields: dict[str, "F.Column"]
+) -> DataFrame:
+    """pages -> (doc_id, field, tf_map, len): one row per doc per field.
+
+    `fields` maps field name -> Column expression producing that field's
+    text (e.g. {"title": F.substring("text", 1, 64), "contents":
+    F.col("text")}). Each field runs through the same fused
+    tokenize+count pandas UDF as the unscoped path.
+    """
+    d = pages
+    if "doc_id" not in d.columns:
+        d = assign_doc_ids(d)
+    per_field = [
+        d.select(
+            "doc_id",
+            F.lit(name).alias("field"),
+            tokenize_count_udf(expr).alias("tf_map"),
+        )
+        for name, expr in fields.items()
+    ]
+    out = per_field[0]
+    for p in per_field[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "len",
+        F.aggregate(
+            F.map_values("tf_map"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ),
+    )
+
+
+def field_tf(fdocs: DataFrame) -> DataFrame:
+    """(doc_id, field, tf_map, len) -> tf rows with field-prefixed terms.
+
+    JVM map-explode (no shuffle), identical to query.term_frequencies
+    but the emitted term is `<field>:<term>` and len is the FIELD len.
+    """
+    return fdocs.select(
+        "doc_id",
+        "len",
+        F.explode("tf_map").alias("raw_term", "tf"),
+        "field",
+    ).select(
+        "doc_id",
+        F.concat_ws(FIELD_SEP, "field", "raw_term").alias("term"),
+        F.col("tf").cast("double").alias("tf"),
+        "len",
+    )
+
+
+def field_stats(fdocs: DataFrame) -> DataFrame:
+    """-> (field, n_docs, avgdl) over docs with >= 1 token in the field
+    (Lucene docCount/avgFieldLength semantics)."""
+    return (
+        fdocs.filter(F.col("len") > 0)
+        .groupBy("field")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.avg("len").alias("avgdl"),
+        )
+    )
+
+
+def build_field_postings(
+    fdocs: DataFrame,
+    n_docs: int,
+    range_width: int | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Encode the multi-field tf stream into the standard block format.
+
+    Same ONE-shuffle pipeline as postings.build_postings; the dictionary
+    keyed by prefixed term IS the per-field df table.
+    """
+    spark = fdocs.sparkSession
+    rw = range_width or pick_range_width(
+        n_docs, spark.sparkContext.defaultParallelism
+    )
+    enc = encode_tf_rows(field_tf(fdocs), rw)
+    return enc, dictionary_from_postings(enc), rw
+
+
+def scope_query_terms(query_terms: DataFrame, field: str) -> DataFrame:
+    """(query_id, term) -> (query_id, '<field>:<term>')."""
+    return query_terms.select(
+        "query_id", F.concat_ws(FIELD_SEP, F.lit(field), "term").alias("term")
+    )
+
+
+def search_field(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    query_terms: DataFrame,
+    field: str,
+    field_n_docs: int,
+    field_avgdl: float,
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Field-scoped BM25 top-k via the production WAND path.
+
+    The prefixed query terms prune the postings scan to the field's
+    terms only; scoring uses the FIELD's (n_docs, avgdl, df)."""
+    return search_wand(
+        postings,
+        dictionary,
+        scope_query_terms(query_terms, field),
+        field_n_docs,
+        field_avgdl,
+        k=k,
+        conjunctive=conjunctive,
+    )

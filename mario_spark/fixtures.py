@@ -202,6 +202,20 @@ DOCUMENTS_QUERY_SET: list[tuple[int, str]] = [
 ]
 
 
+# Phrase (match_phrase) query set over the driver documents corpus:
+# bigrams with real support, one trigram, one OOV-term phrase (empty
+# result), one zero-adjacency phrase (both terms common, never adjacent
+# is unlikely — kept as a support probe).
+DOCUMENTS_PHRASE_SET: list[tuple[int, str]] = [
+    (0, "table hash"),
+    (1, "customer join"),
+    (2, "merge group"),
+    (3, "vector small"),
+    (4, "the fast key"),
+    (5, "zzz join"),
+]
+
+
 def make_pages_query_set(seed: int = 42, n: int = 50) -> list[tuple[int, str]]:
     """F3 query set over the synthetic pages corpus: 20 single-term
     (3 head, 3 rare, 2 OOV), 20 two-term, 10 three/four-term."""

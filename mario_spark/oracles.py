@@ -85,6 +85,106 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+def bm25_field_sql(
+    field_expr: str, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Field-scoped BM25: tokenize `field_expr` instead of text; stats
+    (n_docs, avgdl, df) are the FIELD's own — docs with zero tokens in
+    the field drop out of dl, matching Lucene docCount semantics and
+    mario_spark.fields.field_stats."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(nfc_normalize({field_expr})), '{_TOK}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def phrase_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """match_phrase oracle: per-query adjacency scan over the token
+    array (arr[p+j] = term_j for all j), phrase_tf = count of valid
+    start positions; scored as one pseudo-term with idf = sum of member
+    idfs (Lucene PhraseWeight), identically to phrase.search_phrase."""
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
+
+    q_rows, ph_selects = [], []
+    for qid, qtext in DOCUMENTS_PHRASE_SET:
+        terms = py_tokenize(qtext)
+        for t in terms:
+            q_rows.append(f"({qid}, '{t}')")
+        m = len(terms) - 1
+        conds = " AND ".join(
+            f"arr[p + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        ph_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(generate_series(1, greatest(len(arr) - {m}, 0)), "
+            f"p -> {conds}))::DOUBLE AS ptf FROM docs_t"
+        )
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM docs_t),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::DOUBLE AS len FROM docs_t WHERE len(arr) > 0),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+qidf AS (
+  SELECT q.query_id,
+         sum(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))) AS sidf
+  FROM q JOIN dfr USING (term) CROSS JOIN st
+  GROUP BY 1
+),
+ph AS ({" UNION ALL ".join(ph_selects)}),
+sc AS (
+  SELECT ph.query_id::BIGINT AS query_id, ph.doc_id,
+         qidf.sidf * (ph.ptf * ({k1} + 1.0))
+           / (ph.ptf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) AS raw
+  FROM ph
+  JOIN dl   USING (doc_id)
+  JOIN qidf USING (query_id)
+  CROSS JOIN st
+  WHERE ph.ptf > 0
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 KEYWORD_NORMALIZE = r"""
 SELECT doc_id,
        trim(lower(regexp_replace(substr(text, 1, 20) || '.', '[./;=,?]$', ''))) AS kw
@@ -487,6 +587,8 @@ ORACLES: dict[str, str] = {
     "events_windowed": EVENTS_WINDOWED,
     "bm25_topk_wand": bm25_topk_sql(),
     "bm25_topk_and": bm25_topk_sql(conjunctive=True),
+    "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
+    "phrase_topk": phrase_topk_sql(),
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
     "simhash64": _simhash_oracle(),

@@ -1,0 +1,211 @@
+"""Phrase queries (ES match_phrase) over positional postings.
+
+Lucene text fields answer match_phrase out of the box; mario's mapping
+(every `"type":"text"` field in
+/root/reference/config/es_record_mappings.json) therefore contractually
+exposes it. Round 1's block format stored no positions; this module
+pairs with postings.POSTINGS_POS_SCHEMA (the parallel `poss` VByte
+stream — Lucene's .pos file analogue) to answer phrases exactly.
+
+Semantics (Lucene PhraseQuery, slop=0):
+- A doc matches iff the terms occur at consecutive positions in order.
+- phrase_tf = number of distinct start positions of the phrase.
+- score = (Σ_t idf(t)) * tf_sat(phrase_tf, doc_len) — the phrase is
+  scored as one pseudo-term whose idf is the sum of member idfs and
+  whose tf is the phrase frequency, exactly Lucene's PhraseWeight.
+
+Distributed shape = search_wand's: document-partitioned postings,
+per-dbucket batch kernel (a phrase's candidate docs need ALL member
+terms in the same dbucket — postings of one doc never straddle
+buckets), tiny per-query rank over bucket-local top-k. The postings
+scan is pruned to the phrase's terms (pushed filter), and the position
+intersection runs only over docs that survive the doc-id intersection
+of every member term — the classic prox-evaluation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mario_spark import codec
+from mario_spark.analyze import tokenize_positions_udf
+from mario_spark.docs import assign_doc_ids
+from mario_spark.postings import decode_block_positions
+from mario_spark.postings import idf as _idf
+from mario_spark.query import B, K1, SCORE_DECIMALS
+
+
+def positional_tf(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, term, tf, len, positions).
+
+    One fused pandas-UDF pass; the map explode is JVM-side (no extra
+    shuffle), mirroring docs.build_doc_table/query.term_frequencies.
+    """
+    d = documents
+    if "doc_id" not in d.columns:
+        d = assign_doc_ids(d)
+    base = d.select(
+        "doc_id", tokenize_positions_udf("text").alias("pm")
+    ).withColumn(
+        "len",
+        F.aggregate(
+            F.map_values("pm"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.size(x).cast("long"),
+        ),
+    )
+    return base.select(
+        "doc_id", "len", F.explode("pm").alias("term", "positions")
+    ).select(
+        "doc_id",
+        "term",
+        F.size("positions").cast("double").alias("tf"),
+        "len",
+        "positions",
+    )
+
+
+class _PosTermData:
+    """Fully decoded positional postings of one term in one dbucket."""
+
+    __slots__ = ("ids", "lens", "pos_flat", "pos_starts")
+
+    def __init__(self, rows: pd.DataFrame):
+        ids_l, lens_l, pflat_l = [], [], []
+        counts_l = []
+        for r in rows.itertuples(index=False):
+            tfs = codec.vbyte_decode(r.tfs).astype(np.int64)
+            ids_l.append(codec.decode_doc_ids(r.doc_ids))
+            lens_l.append(codec.vbyte_decode(r.lens).astype(np.float64))
+            flat, _ = decode_block_positions(r.poss, tfs)
+            pflat_l.append(flat)
+            counts_l.append(tfs)
+        self.ids = np.concatenate(ids_l)
+        self.lens = np.concatenate(lens_l)
+        self.pos_flat = np.concatenate(pflat_l)
+        counts = np.concatenate(counts_l)
+        self.pos_starts = np.concatenate(([0], np.cumsum(counts)))
+
+    def positions_of(self, row_idx: int) -> np.ndarray:
+        return self.pos_flat[
+            self.pos_starts[row_idx] : self.pos_starts[row_idx + 1]
+        ]
+
+
+def _phrase_kernel(
+    pdf: pd.DataFrame,
+    queries: list[tuple[int, list[str]]],
+    idf_map: dict[str, float],
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """Score every phrase query against one dbucket."""
+    tds: dict[str, _PosTermData] = {
+        t: _PosTermData(g.sort_values("block_id"))
+        for t, g in pdf.groupby("term", sort=False)
+    }
+    out_q, out_d, out_s = [], [], []
+    for qid, qterms in queries:
+        if any(t not in tds for t in qterms):
+            continue  # phrase needs every term; none of it is in here
+        term_tds = [tds[t] for t in qterms]
+        # doc-id intersection, rarest member first
+        order = np.argsort([td.ids.size for td in term_tds])
+        cand = term_tds[order[0]].ids
+        for oi in order[1:]:
+            cand = cand[np.isin(cand, term_tds[oi].ids, assume_unique=True)]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        sum_idf = sum(idf_map[t] for t in qterms)
+        rows_per_term = [
+            np.searchsorted(td.ids, cand) for td in term_tds
+        ]
+        doc_out, ptf_out, len_out = [], [], []
+        for ci in range(cand.size):
+            starts = term_tds[0].positions_of(int(rows_per_term[0][ci]))
+            for j in range(1, len(term_tds)):
+                pj = term_tds[j].positions_of(int(rows_per_term[j][ci]))
+                starts = starts[np.isin(starts + j, pj, assume_unique=True)]
+                if starts.size == 0:
+                    break
+            if starts.size:
+                doc_out.append(int(cand[ci]))
+                ptf_out.append(starts.size)
+                len_out.append(
+                    float(term_tds[0].lens[int(rows_per_term[0][ci])])
+                )
+        if not doc_out:
+            continue
+        ids = np.asarray(doc_out, dtype=np.int64)
+        ptf = np.asarray(ptf_out, dtype=np.float64)
+        dl = np.asarray(len_out, dtype=np.float64)
+        scores = (
+            sum_idf * ptf * (k1 + 1.0)
+            / (ptf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+        top = np.lexsort((ids, -scores))[:k]
+        out_q.append(np.full(top.size, qid, dtype=np.int64))
+        out_d.append(ids[top])
+        out_s.append(scores[top])
+    if not out_q:
+        return pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64"})
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
+def search_phrase(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    phrase_queries: list[tuple[int, list[str]]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """positional postings x phrases -> (query_id, rank, doc_id, score).
+
+    `phrase_queries` is [(query_id, [ordered terms])]; terms must be in
+    analyzer-output form (use analyze.py_tokenize on raw text). Plan is
+    search_wand's: term-pruned scan -> per-dbucket kernel -> per-query
+    rank window over the tiny candidate union.
+    """
+    terms = sorted({t for _, ts in phrase_queries for t in ts})
+    df_rows = dictionary.filter(F.col("term").isin(terms)).collect()
+    idf_map = {r["term"]: _idf(float(n_docs), float(r["df"])) for r in df_rows}
+    # a phrase containing an OOV term matches nothing — drop it now
+    queries = [
+        (qid, ts)
+        for qid, ts in phrase_queries
+        if all(t in idf_map for t in ts)
+    ]
+    cand = postings.filter(F.col("term").isin(terms))
+    ad = float(avgdl)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _phrase_kernel(pdf, queries, idf_map, ad, k, k1, b)
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -75,6 +75,12 @@ POSTINGS_SCHEMA = (
     "max_tf int, min_len long"
 )
 
+# positional variant: + `poss`, a VByte stream of token positions —
+# per doc, delta-coded (first position absolute), exactly tf values per
+# doc, concatenated in block doc order. Parallel to `tfs`, which is the
+# split key at decode time (Lucene's .prx/.pos stream analogue).
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", poss binary"
+
 _COLS = [
     "term", "dbucket", "block_id", "first_doc", "last_doc", "n",
     "doc_ids", "tfs", "lens", "max_tf", "min_len",
@@ -102,10 +108,16 @@ def _encode_groups(
     ids: np.ndarray,
     tfs: np.ndarray,
     lens: np.ndarray,
+    pos_flat: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Encode pre-grouped postings (one group per (term, dbucket),
     doc_id-ascending within each; `sizes[g]` rows per group) into block
-    rows. Fully vectorized; one bytes-slice per output block."""
+    rows. Fully vectorized; one bytes-slice per output block.
+
+    `pos_flat`, when given, is the concatenation of every row's token
+    positions (row r contributes exactly int(tfs[r]) ascending values);
+    it is delta-coded per row and emitted as the parallel `poss` stream.
+    """
     total = int(sizes.sum())
     group_starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
     group_of_row = np.repeat(np.arange(sizes.size), sizes)
@@ -136,22 +148,40 @@ def _encode_groups(
         return [buf[a:z] for a, z in zip(s.tolist(), e.tolist())]
 
     g_of_block = group_of_row[block_starts]
-    return pd.DataFrame(
-        {
-            "term": terms[g_of_block],
-            "dbucket": dbuckets[g_of_block].astype(np.int32),
-            "block_id": (pos_in_group[block_starts] // BLOCK_SIZE).astype(np.int32),
-            "first_doc": ids[block_starts],
-            "last_doc": ids[block_ends - 1],
-            "n": (block_ends - block_starts).astype(np.int32),
-            "doc_ids": _slices(id_buf, id_off),
-            "tfs": _slices(tf_buf, tf_off),
-            "lens": _slices(ln_buf, ln_off),
-            "max_tf": max_tf.astype(np.int32),
-            "min_len": min_len.astype(np.int64),
-        },
-        columns=_COLS,
-    )
+    cols = {
+        "term": terms[g_of_block],
+        "dbucket": dbuckets[g_of_block].astype(np.int32),
+        "block_id": (pos_in_group[block_starts] // BLOCK_SIZE).astype(np.int32),
+        "first_doc": ids[block_starts],
+        "last_doc": ids[block_ends - 1],
+        "n": (block_ends - block_starts).astype(np.int32),
+        "doc_ids": _slices(id_buf, id_off),
+        "tfs": _slices(tf_buf, tf_off),
+        "lens": _slices(ln_buf, ln_off),
+        "max_tf": max_tf.astype(np.int32),
+        "min_len": min_len.astype(np.int64),
+    }
+    if pos_flat is None:
+        return pd.DataFrame(cols, columns=_COLS)
+
+    # positions stream: delta within each ROW (every row's first
+    # position stored absolute — rows are the reset points, so the
+    # uint64 wrap of cross-row diffs is overwritten before encoding)
+    tfi = tfs.astype(np.int64)
+    row_pos_start = np.concatenate(([0], np.cumsum(tfi)))  # len total+1
+    gaps_p = pos_flat.astype(np.uint64).copy()
+    if pos_flat.size > 1:
+        gaps_p[1:] = (pos_flat[1:] - pos_flat[:-1]).astype(np.uint64)
+    row_heads = row_pos_start[:-1]  # every row has tf >= 1
+    gaps_p[row_heads] = pos_flat[row_heads].astype(np.uint64)
+    pos_buf, pos_off = codec.vbyte_encode_with_offsets(gaps_p)
+    # block b covers position indices [row_pos_start[bs], row_pos_start[be])
+    p_s = row_pos_start[block_starts]
+    p_e = row_pos_start[block_ends]
+    s = np.where(p_s > 0, pos_off[p_s - 1], 0)
+    e = pos_off[p_e - 1]
+    cols["poss"] = [pos_buf[a:z] for a, z in zip(s.tolist(), e.tolist())]
+    return pd.DataFrame(cols, columns=_COLS + ["poss"])
 
 
 def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -164,13 +194,24 @@ def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         new[1:] = (t[1:] != t[:-1]) | (db[1:] != db[:-1])
     starts = np.flatnonzero(new)
     sizes = np.diff(np.concatenate((starts, [len(pdf)])))
+    tf_arr = pdf["tf"].to_numpy(np.float64)
+    pos_flat = None
+    if "positions" in pdf.columns:
+        from itertools import chain
+
+        pos_flat = np.fromiter(
+            chain.from_iterable(pdf["positions"]),
+            dtype=np.int64,
+            count=int(tf_arr.sum()),
+        )
     return _encode_groups(
         t[starts],
         db[starts],
         sizes,
         pdf["doc_id"].to_numpy(np.int64),
-        pdf["tf"].to_numpy(np.float64),
+        tf_arr,
         pdf["len"].to_numpy(np.int64),
+        pos_flat,
     )
 
 
@@ -250,7 +291,10 @@ def encode_tf_rows(
     s = tf2.repartition(parts, "term", "dbucket").sortWithinPartitions(
         "term", "dbucket", "doc_id"
     )
-    return s.mapInPandas(_encode_partition, POSTINGS_SCHEMA)
+    schema = (
+        POSTINGS_POS_SCHEMA if "positions" in tf.columns else POSTINGS_SCHEMA
+    )
+    return s.mapInPandas(_encode_partition, schema)
 
 
 def block_upper_bound(
@@ -265,6 +309,25 @@ def block_upper_bound(
     mt = np.asarray(max_tf, dtype=np.float64)
     ml = np.asarray(min_len, dtype=np.float64)
     return idf_t * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * ml / avgdl))
+
+
+def decode_block_positions(
+    poss: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block's `poss` stream.
+
+    -> (flat absolute positions, row-start offsets): doc r of the block
+    owns flat[starts[r]:starts[r+1]]. The per-row delta reset is undone
+    with the grouped-cumsum trick (no per-row Python loop).
+    """
+    tfi = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfi)))
+    flat = codec.vbyte_decode(poss).astype(np.int64)
+    if flat.size == 0:
+        return flat, starts
+    cs = np.cumsum(flat)
+    base = cs[starts[:-1]] - flat[starts[:-1]]
+    return cs - np.repeat(base, tfi), starts
 
 
 def decode_postings_pdf(pdf: pd.DataFrame) -> Iterator[tuple]:

@@ -89,6 +89,56 @@ def bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_topk_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped search (ES `title:` query): per-field inverted index
+    via field-prefixed posting keys; BM25 uses the TITLE field's own
+    df/n_docs/avgdl (Lucene per-field stats). documents has no separate
+    title column, so title := first 64 chars of text (deterministic,
+    oracle-identical); contents := full text is indexed alongside to
+    prove coexistence in one postings table."""
+    from mario_spark import fields as fieldsmod
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    fdocs = fieldsmod.build_field_doc_table(
+        d, {"title": F.substring("text", 1, 64), "contents": F.col("text")}
+    ).persist()
+    st = {r["field"]: r for r in fieldsmod.field_stats(fdocs).collect()}
+    total_docs = max(r["n_docs"] for r in st.values())
+    post, dic, _ = fieldsmod.build_field_postings(fdocs, total_docs)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return fieldsmod.search_field(
+        post, dic, q, "title", st["title"]["n_docs"], st["title"]["avgdl"], k=10
+    )
+
+
+def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase (slop=0) over positional postings: the parallel
+    `poss` VByte stream stores 0-based token positions; a doc matches
+    iff the phrase terms occur consecutively in order. Scored as one
+    pseudo-term (Lucene PhraseWeight): idf = sum of member idfs,
+    tf = phrase frequency."""
+    from mario_spark import docs as docsmod
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
+    from mario_spark.postings import dictionary_from_postings, encode_tf_rows, pick_range_width
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    tfpos = ph.positional_tf(d).persist()
+    st = docsmod.corpus_stats(
+        tfpos.select("doc_id", "len").distinct()
+    ).collect()[0]
+    rw = pick_range_width(
+        st["n_docs"], spark.sparkContext.defaultParallelism
+    )
+    post = encode_tf_rows(tfpos, rw)
+    dic = dictionary_from_postings(post)
+    queries = [(qid, py_tokenize(q)) for qid, q in DOCUMENTS_PHRASE_SET]
+    return ph.search_phrase(
+        post, dic, queries, st["n_docs"], st["avgdl"], k=10
+    )
+
+
 def keyword_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 keyword_no_trailing_punctuation analyzer (reference:
     /root/reference/config/es_record_mappings.json:5-22), applied to a
@@ -397,6 +447,8 @@ SUITE = {
     "events_windowed": events_windowed,
     "bm25_topk_wand": bm25_topk_wand,
     "bm25_topk_and": bm25_topk_and,
+    "bm25_topk_title": bm25_topk_title,
+    "phrase_topk": phrase_topk,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash64": simhash64,

@@ -1,0 +1,144 @@
+"""Positional postings, phrase queries, and field-scoped search
+(round-2 capabilities: SURVEY §2.2 B1/B7 extensions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mario_spark import codec
+from mario_spark.postings import _encode_groups, decode_block_positions
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- positions stream codec
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=4000),
+            min_size=1,
+            max_size=20,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_positions_roundtrip(rows):
+    """Encode N docs' position lists through the block encoder, decode
+    every block back, and require exact recovery."""
+    rows = [sorted(r) for r in rows]
+    n = len(rows)
+    ids = np.arange(n, dtype=np.int64)
+    tfs = np.array([len(r) for r in rows], dtype=np.float64)
+    lens = np.full(n, 50, dtype=np.int64)
+    pos_flat = np.array([p for r in rows for p in r], dtype=np.int64)
+    out = _encode_groups(
+        np.array(["t"]),
+        np.array([0]),
+        np.array([n]),
+        ids,
+        tfs,
+        lens,
+        pos_flat,
+    )
+    got_rows = []
+    for r in out.sort_values("block_id").itertuples(index=False):
+        btfs = codec.vbyte_decode(r.tfs).astype(np.int64)
+        flat, starts = decode_block_positions(r.poss, btfs)
+        for i in range(len(btfs)):
+            got_rows.append(flat[starts[i] : starts[i + 1]].tolist())
+    assert got_rows == rows
+
+
+# ------------------------------------------------------ phrase semantics
+def _phrase_results(spark, texts, phrase, k=10):
+    from mario_spark import docs as docsmod
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.postings import dictionary_from_postings, encode_tf_rows
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tfpos = ph.positional_tf(d)
+    st_ = docsmod.corpus_stats(
+        tfpos.select("doc_id", "len").distinct()
+    ).collect()[0]
+    post = encode_tf_rows(tfpos, 256)
+    dic = dictionary_from_postings(post)
+    out = ph.search_phrase(
+        post, dic, [(0, py_tokenize(phrase))], st_["n_docs"], st_["avgdl"], k=k
+    )
+    return out.toPandas().sort_values("rank", ignore_index=True)
+
+
+def test_phrase_exact_adjacency(spark):
+    texts = [
+        "big data table scan",     # 0: has "data table"
+        "data big table scan",     # 1: both words, NOT adjacent
+        "table data big scan",     # 2: reversed order — no match
+        "x data table data table", # 3: phrase twice (higher tf)
+        "no relevant words here",  # 4
+    ]
+    got = _phrase_results(spark, texts, "data table")
+    assert set(got["doc_id"]) == {0, 3}
+    # doc 3 has phrase_tf 2 > doc 0's 1 and similar length: ranks first
+    assert got.iloc[0]["doc_id"] == 3
+
+
+def test_phrase_single_term_equals_tf_scoring(spark):
+    texts = ["a b a", "a a a a", "b b"]
+    got = _phrase_results(spark, texts, "a")
+    assert set(got["doc_id"]) == {0, 1}
+    assert got.iloc[0]["doc_id"] == 1  # higher tf wins
+
+
+def test_phrase_trigram_and_oov(spark):
+    texts = ["one two three four", "one two x three"]
+    got = _phrase_results(spark, texts, "one two three")
+    assert got["doc_id"].tolist() == [0]
+    got2 = _phrase_results(spark, texts, "zzzmissing two")
+    assert len(got2) == 0
+
+
+# ------------------------------------------------------ field-scoped BM25
+def test_field_scoped_stats_differ_from_global(spark):
+    """title-scoped search must use the title field's own df/avgdl —
+    a term frequent in contents but absent from titles scores nothing."""
+    from pyspark.sql import functions as F
+
+    from mario_spark import fields as fieldsmod
+    from mario_spark.fixtures import query_terms_df
+
+    rows = [
+        (0, "alpha beta", "alpha beta gamma delta common common common"),
+        (1, "gamma delta", "gamma delta common common alpha"),
+        (2, "common words", "totally different text body"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    fdocs = fieldsmod.build_field_doc_table(
+        d, {"title": F.col("title"), "contents": F.col("body")}
+    ).persist()
+    stats = {r["field"]: r for r in fieldsmod.field_stats(fdocs).collect()}
+    post, dic, _ = fieldsmod.build_field_postings(fdocs, 3, range_width=256)
+    q = query_terms_df(spark, [(0, "alpha")])
+    title_hits = fieldsmod.search_field(
+        post, dic, q, "title",
+        stats["title"]["n_docs"], stats["title"]["avgdl"],
+    ).toPandas()
+    body_hits = fieldsmod.search_field(
+        post, dic, q, "contents",
+        stats["contents"]["n_docs"], stats["contents"]["avgdl"],
+    ).toPandas()
+    # 'alpha' is in title of doc 0 only, but in contents of docs 0 and 1
+    assert title_hits["doc_id"].tolist() == [0]
+    assert set(body_hits["doc_id"]) == {0, 1}
+    # per-field dictionary: prefixed terms carry per-field df
+    dic_pdf = dic.toPandas().set_index("term")["df"]
+    assert dic_pdf["title:alpha"] == 1
+    assert dic_pdf["contents:alpha"] == 2
