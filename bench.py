@@ -100,6 +100,34 @@ def main() -> None:
     )
     extra["sec_per_query_wand"] = round(timings["bm25_wand"] / len(qset), 4)
 
+    # warm serving path (QuerySession: dbucket-partitioned cached
+    # postings, driver-side term dictionary — no shuffle, no per-query
+    # dictionary job). Batch amortizes Spark's job floor; the single-
+    # query line is that floor plus the kernel.
+    from mario_spark.wand import QuerySession
+
+    sess = QuerySession(
+        built["post"], built["dic"],
+        built["st"]["n_docs"], built["st"]["avgdl"],
+    ).warm()
+    sess.search(qset[:3]).count()  # plan/codegen warm-up
+
+    t0 = time.perf_counter()
+    sess.search(qset, k=10).count()
+    timings["bm25_wand_session"] = round(time.perf_counter() - t0, 3)
+    extra["sec_per_query_session"] = round(
+        timings["bm25_wand_session"] / len(qset), 4
+    )
+
+    singles = [qset[i] for i in (0, 5, 21, 30, 45)]
+    t0 = time.perf_counter()
+    for qid, qtext in singles:
+        sess.search([(qid, qtext)], k=10).count()
+    timings["bm25_wand_single"] = round(time.perf_counter() - t0, 3)
+    extra["sec_per_query_single"] = round(
+        timings["bm25_wand_single"] / len(singles), 4
+    )
+
     timed(
         "bm25_exhaustive",
         lambda: query.search_exhaustive(built["d"], qdf, k=10).count(),
@@ -112,6 +140,9 @@ def main() -> None:
         "exact_dedup_groups",
         "q1_pricing_summary",
         "q3_top_orders",
+        "phrase_topk",
+        "bm25_topk_title",
+        "simhash_pairs",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())

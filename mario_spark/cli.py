@@ -77,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
         "-c", "--consumer", default="index",
         choices=["index", "json", "title", "silent"],
     )
+    p.add_argument(
+        "--positions", action="store_true",
+        help="index token positions (enables phrase queries)",
+    )
     p.add_argument("file")
 
     p = sub.add_parser("promote")
@@ -92,6 +96,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("query")
     p.add_argument("-i", "--index", required=True, help="index name or alias")
     p.add_argument("-k", type=int, default=10)
+    p.add_argument(
+        "--phrase", action="store_true",
+        help="match_phrase (requires an index ingested with --positions)",
+    )
     p.add_argument("text", nargs="+")
 
     p = sub.add_parser("merge")
@@ -127,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.new_index:
             name = cat.index_name(args.source)
             idx = cat.create(name)
-            st = idx.ingest(pages, source=args.file)
+            st = idx.ingest(pages, source=args.file, positions=args.positions)
         else:
             name = cat.current(args.source)
             if name is None:
@@ -152,8 +160,11 @@ def main(argv: list[str] | None = None) -> int:
         from mario_spark.fixtures import query_terms_df
 
         idx = cat.resolve(args.index)
-        q = query_terms_df(spark, [(0, " ".join(args.text))])
-        res = idx.search(q, k=args.k)
+        if args.phrase:
+            res = idx.search_phrase([(0, " ".join(args.text))], k=args.k)
+        else:
+            q = query_terms_df(spark, [(0, " ".join(args.text))])
+            res = idx.search(q, k=args.k)
         docs = idx.docs().select("doc_id", "url")
         out = (
             res.join(F.broadcast(docs.join(res.select("doc_id"), "doc_id")), "doc_id")

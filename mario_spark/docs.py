@@ -64,15 +64,25 @@ def assign_doc_ids(
     return out
 
 
-def build_doc_table(pages: DataFrame, extract_html: bool = False) -> DataFrame:
-    """pages -> docs(doc_id, url, lang, len, tf_map).
+def build_doc_table(
+    pages: DataFrame, extract_html: bool = False, positions: bool = False
+) -> DataFrame:
+    """pages -> docs(doc_id, url, lang, len, tf_map | pos_map).
 
     Stages: (optional) html->text extraction; slim projection (html and
     any other heavy columns are dropped BEFORE the doc-id range shuffle);
     dense doc_id assignment (kept if the source already has one); fused
     tokenize+count pandas UDF producing tf_map; len = sum(tf) (the
     Lucene norm input) computed JVM-side from the map.
+
+    positions=True swaps the fused UDF for the positional one: pos_map =
+    map<term, [token ordinals]> (tf = array size). Downstream
+    (term_frequencies -> encode) auto-detects the column and emits the
+    positional block schema, which serves BOTH plain BM25/WAND queries
+    and match_phrase — Lucene's indexed-with-positions field, exactly.
     """
+    from mario_spark.analyze import tokenize_positions_udf
+
     d = pages
     if extract_html:
         d = d.withColumn("text", extract_udf("html"))
@@ -80,6 +90,16 @@ def build_doc_table(pages: DataFrame, extract_html: bool = False) -> DataFrame:
     d = d.select(*keep)
     if "doc_id" not in d.columns:
         d = assign_doc_ids(d)
+    if positions:
+        d = d.withColumn("pos_map", tokenize_positions_udf("text")).drop("text")
+        return d.withColumn(
+            "len",
+            F.aggregate(
+                F.map_values("pos_map"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.size(x).cast("long"),
+            ),
+        )
     d = d.withColumn("tf_map", tokenize_count_udf("text")).drop("text")
     return d.withColumn(
         "len",

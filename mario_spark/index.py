@@ -57,20 +57,55 @@ from mario_spark.wand import search_wand
 DOCS_COLS = ["doc_id", "url", "lang", "len"]
 
 
+class Committer:
+    """Pluggable atomic-commit backend for catalog metadata.
+
+    Every piece of index metadata (segment markers, index meta, alias
+    registry) becomes visible through exactly ONE commit_json call —
+    that is the engine's only atomicity primitive, so swapping this
+    class is all it takes to move the catalog off a POSIX filesystem:
+
+    - FileCommitter (default): tmp-file + os.replace — atomic on POSIX,
+      correct for local disks and NFS.
+    - An object-store backend would implement commit_json with a
+      conditional put (S3 If-None-Match / GCS x-goog-if-generation-match)
+      or as an Iceberg catalog commit (the layout is already
+      Iceberg-shaped: immutable data files + tiny metadata pointers).
+      Readers never need the analogous swap because data files are
+      immutable once their marker commits.
+    """
+
+    def commit_json(self, path: str, obj: dict) -> None:
+        raise NotImplementedError
+
+    def read_json(self, path: str) -> dict | None:
+        raise NotImplementedError
+
+
+class FileCommitter(Committer):
+    def commit_json(self, path: str, obj: dict) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    def read_json(self, path: str) -> dict | None:
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+
+_COMMITTER = FileCommitter()
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
-    """Single-commit JSON write (tmp + rename). The Iceberg analogue is
-    a catalog commit; on POSIX rename is atomic."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    """Single-commit JSON write via the module committer."""
+    _COMMITTER.commit_json(path, obj)
 
 
 def _read_json(path: str) -> dict | None:
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        return json.load(f)
+    return _COMMITTER.read_json(path)
 
 
 @dataclass
@@ -123,8 +158,15 @@ class Index:
         extract_html: bool = False,
         source: str = "",
         fail_after_segment: int | None = None,
+        positions: bool = False,
     ) -> dict:
         """Build (or resume building) the index from a pages DataFrame.
+
+        positions=True indexes token positions too (Lucene
+        indexed-with-positions): postings gain the `poss` stream and the
+        index answers match_phrase via search_phrase(); BM25/WAND
+        queries are unaffected. The choice is pinned in _meta.json so
+        appends and compactions keep the same format.
 
         `fail_after_segment` exists for the resume test: raises after
         committing that many segments, simulating a mid-build crash.
@@ -153,6 +195,7 @@ class Index:
                 "b": B,
                 "created": time.strftime("%Y-%m-%dt%H-%M-%Sz", time.gmtime()),
                 "slim_cols": slim_cols,
+                "positions": positions,
             }
             _atomic_write_json(self.paths.meta, meta)
         rw = meta["range_width"]
@@ -193,10 +236,13 @@ class Index:
     def _build_segment(self, slim: DataFrame, seg_id: int, lo: int, hi: int, rw: int) -> None:
         sp = self.spark
         p = self.paths
+        meta = _read_json(p.meta) or {}
         seg_dir = p.seg(seg_id)
         os.makedirs(seg_dir, exist_ok=True)
         sl = slim.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        d = docsmod.build_doc_table(sl).persist()
+        d = docsmod.build_doc_table(
+            sl, positions=bool(meta.get("positions"))
+        ).persist()
         seg_rows = d.agg(
             F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s")
         ).collect()[0]
@@ -337,6 +383,27 @@ class Index:
             st["n_docs"], st["avgdl"], k=k,
         )
 
+    def search_phrase(
+        self, phrases: list[tuple[int, str]], k: int = 10
+    ) -> DataFrame:
+        """match_phrase over a positions=True index:
+        [(query_id, raw phrase text)] -> (query_id, rank, doc_id, score)."""
+        from mario_spark.analyze import py_tokenize
+        from mario_spark.phrase import search_phrase
+
+        meta = _read_json(self.paths.meta) or {}
+        if not meta.get("positions"):
+            raise ValueError(
+                f"index '{self.paths.name}' was built without positions; "
+                "re-ingest with positions=True to enable phrase queries"
+            )
+        st = self.stats()
+        queries = [(qid, py_tokenize(text)) for qid, text in phrases]
+        return search_phrase(
+            self.postings(), self.dictionary(), queries,
+            st["n_docs"], st["avgdl"], k=k,
+        )
+
 
 # ---------------------------------------------------------------- catalog
 class Catalog:
@@ -417,11 +484,37 @@ class Catalog:
         if os.path.isdir(base):
             shutil.rmtree(base)
 
-    # A14 — reindex = server-side copy; here a segment-preserving copy
+    # A14 — reindex. The reference's is a server-side copy
+    # (elastic.go:154-164); at 100TB this must be a distributed
+    # INSERT...SELECT, so the parquet payloads are copied by Spark
+    # read->write per committed segment (scales with the cluster, never
+    # streams through the driver). Only the tiny JSON markers move
+    # driver-side, and each segment becomes visible in dst only when its
+    # _seg.json lands (same atomic-rename commit as ingest), so a
+    # crashed reindex re-runs cleanly and readers never see a partial
+    # destination segment.
     def reindex(self, src: str, dst: str) -> int:
         s = self.open(src)
         d = self.create(dst)
-        shutil.copytree(s.paths.base, d.paths.base, dirs_exist_ok=True)
+        meta = _read_json(s.paths.meta)
+        if meta is not None:
+            m2 = dict(meta)
+            m2["name"] = dst
+            _atomic_write_json(d.paths.meta, m2)
+        for seg in s.paths.committed_segments():
+            seg_src, seg_dst = s.paths.seg(seg), d.paths.seg(seg)
+            os.makedirs(seg_dst, exist_ok=True)
+            for sub in ("docs", "postings", "dictionary"):
+                self.spark.read.parquet(
+                    os.path.join(seg_src, sub)
+                ).write.mode("overwrite").parquet(os.path.join(seg_dst, sub))
+            os.makedirs(os.path.join(d.paths.base, "manifest"), exist_ok=True)
+            self.spark.read.parquet(s.paths.manifest(seg)).write.mode(
+                "overwrite"
+            ).parquet(d.paths.manifest(seg))
+            _atomic_write_json(
+                d.paths.seg_meta(seg), _read_json(s.paths.seg_meta(seg)) or {}
+            )
         return d.stats()["n_docs"]
 
     # A15 — listings

@@ -44,31 +44,47 @@ from mario_spark.index import Index, _atomic_write_json, _read_json
 from mario_spark.postings import encode_tf_rows
 
 TF_ROWS_SCHEMA = "term string, doc_id long, tf long, len long"
+TF_ROWS_POS_SCHEMA = TF_ROWS_SCHEMA + ", positions array<int>"
 
 
 def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Posting blocks -> raw tf rows, vectorized per Arrow batch."""
+    """Posting blocks -> raw tf rows, vectorized per Arrow batch. A
+    positional index (poss column) round-trips its positions so
+    compaction preserves phrase-query capability."""
     for pdf in batches:
         if not len(pdf):
             continue
-        terms, ids, tfs, lens = [], [], [], []
+        has_pos = "poss" in pdf.columns
+        ids, tfs, lens, pos_rows = [], [], [], []
         counts = pdf["n"].to_numpy(np.int64)
         for r in pdf.itertuples(index=False):
+            btfs = codec.vbyte_decode(r.tfs)
             ids.append(codec.decode_doc_ids(r.doc_ids))
-            tfs.append(codec.vbyte_decode(r.tfs))
+            tfs.append(btfs)
             lens.append(codec.vbyte_decode(r.lens))
-        yield pd.DataFrame(
-            {
-                "term": np.repeat(pdf["term"].to_numpy(), counts),
-                "doc_id": np.concatenate(ids),
-                "tf": np.concatenate(tfs).astype(np.int64),
-                "len": np.concatenate(lens).astype(np.int64),
-            }
-        )
+            if has_pos:
+                from mario_spark.postings import decode_block_positions
+
+                flat, starts = decode_block_positions(
+                    r.poss, btfs.astype(np.int64)
+                )
+                pos_rows.extend(np.split(flat, starts[1:-1]))
+        cols = {
+            "term": np.repeat(pdf["term"].to_numpy(), counts),
+            "doc_id": np.concatenate(ids),
+            "tf": np.concatenate(tfs).astype(np.int64),
+            "len": np.concatenate(lens).astype(np.int64),
+        }
+        if has_pos:
+            cols["positions"] = pos_rows
+        yield pd.DataFrame(cols)
 
 
 def decode_to_tf_rows(postings: DataFrame) -> DataFrame:
-    return postings.mapInPandas(_decode_partition, TF_ROWS_SCHEMA)
+    schema = (
+        TF_ROWS_POS_SCHEMA if "poss" in postings.columns else TF_ROWS_SCHEMA
+    )
+    return postings.mapInPandas(_decode_partition, schema)
 
 
 def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:

@@ -265,6 +265,35 @@ SELECT o_orderkey,
 FROM s
 """
 
+DATE_RANGE_QUERY = """
+WITH r AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN strftime(o_orderdate, '%Y')
+              WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%Y-%m')
+              WHEN o_orderkey % 4 = 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+              ELSE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '+02:00' END AS gte_s,
+         strftime(o_orderdate + (o_orderkey % 60 + 1) * INTERVAL 1 DAY,
+                  '%Y-%m-%d') AS lte_s
+  FROM orders
+),
+p AS (
+  SELECT o_orderkey,
+         coalesce(try_strptime(gte_s, '%Y-%m-%dT%H:%M:%S%z') AT TIME ZONE 'UTC',
+                  try_strptime(gte_s, '%Y-%m-%dT%H:%M:%S'),
+                  try_strptime(gte_s, '%Y-%m-%d'),
+                  try_strptime(gte_s, '%Y-%m'),
+                  try_strptime(gte_s, '%Y')) AS lo,
+         try_strptime(lte_s, '%Y-%m-%d') AS hi
+  FROM r
+)
+SELECT o_orderkey,
+       strftime(lo, '%Y-%m-%d %H:%M:%S') AS lo_ts,
+       strftime(hi, '%Y-%m-%d %H:%M:%S') AS hi_ts
+FROM p
+WHERE lo <= TIMESTAMP '1995-07-15 23:59:59'
+  AND hi >= TIMESTAMP '1995-06-01 00:00:00'
+"""
+
 # ---------------------------------------------------- training-pipeline ops
 # distinct (doc_id, term) pairs — same tokenizer as _TOKS_CTE
 _DTERMS_CTE = f"""
@@ -584,6 +613,7 @@ ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_PRICING_SUMMARY,
     "q3_top_orders": Q3_TOP_ORDERS,
     "date_parse_cascade": DATE_PARSE_CASCADE,
+    "date_range_query": DATE_RANGE_QUERY,
     "events_windowed": EVENTS_WINDOWED,
     "bm25_topk_wand": bm25_topk_sql(),
     "bm25_topk_and": bm25_topk_sql(conjunctive=True),

@@ -42,6 +42,18 @@ def term_frequencies(docs: DataFrame) -> DataFrame:
     same reason). Falls back to explode+hash-agg for a raw `tokens`
     array column.
     """
+    if "pos_map" in docs.columns:
+        # positional doc table: tf = positions count; the positions
+        # column rides along so the encoder emits the poss stream
+        return docs.select(
+            "doc_id", "len", F.explode("pos_map").alias("term", "positions")
+        ).select(
+            "doc_id",
+            "term",
+            F.size("positions").cast("double").alias("tf"),
+            "len",
+            "positions",
+        )
     if "tf_map" in docs.columns:
         return docs.select(
             "doc_id", "len", F.explode("tf_map").alias("term", "tf")

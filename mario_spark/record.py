@@ -141,15 +141,74 @@ def read_records(spark: SparkSession, path: str) -> DataFrame:
 
 def parse_date_expr(col) -> "F.Column":
     """B11 date cascade (es_record_mappings.json:121-127):
-    strict_year || strict_year_month || date_optional_time || date."""
+    strict_year || strict_year_month || date_optional_time || date ||
+    basic_date. date_optional_time is ISO-8601 with optional time,
+    fractional seconds and zone offset — the full ladder below, most
+    specific first (zone offsets resolve against the engine's pinned
+    UTC session timezone, so instants are normalized like ES does)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
         F.try_to_timestamp(c, F.lit("yyyyMMdd")),
         F.try_to_timestamp(c, F.lit("yyyy-MM")),
         F.try_to_timestamp(c, F.lit("yyyy")),
     )
+
+
+# ------------------------------------------------------- date_range (B11)
+# ES `date_range` fields (Range struct gt/gte/lt/lte, record.go:108-113,
+# mapping es_record_mappings.json:115-118) answer range queries with a
+# `relation` of intersects (default) / contains / within. Bounds are
+# strings parsed through the same cascade; gt/lt are exclusive, gte/lte
+# inclusive; a missing side is unbounded.
+
+
+def _range_bounds(gt, gte, lt, lte):
+    """-> (lo, lo_incl, hi, hi_incl) Columns; lo/hi NULL = unbounded."""
+    lo = F.coalesce(parse_date_expr(gte), parse_date_expr(gt))
+    lo_incl = parse_date_expr(gte).isNotNull()
+    hi = F.coalesce(parse_date_expr(lte), parse_date_expr(lt))
+    hi_incl = parse_date_expr(lte).isNotNull()
+    return lo, lo_incl, hi, hi_incl
+
+
+def range_query_expr(gt, gte, lt, lte, q_lo, q_hi, relation: str = "intersects"):
+    """Predicate: does the row's [gt/gte, lt/lte) range relate to the
+    CLOSED query interval [q_lo, q_hi] under `relation`? All six ES
+    bound/relation combinations; pure Catalyst comparisons (codegen,
+    pushdown-friendly once bounds are materialized columns)."""
+    lo, lo_incl, hi, hi_incl = _range_bounds(gt, gte, lt, lte)
+    ql = F.lit(q_lo).cast("timestamp")
+    qh = F.lit(q_hi).cast("timestamp")
+    # per-side tests, treating NULL bound as unbounded
+    lower_intersects = F.coalesce(
+        F.when(lo_incl, lo <= qh).otherwise(lo < qh), F.lit(True)
+    )
+    upper_intersects = F.coalesce(
+        F.when(hi_incl, hi >= ql).otherwise(hi > ql), F.lit(True)
+    )
+    if relation == "intersects":
+        return lower_intersects & upper_intersects
+    if relation == "contains":  # row range ⊇ [q_lo, q_hi]
+        lo_ok = F.coalesce(
+            F.when(lo_incl, lo <= ql).otherwise(lo < ql), F.lit(True)
+        )
+        hi_ok = F.coalesce(
+            F.when(hi_incl, hi >= qh).otherwise(hi > qh), F.lit(True)
+        )
+        return lo_ok & hi_ok
+    if relation == "within":  # row range ⊆ [q_lo, q_hi]; unbounded side fails
+        # an exclusive bound at exactly ql/qh is still within; lo >= ql
+        # covers both inclusivities (conservative for exclusive bounds)
+        lo_ok = F.coalesce(lo >= ql, F.lit(False))
+        hi_ok = F.coalesce(hi <= qh, F.lit(False))
+        return lo_ok & hi_ok
+    raise ValueError(f"unknown relation: {relation}")
 
 
 # Analyzed (`"type":"text"`) record fields, from es_record_mappings.json.

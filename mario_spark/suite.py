@@ -304,6 +304,48 @@ def date_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def date_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 second half — date_range containment (ES range query with
+    relation=intersects over a Range gt/gte/lt/lte struct, mapping
+    es_record_mappings.json:115-118). Ranges are synthesized from
+    orders at FOUR granularities (year / month / date / full ISO with a
+    +02:00 zone offset) so the full date_optional_time cascade is
+    exercised; match = range intersects [1995-06-01, 1995-07-15]."""
+    from mario_spark import record
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    key = F.col("o_orderkey")
+    gte = (
+        F.when(key % 4 == 0, F.date_format("o_orderdate", "yyyy"))
+        .when(key % 4 == 1, F.date_format("o_orderdate", "yyyy-MM"))
+        .when(key % 4 == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(
+            F.concat(
+                F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+                F.lit("+02:00"),
+            )
+        )
+    )
+    lte = F.date_format(
+        F.date_add("o_orderdate", ((key % 60) + 1).cast("int")), "yyyy-MM-dd"
+    )
+    d = o.select("o_orderkey", gte.alias("gte_s"), lte.alias("lte_s"))
+    none = F.lit(None).cast("string")
+    pred = record.range_query_expr(
+        none, F.col("gte_s"), none, F.col("lte_s"),
+        "1995-06-01 00:00:00", "1995-07-15 23:59:59", "intersects",
+    )
+    return d.filter(pred).select(
+        "o_orderkey",
+        F.date_format(
+            record.parse_date_expr("gte_s"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("lo_ts"),
+        F.date_format(
+            record.parse_date_expr("lte_s"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("hi_ts"),
+    )
+
+
 # ------------------------------------------------- training-pipeline ops
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import dedup
@@ -444,6 +486,7 @@ SUITE = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "date_parse_cascade": date_parse_cascade,
+    "date_range_query": date_range_query,
     "events_windowed": events_windowed,
     "bm25_topk_wand": bm25_topk_wand,
     "bm25_topk_and": bm25_topk_and,

@@ -102,6 +102,41 @@ def test_merge_preserves_results(spark, root):
     assert idx.paths.committed_segments() == [new_seg]
 
 
+def test_positional_index_lifecycle(spark, root):
+    """positions=True index: WAND results identical to a plain index,
+    phrase queries answered, and compaction preserves the poss stream."""
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 500, seed=11, partitions=4)
+
+    plain = cat.create("plain-2026-01-01t00-00-00z")
+    plain.ingest(pages, segment_docs=256)
+    pos = cat.create("pos-2026-01-01t00-00-00z")
+    pos.ingest(pages, segment_docs=256, positions=True)
+    assert "poss" in pos.postings().columns
+
+    # plain BM25/WAND is unaffected by the extra stream
+    q = query_terms_df(spark, make_pages_query_set(seed=11, n=8))
+    pd.testing.assert_frame_equal(
+        _canon(pos.search(q)), _canon(plain.search(q)),
+        check_exact=False, atol=1e-9,
+    )
+
+    # phrase query: take a real bigram from doc text
+    txt = pages.select("text").limit(1).collect()[0][0].split()
+    phrase = f"{txt[3]} {txt[4]}"
+    hits = pos.search_phrase([(0, phrase)], k=10).toPandas()
+    assert len(hits) > 0
+    with pytest.raises(ValueError, match="without positions"):
+        plain.search_phrase([(0, phrase)])
+
+    # compaction round-trips positions
+    before = _canon(pos.search_phrase([(0, phrase)], k=10))
+    compact_segments(pos)
+    assert pos.stats()["segments"] == 1
+    after = _canon(pos.search_phrase([(0, phrase)], k=10))
+    pd.testing.assert_frame_equal(after, before, check_exact=False, atol=1e-9)
+
+
 def test_catalog_ops(spark, root):
     cat = Catalog(spark, root)
     pages = pages_df(spark, 300, seed=1, partitions=2)
@@ -120,9 +155,27 @@ def test_catalog_ops(spark, root):
     # resolve via alias
     assert cat.resolve(Catalog.DEFAULT_ALIAS).paths.name == name2
 
-    # A14 reindex copies docs
+    # A14 reindex: distributed read->write copy; verify through a FRESH
+    # catalog handle (new open, no shared state) that the copy is a
+    # complete, queryable index returning identical results
     n = cat.reindex(name2, "copy-2026-01-01t00-00-00z")
     assert n == 300
+    fresh = Catalog(spark, root).open("copy-2026-01-01t00-00-00z")
+    assert fresh.stats()["n_docs"] == 300
+    q = query_terms_df(spark, make_pages_query_set(seed=1, n=6))
+    pd.testing.assert_frame_equal(
+        _canon(fresh.search(q)),
+        _canon(cat.open(name2).search(q)),
+        check_exact=False,
+        atol=1e-9,
+    )
+
+    # A11/A12 survive dashes in the source name (timestamp-suffix parse)
+    dashed = "my-dashed-src-2026-01-01t00-00-00z"
+    cat.create(dashed).ingest(pages_df(spark, 50, seed=4, partitions=2))
+    cat.promote(dashed)
+    assert cat.current("my-dashed-src") == dashed
+    cat.delete(dashed)
 
     # A15 listings
     listing = {i["index"]: i for i in cat.indexes()}

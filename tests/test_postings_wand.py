@@ -131,6 +131,29 @@ def test_wand_rank_identical_pages(spark):
     d.unpersist()
 
 
+def test_query_session_identical_to_cold_path(spark, built):
+    """QuerySession (warm serving: dbucket-cached postings + driver
+    dictionary) must return exactly what cold search_wand returns."""
+    from mario_spark.wand import QuerySession
+
+    d, st_, _, rw, _dic = built
+    post, dic, _ = build_postings(d, st_["n_docs"], range_width=256)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    want = _canon(search_wand(post, dic, q, st_["n_docs"], st_["avgdl"], k=10))
+    sess = QuerySession(post, dic, st_["n_docs"], st_["avgdl"]).warm()
+    got = _canon(sess.search(DOCUMENTS_QUERY_SET, k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    # single-query slices agree with the batch rows
+    one = _canon(sess.search([DOCUMENTS_QUERY_SET[4]], k=10))
+    pd.testing.assert_frame_equal(
+        one,
+        want[want["query_id"] == 4].reset_index(drop=True),
+        check_exact=False,
+        atol=1e-9,
+    )
+    sess.close()
+
+
 def test_wand_conjunctive_rank_identical(spark):
     pages = pages_df(spark, 900, seed=13, partitions=8)
     d = docs.build_doc_table(pages).persist()
