@@ -148,6 +148,130 @@ def bucket_signature_expr(hp: np.ndarray):
     return sig
 
 
+DEFAULT_CENTROID_IDS = list(range(10, 18))  # 8 sampled centroids
+IVF_N_PROBE = 2
+
+
+def _sq_l2(a: str, b: str):
+    """Squared euclidean distance of two float arrays (float64, JVM)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = IVF_N_PROBE,
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: -> (query_id, rank, vec_id, cos).
+
+    The scale path for similarity SEARCH (lsh_nearest_pairs covers
+    all-pairs): vectors are partitioned into cells by nearest centroid;
+    a query probes only its n_probe nearest cells and scores exact
+    cosine inside them — the corpus scan shrinks by ~n_probe/n_cells.
+
+    Centroids here are SAMPLED rows (vec_id in centroid_ids) — a
+    standard k-means init — so the DuckDB oracle reproduces the cell
+    assignment from the same table with no trained state. At scale:
+    refine with distributed Lloyd's (groupBy cell, per-dim mean — see
+    train_centroids_kmeans) and replace the broadcast-crossJoin
+    assignment with a mapInPandas matmul over a broadcast centroid
+    matrix; the query path is unchanged.
+
+    Determinism: assignment/probe rank on (squared L2, cell id) — both
+    engines sum dims in index order, so the floats are bit-identical;
+    output cosine rounded 4dp, ties on vec_id asc.
+    """
+    cids = centroid_ids or DEFAULT_CENTROID_IDS
+    cents = embeddings.filter(F.col("vec_id").isin(cids)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    dist = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "d", _sq_l2("embedding", "cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    ranked = dist.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cell", "embedding"
+    )
+    qprobe = (
+        ranked.filter(F.col("vec_id").isin(query_ids))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    qe = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sc = (
+        qprobe.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qe), "query_id")
+        .withColumn("cos", F.round(cosine_expr("qe", "embedding"), 4))
+        .select("query_id", "vec_id", "cos")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def train_centroids_kmeans(
+    embeddings: DataFrame,
+    init_ids: list[int],
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Distributed Lloyd's refinement of sampled centroids.
+
+    Each iteration: assign by nearest centroid (broadcast crossJoin +
+    per-vec rank), then per-cell per-dim mean via posexplode + hash agg
+    — two shuffles per iteration, no driver-side data. Returns
+    (cell, cvec). Deterministic for a fixed input + init."""
+    cents = embeddings.filter(F.col("vec_id").isin(init_ids)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    for _ in range(iters):
+        dist = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+            "d", _sq_l2("embedding", "cvec")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cell")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cell", "embedding")
+        )
+        cents = (
+            assign.select(
+                "cell", F.posexplode("embedding").alias("i", "v")
+            )
+            .groupBy("cell", "i")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("i", "m"))
+                ).alias("parts")
+            )
+            .select(
+                "cell",
+                F.transform(
+                    "parts", lambda s: s["m"].cast("float")
+                ).alias("cvec"),
+            )
+        )
+    return cents
+
+
 def lsh_nearest_pairs(
     embeddings: DataFrame,
     top_pairs: int = 20,

@@ -149,15 +149,40 @@ def simhash_sql(term_col: str, tf_col: str, dialect: str = "spark") -> str:
 
 
 def simhash64(documents: DataFrame) -> DataFrame:
-    """-> (doc_id, simhash hex-16), tf-weighted over tokens."""
+    """-> (doc_id, simhash hex-16), tf-weighted over tokens.
+
+    Factored evaluation (identical bits to simhash_sql, which the
+    DuckDB oracle still runs un-factored): the 16 md5-nibble parses are
+    computed ONCE per distinct term in a dictionary dim table — O(vocab)
+    hashing instead of O(doc x term) — broadcast-joined onto the tf
+    stream; the per-doc agg then sums plain ints. At web scale the
+    vocabulary table is exactly the index dictionary: tiny next to the
+    posting stream.
+    """
     tf = (
         documents.select("doc_id", F.explode(tokenize_udf("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    return (
-        tf.groupBy("doc_id")
-        .agg(F.expr(simhash_sql("term", "tf")).alias("simhash"))
+    nibs = tf.select("term").distinct().selectExpr(
+        "term",
+        *[
+            f"cast(conv(substr(md5(term), {p}, 1), 16, 10) as int) as nib{p}"
+            for p in range(1, 17)
+        ],
+    )
+    j = tf.join(F.broadcast(nibs), "term")
+    # per (nibble p, bit b): sum tf * (+1/-1); repack majority bits
+    outs = []
+    for p in range(1, 17):
+        bits = []
+        for b in range(4):
+            bit = f"mod(cast(floor(nib{p} / {1 << b}) as int), 2)"
+            s = f"sum(tf * (2 * {bit} - 1))"
+            bits.append(f"(case when {s} > 0 then {1 << b} else 0 end)")
+        outs.append(f"substr('0123456789abcdef', ({' + '.join(bits)}) + 1, 1)")
+    return j.groupBy("doc_id").agg(
+        F.expr("concat(" + ", ".join(outs) + ")").alias("simhash")
     )
 
 
@@ -208,6 +233,17 @@ def simhash_pairs(
             f"max_hamming={max_hamming} needs > {SIMHASH_BANDS} bands"
         )
     sh = simhash64(documents)
+    # pre-split the 64-bit hash into two signed-safe 32-bit words ONCE
+    # per doc: the verify is then 2 xors + 2 bit_counts per candidate
+    # (vs 16 hex-nibble parses), and the join shuffles 2 longs, not a
+    # 16-char string. Values identical to hamming_sql (popcount of the
+    # same 64 bits), which the un-factored oracle still computes.
+    words = sh.select(
+        "doc_id",
+        "simhash",
+        F.expr("cast(conv(substr(simhash, 1, 8), 16, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substr(simhash, 9, 8), 16, 10) as bigint)").alias("lo"),
+    )
     band = [F.substring("simhash", 1 + 2 * i, 2) for i in range(SIMHASH_BANDS)]
     if r == 2:
         keys = [
@@ -220,23 +256,35 @@ def simhash_pairs(
             F.concat_ws("", F.lit(f"{i}:"), band[i])
             for i in range(SIMHASH_BANDS)
         ]
-    e = sh.select(
-        "doc_id", "simhash", F.explode(F.array(*keys)).alias("band_key")
+    e = words.select(
+        "doc_id", "hi", "lo", F.explode(F.array(*keys)).alias("band_key")
     )
     a = e.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band_key"
+        F.col("doc_id").alias("doc_a"),
+        F.col("hi").alias("hia"),
+        F.col("lo").alias("loa"),
+        "band_key",
     )
     b = e.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band_key"
+        F.col("doc_id").alias("doc_b"),
+        F.col("hi").alias("hib"),
+        F.col("lo").alias("lob"),
+        "band_key",
     )
     cand = (
         a.join(b, "band_key")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
+        .select("doc_a", "doc_b", "hia", "loa", "hib", "lob")
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.expr(hamming_sql("sa", "sb")).cast("long"))
+        cand.withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("hia").bitwiseXOR(F.col("hib")))
+                + F.bit_count(F.col("loa").bitwiseXOR(F.col("lob")))
+            ).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

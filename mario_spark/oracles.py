@@ -433,6 +433,53 @@ SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= 10
 """
 
 
+def _ann_ivf_oracle() -> str:
+    from mario_spark.ops.ann import DEFAULT_CENTROID_IDS, IVF_N_PROBE
+
+    cids = ", ".join(str(c) for c in DEFAULT_CENTROID_IDS)
+    sq = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+        " * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  WHERE vec_id IN ({cids})
+),
+dist AS (
+  SELECT e.vec_id, c.cell, {sq} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+rk AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM dist
+),
+assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM rk
+  WHERE rn <= {IVF_N_PROBE} AND vec_id IN (0, 1, 2, 3, 4)
+),
+sc AS (
+  SELECT qp.query_id, a.vec_id,
+         round({_COS64.format(A="q.embedding", B="e.embedding")}, 4) AS cos
+  FROM qprobe qp
+  JOIN assign a USING (cell)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = qp.query_id
+  WHERE a.vec_id <> qp.query_id
+),
+rk2 AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, vec_id, cos FROM rk2 WHERE rank <= 10
+"""
+
+
 def _ann_lsh_oracle() -> str:
     from mario_spark.ops.ann import hyperplanes
 
@@ -626,6 +673,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS,
     "ann_brute_topk": ANN_BRUTE_TOPK,
     "ann_lsh_pairs": _ann_lsh_oracle(),
+    "ann_ivf_topk": _ann_ivf_oracle(),
     "lang_id": _lang_id_oracle(),
     "quality_score": _quality_oracle(),
     "winnow_fingerprints": WINNOW_FINGERPRINTS,

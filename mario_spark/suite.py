@@ -394,6 +394,15 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_nearest_pairs(e, top_pairs=20)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: sampled centroids, nearest-cell assignment,
+    n_probe=2 probed cells per query, exact cosine within cells."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_topk(e, ANN_QUERY_IDS, k=10)
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import textstats
 
@@ -499,6 +508,7 @@ SUITE = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
+    "ann_ivf_topk": ann_ivf_topk,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "winnow_fingerprints": winnow_fingerprints,

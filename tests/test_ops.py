@@ -82,3 +82,42 @@ def test_multimodal_plumbing_roundtrip(spark):
     assert (m["width"] == 64 + m["n_chars"] % 577).all()
     assert (m["height"] == 64 + m["doc_id"] % 419).all()
     assert (m["n_bytes"] > 12).all()
+
+
+def test_ivf_kmeans_training(spark):
+    """Distributed Lloyd's: deterministic, k cells, 64-dim centroids,
+    and refined centroids reduce total assignment distance vs init."""
+    from mario_spark.ops import ann
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    init = list(range(10, 18))
+    c1 = ann.train_centroids_kmeans(e, init, iters=2).toPandas()
+    c2 = ann.train_centroids_kmeans(e, init, iters=2).toPandas()
+    assert len(c1) == len(init)
+    assert all(len(v) == 64 for v in c1["cvec"])
+    # determinism across runs
+    a = c1.sort_values("cell", ignore_index=True)
+    b = c2.sort_values("cell", ignore_index=True)
+    assert a["cell"].tolist() == b["cell"].tolist()
+    for va, vb in zip(a["cvec"], b["cvec"]):
+        np.testing.assert_allclose(np.array(va), np.array(vb), atol=0)
+
+    def total_dist(cents_df):
+        cents = spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["cvec"]]) for _, r in cents_df.iterrows()],
+            "cell long, cvec array<float>",
+        )
+        dist = e.crossJoin(F.broadcast(cents)).withColumn(
+            "d", ann._sq_l2("embedding", "cvec")
+        )
+        return (
+            dist.groupBy("vec_id").agg(F.min("d").alias("d")).agg(F.sum("d")).collect()[0][0]
+        )
+
+    init_cents = (
+        e.filter(F.col("vec_id").isin(init))
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec"))
+        .toPandas()
+    )
+    assert total_dist(c1) < total_dist(init_cents)
