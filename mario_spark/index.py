@@ -159,6 +159,7 @@ class Index:
         source: str = "",
         fail_after_segment: int | None = None,
         positions: bool = False,
+        fields: dict[str, str] | None = None,
     ) -> dict:
         """Build (or resume building) the index from a pages DataFrame.
 
@@ -168,18 +169,36 @@ class Index:
         queries are unaffected. The choice is pinned in _meta.json so
         appends and compactions keep the same format.
 
+        fields maps field name -> source COLUMN name; when given, each
+        field is analyzed independently and postings are keyed
+        `<field>:<term>` (fields.py), so queries target one field with
+        its own df/n_docs/avgdl (per-segment field stats live in the
+        commit markers and stay additive). Query via search_field().
+
         `fail_after_segment` exists for the resume test: raises after
         committing that many segments, simulating a mid-build crash.
         Returns the final stats dict.
         """
         sp = self.spark
+        if fields and positions:
+            raise ValueError(
+                "fields=... with positions=True is not supported yet "
+                "(positional streams are per-field; index them separately)"
+            )
         meta = _read_json(self.paths.meta)
         if meta is None:
             parts = sp.sparkContext.defaultParallelism
             os.makedirs(self.paths.base, exist_ok=True)
             # count first: range_width and segmentation must be pinned
             # before any segment commits, else a resume could re-plan
-            slim_cols = [c for c in ("doc_id", "url", "lang", "text", "html") if c in pages.columns]
+            text_cols = (
+                tuple(dict.fromkeys(fields.values())) if fields else ("text",)
+            )
+            slim_cols = [
+                c
+                for c in ("doc_id", "url", "lang", *text_cols, "html")
+                if c in pages.columns
+            ]
             n_docs = pages.count()
             rw = range_width or pick_range_width(n_docs, parts)
             seg_docs = segment_docs or max(rw, int(math.ceil(n_docs / 4 / rw)) * rw)
@@ -196,6 +215,7 @@ class Index:
                 "created": time.strftime("%Y-%m-%dt%H-%M-%Sz", time.gmtime()),
                 "slim_cols": slim_cols,
                 "positions": positions,
+                "fields": fields,
             }
             _atomic_write_json(self.paths.meta, meta)
         rw = meta["range_width"]
@@ -212,9 +232,19 @@ class Index:
                 pages = pages.withColumn(
                     "text", docsmod.extract_udf("html")
                 )
-            slim = pages.select(
-                *[c for c in ("doc_id", "url", "lang", "text") if c in pages.columns]
-            )
+            keep = [
+                c
+                for c in meta.get("slim_cols", ["doc_id", "url", "lang", "text"])
+                if c != "html" and c in pages.columns
+            ]
+            # extraction adds `text` after slim_cols was pinned
+            if (
+                not meta.get("fields")
+                and "text" in pages.columns
+                and "text" not in keep
+            ):
+                keep.append("text")
+            slim = pages.select(*keep)
             if "doc_id" not in slim.columns:
                 slim = docsmod.assign_doc_ids(
                     slim, num_partitions=meta["id_partitions"]
@@ -240,20 +270,46 @@ class Index:
         seg_dir = p.seg(seg_id)
         os.makedirs(seg_dir, exist_ok=True)
         sl = slim.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        d = docsmod.build_doc_table(
-            sl, positions=bool(meta.get("positions"))
-        ).persist()
-        seg_rows = d.agg(
-            F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s")
-        ).collect()[0]
-        seg_n, seg_len = int(seg_rows["n"]), int(seg_rows["s"])
-        post, dic, _ = build_postings(d, max(seg_n, 1), range_width=rw)
-        post = post.persist()
+        fields_cfg = meta.get("fields")
+        field_stats: dict[str, dict] | None = None
+        if fields_cfg:
+            from mario_spark import fields as fieldsmod
+            from mario_spark.postings import dictionary_from_postings, encode_tf_rows
+
+            d = fieldsmod.build_field_doc_table(
+                sl, {n: F.col(src) for n, src in fields_cfg.items()}
+            ).persist()
+            frows = (
+                d.filter(F.col("len") > 0)
+                .groupBy("field")
+                .agg(F.count("*").alias("n"), F.sum("len").alias("s"))
+                .collect()
+            )
+            field_stats = {
+                r["field"]: {"n_docs": int(r["n"]), "sum_len": int(r["s"])}
+                for r in frows
+            }
+            seg_n = sl.count()
+            seg_len = sum(v["sum_len"] for v in field_stats.values())
+            post = encode_tf_rows(fieldsmod.field_tf(d), rw).persist()
+            dic = dictionary_from_postings(post)
+            docs_out = sl.select(
+                *[c for c in ("doc_id", "url", "lang") if c in sl.columns]
+            )
+        else:
+            d = docsmod.build_doc_table(
+                sl, positions=bool(meta.get("positions"))
+            ).persist()
+            seg_rows = d.agg(
+                F.count("*").alias("n"), F.coalesce(F.sum("len"), F.lit(0)).alias("s")
+            ).collect()[0]
+            seg_n, seg_len = int(seg_rows["n"]), int(seg_rows["s"])
+            post, dic, _ = build_postings(d, max(seg_n, 1), range_width=rw)
+            post = post.persist()
+            docs_out = d.select(*[c for c in DOCS_COLS if c in d.columns])
         post.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
         dic.write.mode("overwrite").parquet(os.path.join(seg_dir, "dictionary"))
-        d.select(*[c for c in DOCS_COLS if c in d.columns]).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(seg_dir, "docs"))
+        docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
         # per-partition (dbucket) metrics + lineage — the checkpoint manifest
         os.makedirs(os.path.join(p.base, "manifest"), exist_ok=True)
         (
@@ -278,17 +334,17 @@ class Index:
         post.unpersist()
         d.unpersist()
         # the commit point: everything above is invisible until this rename
-        _atomic_write_json(
-            p.seg_meta(seg_id),
-            {
-                "status": "committed",
-                "n_docs": seg_n,
-                "sum_len": seg_len,
-                "doc_lo": lo,
-                "doc_hi": hi,
-                "built": time.strftime("%Y-%m-%dt%H-%M-%Sz", time.gmtime()),
-            },
-        )
+        marker = {
+            "status": "committed",
+            "n_docs": seg_n,
+            "sum_len": seg_len,
+            "doc_lo": lo,
+            "doc_hi": hi,
+            "built": time.strftime("%Y-%m-%dt%H-%M-%Sz", time.gmtime()),
+        }
+        if field_stats is not None:
+            marker["field_stats"] = field_stats
+        _atomic_write_json(p.seg_meta(seg_id), marker)
 
     def append(self, pages: DataFrame, source: str = "") -> dict:
         """Incremental ingest into an EXISTING index (mario's default
@@ -310,9 +366,12 @@ class Index:
             doc_hi = max(doc_hi, m.get("doc_hi", 0))
         base = int(math.ceil(doc_hi / rw) * rw)
 
-        slim = pages.select(
-            *[c for c in ("doc_id", "url", "lang", "text") if c in pages.columns]
-        )
+        keep = [
+            c
+            for c in meta.get("slim_cols", ["doc_id", "url", "lang", "text"])
+            if c != "html" and c in pages.columns
+        ]
+        slim = pages.select(*keep)
         if "doc_id" not in slim.columns:
             slim = docsmod.assign_doc_ids(
                 slim, num_partitions=meta["id_partitions"]
@@ -377,10 +436,65 @@ class Index:
 
     # ------------------------------------------------------------- query
     def search(self, query_terms: DataFrame, k: int = 10) -> DataFrame:
+        meta = _read_json(self.paths.meta) or {}
+        if meta.get("fields"):
+            raise ValueError(
+                f"index '{self.paths.name}' is field-scoped; "
+                "use search_field(field, ...)"
+            )
         st = self.stats()
         return search_wand(
             self.postings(), self.dictionary(), query_terms,
             st["n_docs"], st["avgdl"], k=k,
+        )
+
+    def field_stats(self) -> dict[str, dict]:
+        """Per-field (n_docs, avgdl) summed from segment markers —
+        additive because segments are doc-disjoint."""
+        agg: dict[str, dict] = {}
+        for seg in self.paths.committed_segments():
+            m = _read_json(self.paths.seg_meta(seg)) or {}
+            for f, st in (m.get("field_stats") or {}).items():
+                a = agg.setdefault(f, {"n_docs": 0, "sum_len": 0})
+                a["n_docs"] += st["n_docs"]
+                a["sum_len"] += st["sum_len"]
+        return {
+            f: {
+                "n_docs": a["n_docs"],
+                "avgdl": (a["sum_len"] / a["n_docs"]) if a["n_docs"] else 0.0,
+            }
+            for f, a in agg.items()
+        }
+
+    def search_field(
+        self,
+        field: str,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        conjunctive: bool = False,
+    ) -> DataFrame:
+        """Field-scoped BM25 over a fields=... index:
+        [(query_id, raw text)] -> (query_id, rank, doc_id, score),
+        scored with the FIELD's df/n_docs/avgdl."""
+        from mario_spark import fields as fieldsmod
+        from mario_spark.analyze import py_tokenize
+        from mario_spark.fixtures import query_terms_df
+
+        meta = _read_json(self.paths.meta) or {}
+        if not meta.get("fields"):
+            raise ValueError(
+                f"index '{self.paths.name}' was not built with fields=...; "
+                "field-scoped queries need a per-field index"
+            )
+        if field not in meta["fields"]:
+            raise ValueError(
+                f"unknown field '{field}'; index has {sorted(meta['fields'])}"
+            )
+        fst = self.field_stats().get(field, {"n_docs": 0, "avgdl": 0.0})
+        qdf = query_terms_df(self.spark, queries)
+        return fieldsmod.search_field(
+            self.postings(), self.dictionary(), qdf, field,
+            fst["n_docs"], fst["avgdl"], k=k, conjunctive=conjunctive,
         )
 
     def search_phrase(

@@ -135,18 +135,24 @@ def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:
         .write.mode("overwrite")
         .parquet(p.manifest(new_id))
     )
-    # commit point
-    _atomic_write_json(
-        p.seg_meta(new_id),
-        {
-            "status": "committed",
-            "n_docs": sum(m["n_docs"] for m in mans),
-            "sum_len": sum(m["sum_len"] for m in mans),
-            "doc_lo": min(m["doc_lo"] for m in mans),
-            "doc_hi": max(m["doc_hi"] for m in mans),
-            "merged_from": seg_ids,
-        },
-    )
+    # commit point (field stats stay additive across doc-disjoint segs)
+    marker = {
+        "status": "committed",
+        "n_docs": sum(m["n_docs"] for m in mans),
+        "sum_len": sum(m["sum_len"] for m in mans),
+        "doc_lo": min(m["doc_lo"] for m in mans),
+        "doc_hi": max(m["doc_hi"] for m in mans),
+        "merged_from": seg_ids,
+    }
+    fs_all: dict[str, dict] = {}
+    for m in mans:
+        for f, st in (m.get("field_stats") or {}).items():
+            a = fs_all.setdefault(f, {"n_docs": 0, "sum_len": 0})
+            a["n_docs"] += st["n_docs"]
+            a["sum_len"] += st["sum_len"]
+    if fs_all:
+        marker["field_stats"] = fs_all
+    _atomic_write_json(p.seg_meta(new_id), marker)
     # retire sources: markers first (loaders stop seeing them), then data
     for s in seg_ids:
         os.remove(p.seg_meta(s))

@@ -290,6 +290,76 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------------ duplicate clusters
+CLUSTER_THRESHOLD = 0.8
+
+
+def dedup_components(
+    documents: DataFrame, threshold: float = CLUSTER_THRESHOLD
+) -> DataFrame:
+    """Connected components of the verified near-duplicate graph:
+    -> (doc_id, comp) where comp = min doc_id reachable through
+    minhash-LSH pairs with jaccard >= threshold (singletons map to
+    themselves). This is the "keep one per duplicate cluster" step a
+    training-data pipeline runs after pair generation.
+
+    Algorithm: iterative min-label propagation to a fixpoint — each
+    round is one neighbor-min agg + one label join (two bounded
+    shuffles), converging in O(component diameter) rounds; dedup
+    graphs are near-cliques, so 2-3 rounds in practice. Lineage is cut
+    per round (localCheckpoint) so the plan stays flat at any round
+    count. The DuckDB oracle computes the same components via a
+    recursive transitive-closure CTE.
+    """
+    pairs = minhash_lsh_pairs(documents, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("comp")
+    ).localCheckpoint()
+    for _ in range(30):  # cap >> any real diameter; loop exits on fixpoint
+        nmin = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("comp").alias("ncomp"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("ncomp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                nmin, labels["doc_id"] == nmin["doc_a"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 # ------------------------------------------------------------ n-gram Jaccard
 def char_ngrams(documents: DataFrame, k: int = NGRAM_K) -> DataFrame:
     """(doc_id, gram) distinct character k-grams, JVM-side.

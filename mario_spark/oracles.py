@@ -317,7 +317,8 @@ _BANDS = " UNION ALL ".join(
     for b in range(4)
 )
 
-MINHASH_LSH_PAIRS = f"""
+def minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""
 WITH {_DTERMS_CTE},
 sig AS (SELECT doc_id, {_MH_COLS} FROM dterms GROUP BY doc_id),
 bands AS ({_BANDS}),
@@ -339,7 +340,33 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
-WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+WHERE round(i / (sa.sz + sb.sz - i), 4) >= {threshold}
+"""
+
+
+MINHASH_LSH_PAIRS = minhash_pairs_sql(0.5)
+
+DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash_pairs_sql(0.8)}) t
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS comp
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, comp FROM comp
 """
 
 
@@ -668,6 +695,7 @@ ORACLES: dict[str, str] = {
     "phrase_topk": phrase_topk_sql(),
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
+    "dedup_components": DEDUP_COMPONENTS,
     "simhash64": _simhash_oracle(),
     "simhash_pairs": _simhash_pairs_oracle(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS,

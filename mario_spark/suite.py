@@ -359,6 +359,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_documents(spark, sf_dir))
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (min-label propagation
+    to fixpoint) over the verified minhash-LSH near-dup graph at
+    jaccard >= 0.8; oracle = recursive transitive-closure CTE."""
+    from mario_spark.ops import dedup
+
+    return dedup.dedup_components(_documents(spark, sf_dir))
+
+
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import dedup
 
@@ -503,6 +512,7 @@ SUITE = {
     "phrase_topk": phrase_topk,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_components": dedup_components,
     "simhash64": simhash64,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

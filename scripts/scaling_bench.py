@@ -158,6 +158,9 @@ sort -> vectorized delta+VByte block encode ({r_4n["blocks"]:,} blocks,
 Query-side numbers (block-max WAND top-10 over the same index family)
 are tracked per-round in BENCH_r{{N}}.json via bench.py.
 """
+    serving = REPO / "BENCH" / "SERVING.md"
+    if serving.exists():  # round-specific query-serving notes survive rewrites
+        md += "\n" + serving.read_text()
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(md)
 

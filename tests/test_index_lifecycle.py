@@ -137,6 +137,54 @@ def test_positional_index_lifecycle(spark, root):
     pd.testing.assert_frame_equal(after, before, check_exact=False, atol=1e-9)
 
 
+def test_field_index_lifecycle(spark, root):
+    """fields=... index: persisted field-scoped postings + per-segment
+    field stats match the ad-hoc fields.py path; compaction preserves
+    results; blob search on a field index is rejected."""
+    import pyspark.sql.functions as F
+
+    from mario_spark import fields as fieldsmod
+    from mario_spark.fixtures import DOCUMENTS_QUERY_SET
+
+    cat = Catalog(spark, root)
+    pages = documents_as_pages(spark, SF_DIR).withColumn(
+        "title", F.substring("text", 1, 64)
+    )
+    idx = cat.create("f-2026-01-01t00-00-00z")
+    st = idx.ingest(
+        pages, segment_docs=256, fields={"title": "title", "contents": "text"}
+    )
+    assert st["n_docs"] == 500 and st["segments"] == 2
+
+    fd = fieldsmod.build_field_doc_table(
+        pages, {"title": F.col("title"), "contents": F.col("text")}
+    ).persist()
+    stats = {r["field"]: r for r in fieldsmod.field_stats(fd).collect()}
+    post, dic, _ = fieldsmod.build_field_postings(fd, 500)
+    want = _canon(
+        fieldsmod.search_field(
+            post, dic, query_terms_df(spark, DOCUMENTS_QUERY_SET), "title",
+            stats["title"]["n_docs"], stats["title"]["avgdl"], k=10,
+        )
+    )
+    got = _canon(idx.search_field("title", DOCUMENTS_QUERY_SET, k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+
+    # additive per-segment field stats equal the global computation
+    ifs = idx.field_stats()
+    assert ifs["title"]["n_docs"] == stats["title"]["n_docs"]
+    assert abs(ifs["title"]["avgdl"] - stats["title"]["avgdl"]) < 1e-9
+
+    with pytest.raises(ValueError, match="field-scoped"):
+        idx.search(query_terms_df(spark, DOCUMENTS_QUERY_SET))
+
+    compact_segments(idx)
+    assert idx.stats()["segments"] == 1
+    after = _canon(idx.search_field("title", DOCUMENTS_QUERY_SET, k=10))
+    pd.testing.assert_frame_equal(after, want, check_exact=False, atol=1e-9)
+    fd.unpersist()
+
+
 def test_catalog_ops(spark, root):
     cat = Catalog(spark, root)
     pages = pages_df(spark, 300, seed=1, partitions=2)

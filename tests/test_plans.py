@@ -104,6 +104,51 @@ def test_ann_lsh_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_query_session_no_dbucket_shuffle(spark):
+    """QuerySession's postings are cached pre-partitioned on dbucket,
+    so the groupBy(dbucket).applyInPandas must NOT plan an Exchange
+    between the cache scan and the kernel (the cold path does)."""
+    from mario_spark import docs
+    from mario_spark.fixtures import documents_as_pages
+    from mario_spark.postings import build_postings
+    from mario_spark.wand import QuerySession, search_wand
+
+    d = docs.build_doc_table(documents_as_pages(spark, SF_DIR))
+    st = docs.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st["n_docs"], range_width=256)
+    sess = QuerySession(post, dic, st["n_docs"], st["avgdl"]).warm()
+    plan = _plan(sess.search([(0, "join scan")]))
+
+    def exchange_between_scan_and_kernel(plan_text: str) -> bool:
+        # walk the tree section below the kernel node until the first
+        # scan (cache or parquet); an Exchange on that path is the
+        # per-query dbucket shuffle. Exchanges deeper than the scan
+        # belong to the cached build plan and don't count.
+        lines = plan_text.splitlines()
+        kernel = next(
+            i for i, l in enumerate(lines) if "FlatMapGroupsInPandas" in l
+        )
+        for l in lines[kernel + 1 :]:
+            if "InMemoryTableScan" in l or "Scan parquet" in l:
+                return False
+            if "Exchange" in l:
+                return True
+        return False
+
+    assert not exchange_between_scan_and_kernel(plan)
+    # and the cold path DOES have that exchange (sanity for the matcher)
+    from mario_spark.fixtures import query_terms_df
+
+    cold = _plan(
+        search_wand(
+            post, dic, query_terms_df(spark, [(0, "join scan")]),
+            st["n_docs"], st["avgdl"],
+        )
+    )
+    assert exchange_between_scan_and_kernel(cold)
+    sess.close()
+
+
 def test_doc_id_assignment_never_single_partitions(spark):
     """The classic row_number-over-global-Window trap collapses to ONE
     partition; our partition-offset technique must not."""
