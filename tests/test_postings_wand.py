@@ -141,9 +141,15 @@ def test_query_session_identical_to_cold_path(spark, built):
     q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
     want = _canon(search_wand(post, dic, q, st_["n_docs"], st_["avgdl"], k=10))
     sess = QuerySession(post, dic, st_["n_docs"], st_["avgdl"]).warm()
-    got = _canon(sess.search(DOCUMENTS_QUERY_SET, k=10))
+    # distributed path (driver fast path disabled)
+    got = _canon(sess.search(DOCUMENTS_QUERY_SET, k=10, driver_limit=0))
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
-    # single-query slices agree with the batch rows
+    # coordinator fast path: force it on and require bit-identity
+    drv = _canon(
+        sess.search(DOCUMENTS_QUERY_SET, k=10, driver_limit=10**9)
+    )
+    pd.testing.assert_frame_equal(drv, want, check_exact=False, atol=1e-9)
+    # single-query slices agree with the batch rows (default routing)
     one = _canon(sess.search([DOCUMENTS_QUERY_SET[4]], k=10))
     pd.testing.assert_frame_equal(
         one,
