@@ -617,6 +617,41 @@ SELECT doc_id, width, height,
 FROM b
 """
 
+EVENTS_SESSIONIZED = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+              THEN 1 ELSE 0 END AS flag
+  FROM g
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM f
+)
+SELECT user_id, session_id,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+FROM s GROUP BY 1, 2
+"""
+
+EVENTS_PROPS_JSON = """
+WITH k AS (
+  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k
+FROM k WHERE k >= 50 GROUP BY 1
+"""
+
 EVENTS_WINDOWED = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
@@ -689,6 +724,8 @@ ORACLES: dict[str, str] = {
     "date_parse_cascade": DATE_PARSE_CASCADE,
     "date_range_query": DATE_RANGE_QUERY,
     "events_windowed": EVENTS_WINDOWED,
+    "events_sessionized": EVENTS_SESSIONIZED,
+    "events_props_json": EVENTS_PROPS_JSON,
     "bm25_topk_wand": bm25_topk_sql(),
     "bm25_topk_and": bm25_topk_sql(conjunctive=True),
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),

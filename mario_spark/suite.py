@@ -282,6 +282,53 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the classic stateful streaming op,
+    batch-expressed per SURVEY §2.3): per-user sessions split on
+    >30-min inactivity gaps via lag + running sum — windows partition
+    by user (parallel, never global). Timestamps compared as exact
+    integer microseconds (unix_micros/epoch_us) so both engines split
+    identically."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; cast under the pinned UTC session so
+    # unix_micros compares exact integer microseconds
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+    flag = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = F.sum(flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_id", sess.cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        )
+    )
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (§2.3): extract props.k from the JSON
+    string column, filter, and aggregate per event_type."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 def date_parse_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11 multi-format date parse cascade (reference mapping
     es_record_mappings.json:121-127: strict_year||strict_year_month||date):
@@ -506,6 +553,8 @@ SUITE = {
     "date_parse_cascade": date_parse_cascade,
     "date_range_query": date_range_query,
     "events_windowed": events_windowed,
+    "events_sessionized": events_sessionized,
+    "events_props_json": events_props_json,
     "bm25_topk_wand": bm25_topk_wand,
     "bm25_topk_and": bm25_topk_and,
     "bm25_topk_title": bm25_topk_title,
