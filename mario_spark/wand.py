@@ -324,9 +324,14 @@ class QuerySession:
       pinned tokenizer (a query is a handful of terms — no Spark job).
 
     Measured effect (50k docs, local[32]): single-query latency drops
-    ~2x vs the cold path; the remaining cost is Spark's job-scheduling
-    floor, which batch mode amortizes to ~0.03 s/query. Results are
-    bit-identical to search_wand (asserted in tests).
+    ~2x vs the cold path (another ~2x with the coordinator fast path);
+    the remaining cost is Spark's job-scheduling floor, which batch
+    mode amortizes to ~0.03 s/query. Results are bit-identical to
+    search_wand (asserted in tests).
+
+    Serves field-scoped indexes too: pass field_stats={field: (n_docs,
+    avgdl)} at construction and search(field=...) — terms are prefixed
+    and scored with the field's own statistics (fields.py semantics).
     """
 
     def __init__(
@@ -337,12 +342,16 @@ class QuerySession:
         avgdl: float,
         n_buckets: int | None = None,
         cache_dictionary: bool = True,
+        field_stats: dict[str, tuple[int, float]] | None = None,
     ):
         spark = postings.sparkSession
         n = n_buckets or spark.sparkContext.defaultParallelism
         self.postings = postings.repartition(n, "dbucket").persist()
         self.dictionary = dictionary
         self.n_docs, self.avgdl = float(n_docs), float(avgdl)
+        # per-field (n_docs, avgdl) for serving a fields=... index:
+        # search(field=...) scopes terms and scores with these stats
+        self.field_stats = field_stats or {}
         self._df_map: dict[str, int] | None = (
             {r["term"]: int(r["df"]) for r in dictionary.collect()}
             if cache_dictionary
@@ -353,15 +362,15 @@ class QuerySession:
         self.postings.count()
         return self
 
-    def _idf_for(self, terms: list[str]) -> dict[str, float]:
+    def _idf_for(self, terms: list[str], n_docs: float) -> dict[str, float]:
         if self._df_map is not None:
             return {
-                t: _idf(self.n_docs, float(self._df_map[t]))
+                t: _idf(n_docs, float(self._df_map[t]))
                 for t in terms
                 if t in self._df_map
             }
         rows = self.dictionary.filter(F.col("term").isin(terms)).collect()
-        return {r["term"]: _idf(self.n_docs, float(r["df"])) for r in rows}
+        return {r["term"]: _idf(n_docs, float(r["df"])) for r in rows}
 
     def search(
         self,
@@ -371,6 +380,7 @@ class QuerySession:
         b: float = B,
         conjunctive: bool = False,
         driver_limit: int = 200_000,
+        field: str | None = None,
     ) -> DataFrame:
         """[(query_id, raw text)] -> (query_id, rank, doc_id, score).
 
@@ -391,23 +401,38 @@ class QuerySession:
             (int(qid), list(dict.fromkeys(py_tokenize(text))))
             for qid, text in queries
         ]
+        if field is not None:
+            if field not in self.field_stats:
+                raise ValueError(
+                    f"no field_stats for '{field}' "
+                    f"(have {sorted(self.field_stats)})"
+                )
+            qlist = [
+                (qid, [f"{field}:{t}" for t in ts]) for qid, ts in qlist
+            ]
+            n_docs, avgdl = (float(v) for v in self.field_stats[field])
+        else:
+            n_docs, avgdl = self.n_docs, self.avgdl
         qlist = [(qid, ts) for qid, ts in sorted(qlist) if ts]
         terms = sorted({t for _, ts in qlist for t in ts})
-        idf_map = self._idf_for(terms)
+        idf_map = self._idf_for(terms, n_docs)
         if (
             driver_limit
             and self._df_map is not None
             and sum(self._df_map.get(t, 0) for t in terms) <= driver_limit
         ):
-            return self._search_driver(qlist, idf_map, k, k1, b, conjunctive)
+            return self._search_driver(
+                qlist, idf_map, avgdl, k, k1, b, conjunctive
+            )
         return _run_kernel(
-            self.postings, qlist, idf_map, self.avgdl, k, k1, b, conjunctive
+            self.postings, qlist, idf_map, avgdl, k, k1, b, conjunctive
         )
 
     def _search_driver(
         self,
         qlist: list[tuple[int, list[str]]],
         idf_map: dict[str, float],
+        avgdl: float,
         k: int,
         k1: float,
         b: float,
@@ -420,7 +445,7 @@ class QuerySession:
             return spark.createDataFrame([], schema)
         rows = self.postings.filter(F.col("term").isin(terms)).toPandas()
         parts = [
-            _bucket_kernel(g, qlist, idf_map, self.avgdl, k, k1, b, conjunctive)
+            _bucket_kernel(g, qlist, idf_map, avgdl, k, k1, b, conjunctive)
             for _, g in rows.groupby("dbucket", sort=True)
         ]
         parts = [p for p in parts if len(p)]

@@ -142,3 +142,28 @@ def test_field_scoped_stats_differ_from_global(spark):
     dic_pdf = dic.toPandas().set_index("term")["df"]
     assert dic_pdf["title:alpha"] == 1
     assert dic_pdf["contents:alpha"] == 2
+
+    # warm serving composes with field scoping: QuerySession(field=...)
+    # must match the cold fields.search_field path on both routes
+    from mario_spark.wand import QuerySession
+
+    sess = QuerySession(
+        post, dic, 3, 1.0,
+        field_stats={
+            f: (stats[f]["n_docs"], stats[f]["avgdl"])
+            for f in ("title", "contents")
+        },
+    ).warm()
+    for limit in (0, 10**9):  # distributed and coordinator paths
+        got = (
+            sess.search([(0, "alpha")], field="title", driver_limit=limit)
+            .toPandas()
+            .sort_values("rank", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got,
+            title_hits.sort_values("rank", ignore_index=True),
+            check_exact=False,
+            atol=1e-9,
+        )
+    sess.close()
