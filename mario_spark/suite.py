@@ -57,17 +57,32 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.search_exhaustive(d, q, k=10)
 
 
+# one compressed-postings build shared by the WAND-served suite
+# entries within a driver process (keyed per Spark app + sf_dir so
+# results are identical to standalone builds — it is pure caching)
+_WAND_CACHE: dict = {}
+
+
+def _wand_index(spark: SparkSession, sf_dir: str):
+    from mario_spark import docs as docsmod
+    from mario_spark.postings import build_postings
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WAND_CACHE:
+        d = _doc_table(spark, sf_dir).persist()
+        st = docsmod.corpus_stats(d).collect()[0]
+        post, dic, _ = build_postings(d, st["n_docs"])
+        _WAND_CACHE[key] = (post.persist(), dic.persist(), st)
+    return _WAND_CACHE[key]
+
+
 def bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as bm25_topk, served by the production path:
     compressed postings + block-max WAND (rank-identical by design;
     the driver verifies it against the same SQL oracle)."""
-    from mario_spark import docs as docsmod
-    from mario_spark.postings import build_postings
     from mario_spark.wand import search_wand
 
-    d = _doc_table(spark, sf_dir).persist()
-    st = docsmod.corpus_stats(d).collect()[0]
-    post, dic, _ = build_postings(d, st["n_docs"])
+    post, dic, st = _wand_index(spark, sf_dir)
     q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
     return search_wand(post, dic, q, st["n_docs"], st["avgdl"], k=10)
 
@@ -76,13 +91,9 @@ def bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (ES bool-must) BM25 top-10 via the production WAND
     path: a doc must contain every query term; rarest-first sorted
     intersection per bucket."""
-    from mario_spark import docs as docsmod
-    from mario_spark.postings import build_postings
     from mario_spark.wand import search_wand
 
-    d = _doc_table(spark, sf_dir).persist()
-    st = docsmod.corpus_stats(d).collect()[0]
-    post, dic, _ = build_postings(d, st["n_docs"])
+    post, dic, st = _wand_index(spark, sf_dir)
     q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
     return search_wand(
         post, dic, q, st["n_docs"], st["avgdl"], k=10, conjunctive=True
