@@ -202,6 +202,15 @@ DOCUMENTS_QUERY_SET: list[tuple[int, str]] = [
 ]
 
 
+# bool.must_not companion to DOCUMENTS_QUERY_SET: every query excludes
+# docs containing 'merge' (a mid-frequency vocab word, so the exclusion
+# visibly reshuffles several top-10 lists), and query 5 additionally
+# excludes 'stream' — exercising per-query exclusion lists.
+DOCUMENTS_MUSTNOT_SET: list[tuple[int, str]] = [
+    (qid, "merge") for qid, _ in DOCUMENTS_QUERY_SET
+] + [(5, "stream")]
+
+
 # Phrase (match_phrase) query set over the driver documents corpus:
 # bigrams with real support, one trigram, one OOV-term phrase (empty
 # result), one zero-adjacency phrase (both terms common, never adjacent

@@ -22,6 +22,12 @@ toks AS (
 )"""
 
 
+def _mustnot_set() -> list[tuple[int, str]]:
+    from mario_spark.fixtures import DOCUMENTS_MUSTNOT_SET
+
+    return DOCUMENTS_MUSTNOT_SET
+
+
 def _query_values() -> str:
     rows = []
     for qid, qtext in DOCUMENTS_QUERY_SET:
@@ -52,8 +58,42 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(len), 6) AS avgdl FROM dl
 """
 
 
-def bm25_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75, conjunctive: bool = False) -> str:
-    src = "sc JOIN qn USING (query_id) WHERE nt = qn" if conjunctive else "sc"
+def bm25_topk_sql(
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    conjunctive: bool = False,
+    must_not: list[tuple[int, str]] | None = None,
+    msm: int = 1,
+) -> str:
+    """BM25 top-k oracle; conjunctive = ES bool.must, must_not = ES
+    bool.must_not (per-query excluded terms, filter context), msm = ES
+    minimum_should_match over the OR terms."""
+    excl_cte = ""
+    joins, conds = [], []
+    if conjunctive:
+        joins.append("JOIN qn USING (query_id)")
+        conds.append("nt = qn")
+    elif msm > 1:
+        conds.append(f"nt >= {msm}")
+    if must_not:
+        nrows = []
+        for qid, ntext in must_not:
+            for t in py_tokenize(ntext):
+                nrows.append(f"({qid}, '{t}')")
+        excl_cte = f"""
+nq(query_id, term) AS (VALUES {", ".join(nrows)}),
+excl AS (
+  SELECT DISTINCT nq.query_id::BIGINT AS query_id, tf.doc_id
+  FROM nq JOIN tf USING (term)
+),"""
+        joins.append("ANTI JOIN excl USING (query_id, doc_id)")
+    flt = f"""
+flt AS (
+  SELECT sc.* FROM sc
+  {" ".join(joins)}
+  WHERE {" AND ".join(conds) if conds else "TRUE"}
+),"""
     return f"""
 WITH q(query_id, term) AS (VALUES {_query_values()}),
 qn AS (SELECT query_id, count(DISTINCT term) AS qn FROM q GROUP BY 1),
@@ -74,12 +114,13 @@ sc AS (
   JOIN dl  ON tf.doc_id = dl.doc_id
   CROSS JOIN st
   GROUP BY 1, 2
-),
+),{excl_cte}
+{flt}
 rk AS (
   SELECT query_id, doc_id, round(raw, 4) AS score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
-  FROM {src}
+  FROM flt
 )
 SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
@@ -728,6 +769,8 @@ ORACLES: dict[str, str] = {
     "events_props_json": EVENTS_PROPS_JSON,
     "bm25_topk_wand": bm25_topk_sql(),
     "bm25_topk_and": bm25_topk_sql(conjunctive=True),
+    "bm25_topk_not": bm25_topk_sql(must_not=_mustnot_set()),
+    "bm25_topk_msm": bm25_topk_sql(msm=2),
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
     "phrase_topk": phrase_topk_sql(),
     "minhash_signatures": MINHASH_SIGNATURES,

@@ -100,6 +100,37 @@ def bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_topk_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool must_not: same OR query set, but each query carries an
+    exclusion list (DOCUMENTS_MUSTNOT_SET — filter context, no scoring);
+    docs containing any excluded term never appear. The θ bootstrap
+    masks excluded docs before taking the k-th partial, keeping
+    block-max pruning sound (wand._bucket_kernel)."""
+    from mario_spark.fixtures import DOCUMENTS_MUSTNOT_SET
+    from mario_spark.wand import search_wand
+
+    post, dic, st = _wand_index(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    nq = query_terms_df(spark, DOCUMENTS_MUSTNOT_SET)
+    return search_wand(
+        post, dic, q, st["n_docs"], st["avgdl"], k=10, must_not_terms=nq
+    )
+
+
+def bm25_topk_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimum_should_match=2 over the OR query set: a doc must
+    match >= 2 distinct query terms (single-term queries match nothing,
+    as in ES). Per-doc distinct-term counts fall out of the kernel's
+    bincount groupby for free."""
+    from mario_spark.wand import search_wand
+
+    post, dic, st = _wand_index(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return search_wand(
+        post, dic, q, st["n_docs"], st["avgdl"], k=10, min_should_match=2
+    )
+
+
 def bm25_topk_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-scoped search (ES `title:` query): per-field inverted index
     via field-prefixed posting keys; BM25 uses the TITLE field's own
@@ -568,6 +599,8 @@ SUITE = {
     "events_props_json": events_props_json,
     "bm25_topk_wand": bm25_topk_wand,
     "bm25_topk_and": bm25_topk_and,
+    "bm25_topk_not": bm25_topk_not,
+    "bm25_topk_msm": bm25_topk_msm,
     "bm25_topk_title": bm25_topk_title,
     "phrase_topk": phrase_topk,
     "minhash_signatures": minhash_signatures,

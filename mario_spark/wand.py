@@ -171,26 +171,52 @@ def _bucket_kernel(
     k1: float,
     b: float,
     conjunctive: bool = False,
+    must_not: dict[int, list[str]] | None = None,
+    msm: int = 1,
 ) -> pd.DataFrame:
-    """Score every query against one dbucket's candidate blocks."""
-    # metadata-only construction: NO decode happens here
+    """Score every query against one dbucket's candidate blocks.
+
+    must_not = ES bool.must_not (FILTER context: excluded docs never
+    score, excluded terms never contribute). All of a doc's postings
+    live in one dbucket, so exclusion is bucket-local and exact.
+
+    msm = ES minimum_should_match over the disjunctive terms: a doc
+    must match >= msm distinct query terms. msm > 1 disables the θ
+    bootstrap (a θ derived from single-term partials could exceed the
+    true k-th best among msm-satisfying docs and over-prune); the
+    block-max mask degenerates to all-live, i.e. exhaustive-in-bucket.
+    """
+    must_not = must_not or {}
+    # metadata-only construction: NO decode happens here. must_not
+    # terms get idf 0.0 — only their doc ids are consulted.
     tds: dict[str, _TermData] = {
-        t: _TermData(g.sort_values("block_id"), idf_map[t], avgdl, k1, b)
+        t: _TermData(g.sort_values("block_id"), idf_map.get(t, 0.0), avgdl, k1, b)
         for t, g in pdf.groupby("term", sort=False)
     }
     bucket_max = {t: float(td.block_max.max()) for t, td in tds.items()}
 
+    def _excl_ids(qid: int) -> np.ndarray | None:
+        nts = [t for t in must_not.get(qid, []) if t in tds]
+        if not nts:
+            return None
+        parts = [tds[t].full()[0] for t in nts]
+        return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+
     out_q, out_d, out_s = [], [], []
     for qid, qterms in queries:
-        terms = [t for t in qterms if t in tds]
+        terms = [t for t in qterms if t in tds and t in idf_map]
         if not terms:
             continue
+        excl = _excl_ids(qid)
         if conjunctive:
             # a doc needs EVERY term; all its postings live in this
             # bucket, so a term absent here rules out the whole bucket
             if len(terms) < len(qterms):
                 continue
             ids, totals = _conjunctive_scores([tds[t] for t in terms])
+            if excl is not None and ids.size:
+                keep = ~np.isin(ids, excl, assume_unique=True)
+                ids, totals = ids[keep], totals[keep]
             if ids.size == 0:
                 continue
             order = np.lexsort((ids, -totals))[:k]
@@ -199,14 +225,21 @@ def _bucket_kernel(
             out_s.append(totals[order])
             continue
         # 1. bootstrap θ from the rarest term present in this bucket
-        # (max idf == min df, so pick by idf) — the only forced decode
-        rare = max(terms, key=lambda t: idf_map[t])
-        _, boot = tds[rare].full()
-        theta = (
-            float(np.partition(boot, boot.size - k)[boot.size - k])
-            if boot.size >= k
-            else -np.inf
-        )
+        # (max idf == min df, so pick by idf) — the only forced decode.
+        # Excluded docs are masked out of the bootstrap first: θ must
+        # lower-bound the k-th best among VALID docs only.
+        if msm <= 1:
+            rare = max(terms, key=lambda t: idf_map[t])
+            b_ids, boot = tds[rare].full()
+            if excl is not None:
+                boot = boot[~np.isin(b_ids, excl, assume_unique=True)]
+            theta = (
+                float(np.partition(boot, boot.size - k)[boot.size - k])
+                if boot.size >= k
+                else -np.inf
+            )
+        else:
+            theta = -np.inf
         total_ub = sum(bucket_max[t] for t in terms)
         ids_parts, contrib_parts = [], []
         for t in terms:
@@ -224,6 +257,17 @@ def _bucket_kernel(
         contrib = np.concatenate(contrib_parts)
         uniq, inv = np.unique(ids, return_inverse=True)
         totals = np.bincount(inv, weights=contrib)
+        keep = np.ones(uniq.size, dtype=bool)
+        if msm > 1:
+            # each term lists a doc at most once, so bincount(inv)
+            # counts DISTINCT matching terms per doc
+            keep &= np.bincount(inv) >= msm
+        if excl is not None:
+            keep &= ~np.isin(uniq, excl, assume_unique=True)
+        if not keep.all():
+            uniq, totals = uniq[keep], totals[keep]
+        if uniq.size == 0:
+            continue
         order = np.lexsort((uniq, -totals))[:k]
         out_q.append(np.full(order.size, qid, dtype=np.int64))
         out_d.append(uniq[order].astype(np.int64))
@@ -250,14 +294,23 @@ def _run_kernel(
     k1: float,
     b: float,
     conjunctive: bool,
+    must_not: dict[int, list[str]] | None = None,
+    msm: int = 1,
 ) -> DataFrame:
     """Shared execution tail: term-pruned scan -> per-dbucket kernel ->
     per-query rank window over the tiny candidate union."""
     terms = sorted({t for _, ts in queries for t in ts if t in idf_map})
-    cand = postings.filter(F.col("term").isin(terms))
+    # must_not terms ride along in the pruned scan (their ids are the
+    # exclusion sets) but never contribute score
+    scan_terms = sorted(
+        set(terms).union(t for ts in (must_not or {}).values() for t in ts)
+    )
+    cand = postings.filter(F.col("term").isin(scan_terms))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_kernel(pdf, queries, idf_map, avgdl, k, k1, b, conjunctive)
+        return _bucket_kernel(
+            pdf, queries, idf_map, avgdl, k, k1, b, conjunctive, must_not, msm
+        )
 
     local = cand.groupBy("dbucket").applyInPandas(
         kernel, "query_id long, doc_id long, score double"
@@ -281,11 +334,21 @@ def search_wand(
     k1: float = K1,
     b: float = B,
     conjunctive: bool = False,
+    must_not_terms: DataFrame | None = None,
+    min_should_match: int = 1,
 ) -> DataFrame:
     """postings x (query_id, term) -> (query_id, rank, doc_id, score).
 
     conjunctive=True = ES bool-must: rarest-first sorted intersection
     per bucket (and whole-bucket skip when any term is absent there).
+
+    must_not_terms = ES bool.must_not, a (query_id, term) DataFrame
+    shaped like query_terms: docs containing ANY listed term are
+    excluded from that query's results (filter context — no scoring).
+
+    min_should_match = ES minimum_should_match over the OR terms: a
+    doc must match at least this many distinct query terms (a query
+    with fewer terms than the minimum matches nothing, as in ES).
 
     Plan: collect the tiny query-term table driver-side (it IS the
     query), filter postings to queried terms (predicate pushed into the
@@ -299,13 +362,21 @@ def search_wand(
         qmap.setdefault(int(r["query_id"]), []).append(r["term"])
     queries = sorted(qmap.items())
     terms = sorted({t for _, ts in queries for t in ts})
+    must_not: dict[int, list[str]] | None = None
+    if must_not_terms is not None:
+        must_not = {}
+        for r in must_not_terms.collect():
+            must_not.setdefault(int(r["query_id"]), []).append(r["term"])
 
     # tiny driver-side dictionary lookup for just the queried terms;
     # terms absent from the dictionary (OOV) simply have no postings
     df_rows = dictionary.filter(F.col("term").isin(terms)).collect()
     nd, ad = float(n_docs), float(avgdl)
     idf_map = {r["term"]: _idf(nd, float(r["df"])) for r in df_rows}
-    return _run_kernel(postings, queries, idf_map, ad, k, k1, b, conjunctive)
+    return _run_kernel(
+        postings, queries, idf_map, ad, k, k1, b, conjunctive,
+        must_not, min_should_match,
+    )
 
 
 class QuerySession:
@@ -381,8 +452,14 @@ class QuerySession:
         conjunctive: bool = False,
         driver_limit: int = 200_000,
         field: str | None = None,
+        must_not: list[tuple[int, str]] | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """[(query_id, raw text)] -> (query_id, rank, doc_id, score).
+
+        must_not: [(query_id, raw text)] analyzed with the same
+        tokenizer — ES bool.must_not filter context (see search_wand).
+        min_should_match: ES minimum_should_match over the OR terms.
 
         Coordinator fast path: the driver dictionary knows every query
         term's df, so when the batch's total candidate postings fit
@@ -401,6 +478,11 @@ class QuerySession:
             (int(qid), list(dict.fromkeys(py_tokenize(text))))
             for qid, text in queries
         ]
+        nmap: dict[int, list[str]] = {}
+        for qid, text in must_not or []:
+            nmap.setdefault(int(qid), []).extend(
+                dict.fromkeys(py_tokenize(text))
+            )
         if field is not None:
             if field not in self.field_stats:
                 raise ValueError(
@@ -410,22 +492,30 @@ class QuerySession:
             qlist = [
                 (qid, [f"{field}:{t}" for t in ts]) for qid, ts in qlist
             ]
+            nmap = {
+                qid: [f"{field}:{t}" for t in ts] for qid, ts in nmap.items()
+            }
             n_docs, avgdl = (float(v) for v in self.field_stats[field])
         else:
             n_docs, avgdl = self.n_docs, self.avgdl
         qlist = [(qid, ts) for qid, ts in sorted(qlist) if ts]
         terms = sorted({t for _, ts in qlist for t in ts})
+        all_terms = sorted(
+            set(terms).union(t for ts in nmap.values() for t in ts)
+        )
         idf_map = self._idf_for(terms, n_docs)
         if (
             driver_limit
             and self._df_map is not None
-            and sum(self._df_map.get(t, 0) for t in terms) <= driver_limit
+            and sum(self._df_map.get(t, 0) for t in all_terms) <= driver_limit
         ):
             return self._search_driver(
-                qlist, idf_map, avgdl, k, k1, b, conjunctive
+                qlist, idf_map, avgdl, k, k1, b, conjunctive,
+                nmap or None, min_should_match,
             )
         return _run_kernel(
-            self.postings, qlist, idf_map, avgdl, k, k1, b, conjunctive
+            self.postings, qlist, idf_map, avgdl, k, k1, b, conjunctive,
+            nmap or None, min_should_match,
         )
 
     def _search_driver(
@@ -437,15 +527,22 @@ class QuerySession:
         k1: float,
         b: float,
         conjunctive: bool,
+        must_not: dict[int, list[str]] | None = None,
+        msm: int = 1,
     ) -> DataFrame:
         terms = sorted({t for _, ts in qlist for t in ts if t in idf_map})
         spark = self.postings.sparkSession
         schema = "query_id long, rank long, doc_id long, score double"
         if not terms:
             return spark.createDataFrame([], schema)
-        rows = self.postings.filter(F.col("term").isin(terms)).toPandas()
+        scan_terms = sorted(
+            set(terms).union(t for ts in (must_not or {}).values() for t in ts)
+        )
+        rows = self.postings.filter(F.col("term").isin(scan_terms)).toPandas()
         parts = [
-            _bucket_kernel(g, qlist, idf_map, avgdl, k, k1, b, conjunctive)
+            _bucket_kernel(
+                g, qlist, idf_map, avgdl, k, k1, b, conjunctive, must_not, msm
+            )
             for _, g in rows.groupby("dbucket", sort=True)
         ]
         parts = [p for p in parts if len(p)]

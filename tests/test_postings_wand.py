@@ -160,6 +160,41 @@ def test_query_session_identical_to_cold_path(spark, built):
     sess.close()
 
 
+def test_wand_must_not_and_msm_session_identical(spark, built):
+    """bool.must_not + minimum_should_match: warm QuerySession (both the
+    distributed and the coordinator-driver path) must be bit-identical
+    to cold search_wand, and excluded docs must actually be excluded."""
+    from mario_spark.fixtures import DOCUMENTS_MUSTNOT_SET
+    from mario_spark.wand import QuerySession
+
+    d, st_, _, rw, _dic = built
+    post, dic, _ = build_postings(d, st_["n_docs"], range_width=256)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    nq = query_terms_df(spark, DOCUMENTS_MUSTNOT_SET)
+    want = _canon(
+        search_wand(
+            post, dic, q, st_["n_docs"], st_["avgdl"], k=10,
+            must_not_terms=nq, min_should_match=2,
+        )
+    )
+    assert len(want) > 0
+    # ground truth: no result doc contains an excluded term, and every
+    # result doc matches >= 2 distinct query terms
+    tf = query.term_frequencies(d)
+    bad = {int(r["doc_id"]) for r in tf.filter(tf.term == "merge").collect()}
+    assert not set(want["doc_id"].tolist()) & bad
+    sess = QuerySession(post, dic, st_["n_docs"], st_["avgdl"]).warm()
+    for lim in (0, 10**9):  # distributed path, then driver fast path
+        got = _canon(
+            sess.search(
+                DOCUMENTS_QUERY_SET, k=10, driver_limit=lim,
+                must_not=DOCUMENTS_MUSTNOT_SET, min_should_match=2,
+            )
+        )
+        pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    sess.close()
+
+
 def test_wand_conjunctive_rank_identical(spark):
     pages = pages_df(spark, 900, seed=13, partitions=8)
     d = docs.build_doc_table(pages).persist()
