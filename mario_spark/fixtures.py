@@ -211,6 +211,24 @@ DOCUMENTS_MUSTNOT_SET: list[tuple[int, str]] = [
 ] + [(5, "stream")]
 
 
+# Fuzzy (ES match+fuzziness, max_edits=1 prefix_length=1) query set:
+# misspellings one classic-Levenshtein edit from a vocab word (insert /
+# delete / substitute), one exact word (expands to itself), one OOV
+# with no expansion, and two multi-term fuzzy queries.
+DOCUMENTS_FUZZY_SET: list[tuple[int, str]] = [
+    (0, "joim"),        # -> join  (substitute)
+    (1, "quer"),        # -> query (delete)
+    (2, "mergee"),      # -> merge (insert)
+    (3, "windoe"),      # -> window
+    (4, "strean"),      # -> stream
+    (5, "hash"),        # exact: expands to itself
+    (6, "kay"),         # -> key
+    (7, "zzz"),         # OOV, no expansion -> empty
+    (8, "quer joim"),   # multi-term fuzzy
+    (9, "tble sirt"),   # -> table, sort
+]
+
+
 # Phrase (match_phrase) query set over the driver documents corpus:
 # bigrams with real support, one trigram, one OOV-term phrase (empty
 # result), one zero-adjacency phrase (both terms common, never adjacent

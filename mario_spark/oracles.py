@@ -166,6 +166,59 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+def fuzzy_topk_sql(
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_edits: int = 1,
+    prefix_length: int = 1,
+) -> str:
+    """Fuzzy-match oracle: expand each query term against the term
+    dictionary (same-prefix + classic levenshtein <= max_edits — DuckDB
+    and Spark both implement CLASSIC Levenshtein, transposition = 2),
+    dedupe per query, score the expansion as a disjunction with
+    per-variant idf. Mirrors fuzzy.search_fuzzy exactly."""
+    from mario_spark.fixtures import DOCUMENTS_FUZZY_SET
+
+    rows = []
+    for qid, qtext in DOCUMENTS_FUZZY_SET:
+        for t in dict.fromkeys(py_tokenize(qtext)):
+            rows.append(f"({qid}, '{t}')")
+    return f"""
+WITH fq(query_id, qterm) AS (VALUES {", ".join(rows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+exp AS (
+  SELECT DISTINCT fq.query_id, dfr.term
+  FROM fq JOIN dfr
+    ON substr(dfr.term, 1, {prefix_length}) = substr(fq.qterm, 1, {prefix_length})
+   AND levenshtein(dfr.term, fq.qterm) <= {max_edits}
+),
+sc AS (
+  SELECT exp.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM exp
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 def phrase_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     """match_phrase oracle: per-query adjacency scan over the token
     array (arr[p+j] = term_j for all j), phrase_tf = count of valid
@@ -771,6 +824,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk_and": bm25_topk_sql(conjunctive=True),
     "bm25_topk_not": bm25_topk_sql(must_not=_mustnot_set()),
     "bm25_topk_msm": bm25_topk_sql(msm=2),
+    "fuzzy_topk": fuzzy_topk_sql(),
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
     "phrase_topk": phrase_topk_sql(),
     "minhash_signatures": MINHASH_SIGNATURES,

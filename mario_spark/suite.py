@@ -131,6 +131,24 @@ def bm25_topk_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match + fuzziness=1, prefix_length=1: each query term expands
+    to dictionary terms within one classic-Levenshtein edit sharing the
+    first character (ONE pruned dictionary pass — the Spark-first
+    analogue of Lucene's per-shard FST automaton walk), then the
+    expansion is scored as a disjunction with per-variant idf
+    (SCORING_BOOLEAN_REWRITE)."""
+    from mario_spark.fixtures import DOCUMENTS_FUZZY_SET
+    from mario_spark.fuzzy import search_fuzzy
+
+    post, dic, st = _wand_index(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_FUZZY_SET)
+    return search_fuzzy(
+        post, dic, q, st["n_docs"], st["avgdl"], k=10,
+        max_edits=1, prefix_length=1,
+    )
+
+
 def bm25_topk_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-scoped search (ES `title:` query): per-field inverted index
     via field-prefixed posting keys; BM25 uses the TITLE field's own
@@ -601,6 +619,7 @@ SUITE = {
     "bm25_topk_and": bm25_topk_and,
     "bm25_topk_not": bm25_topk_not,
     "bm25_topk_msm": bm25_topk_msm,
+    "fuzzy_topk": fuzzy_topk,
     "bm25_topk_title": bm25_topk_title,
     "phrase_topk": phrase_topk,
     "minhash_signatures": minhash_signatures,

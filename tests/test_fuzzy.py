@@ -1,0 +1,66 @@
+"""Fuzzy query tests: expansion correctness, identity with the
+exhaustive scorer over the same expansion, and the broadcast plan."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from mario_spark import docs, query
+from mario_spark.fixtures import pages_df
+from mario_spark.fuzzy import expand_terms, search_fuzzy
+from mario_spark.postings import build_postings
+
+
+def _canon(df):
+    return df.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def test_fuzzy_expansion_and_identity(spark):
+    """'w0000z' must fan out to every w0000[0-9] term present in the
+    corpus (multi-expansion), and search_fuzzy must equal the
+    exhaustive scorer run over the SAME expanded disjunction."""
+    pages = pages_df(spark, 1000, seed=7, partitions=8)
+    d = docs.build_doc_table(pages).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st_["n_docs"])
+
+    q = spark.createDataFrame(
+        [(0, "w0000z"), (1, "qqqxyz")], "query_id long, term string"
+    )
+    exp = expand_terms(dic, q, max_edits=1, prefix_length=1)
+    rows = exp.collect()
+    exp0 = sorted(r["term"] for r in rows if r["query_id"] == 0)
+    assert len(exp0) > 1, f"expected multi-term expansion, got {exp0}"
+    assert all(t.startswith("w0000") for t in exp0)
+    assert not [r for r in rows if r["query_id"] == 1]  # OOV: no expansion
+
+    got = _canon(
+        search_fuzzy(
+            post, dic, q, st_["n_docs"], st_["avgdl"], k=10,
+            max_edits=1, prefix_length=1,
+        )
+    )
+    # ground truth: exhaustive disjunctive BM25 over the expanded terms
+    eq = spark.createDataFrame(
+        [(0, t) for t in exp0], "query_id long, term string"
+    )
+    want = _canon(query.search_exhaustive(d, eq, k=10))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d.unpersist()
+
+
+def test_fuzzy_expansion_broadcasts_query_side(spark):
+    """The dictionary pass must plan as a broadcast hash join on the
+    prefix key — never a shuffled or nested-loop join over the vocab."""
+    pages = pages_df(spark, 300, seed=7, partitions=4)
+    d = docs.build_doc_table(pages)
+    st_ = docs.corpus_stats(d).collect()[0]
+    _, dic, _ = build_postings(d, st_["n_docs"])
+    q = spark.createDataFrame([(0, "w0000z")], "query_id long, term string")
+    plan = (
+        expand_terms(dic, q, max_edits=1, prefix_length=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
