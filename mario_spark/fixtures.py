@@ -243,6 +243,19 @@ DOCUMENTS_PHRASE_SET: list[tuple[int, str]] = [
 ]
 
 
+# Ordered-proximity (span_near in_order, slop=2) query set: bigrams
+# only (keeps the SQL oracle's nested window predicate simple); the
+# wider window makes these match strictly more docs than slop=0.
+DOCUMENTS_NEAR_SET: list[tuple[int, str]] = [
+    (0, "table hash"),
+    (1, "customer join"),
+    (2, "merge group"),
+    (3, "vector small"),
+    (4, "key stream"),
+    (5, "zzz join"),     # OOV member -> empty result
+]
+
+
 def make_pages_query_set(seed: int = 42, n: int = 50) -> list[tuple[int, str]]:
     """F3 query set over the synthetic pages corpus: 20 single-term
     (3 head, 3 rare, 2 OOV), 20 two-term, 10 three/four-term."""

@@ -28,6 +28,12 @@ def _mustnot_set() -> list[tuple[int, str]]:
     return DOCUMENTS_MUSTNOT_SET
 
 
+def _near_set() -> list[tuple[int, str]]:
+    from mario_spark.fixtures import DOCUMENTS_NEAR_SET
+
+    return DOCUMENTS_NEAR_SET
+
+
 def _query_values() -> str:
     rows = []
     for qid, qtext in DOCUMENTS_QUERY_SET:
@@ -219,26 +225,49 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
-def phrase_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+def phrase_topk_sql(
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    slop: int = 0,
+    query_set: list[tuple[int, str]] | None = None,
+) -> str:
     """match_phrase oracle: per-query adjacency scan over the token
     array (arr[p+j] = term_j for all j), phrase_tf = count of valid
     start positions; scored as one pseudo-term with idf = sum of member
-    idfs (Lucene PhraseWeight), identically to phrase.search_phrase."""
+    idfs (Lucene PhraseWeight), identically to phrase.search_phrase.
+
+    slop > 0 = ordered proximity (span_near in_order): restricted to
+    BIGRAM queries so the window check stays one nested lambda —
+    arr[p] = t0 and t1 somewhere in arr[p+1 .. p+1+slop]."""
     from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
 
+    qset = query_set if query_set is not None else DOCUMENTS_PHRASE_SET
     q_rows, ph_selects = [], []
-    for qid, qtext in DOCUMENTS_PHRASE_SET:
+    for qid, qtext in qset:
         terms = py_tokenize(qtext)
         for t in terms:
             q_rows.append(f"({qid}, '{t}')")
         m = len(terms) - 1
-        conds = " AND ".join(
-            f"arr[p + {j}] = '{t}'" for j, t in enumerate(terms)
-        )
+        if slop == 0:
+            conds = " AND ".join(
+                f"arr[p + {j}] = '{t}'" for j, t in enumerate(terms)
+            )
+            ptf = (
+                f"len(list_filter(generate_series(1, greatest(len(arr) - {m}, 0)), "
+                f"p -> {conds}))::DOUBLE"
+            )
+        else:
+            assert len(terms) == 2, "slop oracle supports bigrams only"
+            t0, t1 = terms
+            ptf = (
+                f"len(list_filter(generate_series(1, greatest(len(arr) - 1, 0)), "
+                f"p -> arr[p] = '{t0}' AND len(list_filter("
+                f"generate_series(p + 1, least(p + 1 + {slop}, len(arr))), "
+                f"j -> arr[j] = '{t1}')) > 0))::DOUBLE"
+            )
         ph_selects.append(
-            f"SELECT {qid} AS query_id, doc_id, "
-            f"len(list_filter(generate_series(1, greatest(len(arr) - {m}, 0)), "
-            f"p -> {conds}))::DOUBLE AS ptf FROM docs_t"
+            f"SELECT {qid} AS query_id, doc_id, {ptf} AS ptf FROM docs_t"
         )
     return f"""
 WITH docs_t AS (
@@ -827,6 +856,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_topk": fuzzy_topk_sql(),
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
     "phrase_topk": phrase_topk_sql(),
+    "phrase_near_topk": phrase_topk_sql(slop=2, query_set=_near_set()),
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
     "dedup_components": DEDUP_COMPONENTS,

@@ -95,6 +95,32 @@ class _PosTermData:
         ]
 
 
+def _chain_match_count(
+    term_pos: list[np.ndarray], n_terms: int, slop: int
+) -> int:
+    """Ordered-proximity matches: count start positions p0 of term 0
+    from which a strictly-increasing chain p0 < p1 < ... < p_{n-1}
+    (p_j a position of term j) exists with total displacement
+    (p_{n-1} - p0) - (n-1) <= slop.
+
+    Greedy minimal successors are optimal: picking the SMALLEST valid
+    p_j at each step minimizes p_{n-1}, so a start matches iff the
+    greedy chain satisfies the window. slop=0 reduces exactly to
+    consecutive-positions phrase matching. Vectorized over all starts.
+    """
+    p0 = term_pos[0]
+    cur = p0.astype(np.int64)
+    alive = np.ones(cur.size, dtype=bool)
+    for j in range(1, n_terms):
+        pj = term_pos[j]
+        idx = np.searchsorted(pj, cur + 1)
+        ok = idx < pj.size
+        alive &= ok
+        cur = np.where(ok, pj[np.minimum(idx, pj.size - 1)], cur)
+    win = (cur - p0 - (n_terms - 1)) <= slop
+    return int(np.count_nonzero(alive & win))
+
+
 def _phrase_kernel(
     pdf: pd.DataFrame,
     queries: list[tuple[int, list[str]]],
@@ -103,6 +129,7 @@ def _phrase_kernel(
     k: int,
     k1: float,
     b: float,
+    slop: int = 0,
 ) -> pd.DataFrame:
     """Score every phrase query against one dbucket."""
     tds: dict[str, _PosTermData] = {
@@ -128,16 +155,16 @@ def _phrase_kernel(
             np.searchsorted(td.ids, cand) for td in term_tds
         ]
         doc_out, ptf_out, len_out = [], [], []
+        n_terms = len(term_tds)
         for ci in range(cand.size):
-            starts = term_tds[0].positions_of(int(rows_per_term[0][ci]))
-            for j in range(1, len(term_tds)):
-                pj = term_tds[j].positions_of(int(rows_per_term[j][ci]))
-                starts = starts[np.isin(starts + j, pj, assume_unique=True)]
-                if starts.size == 0:
-                    break
-            if starts.size:
+            term_pos = [
+                td.positions_of(int(rows_per_term[j][ci]))
+                for j, td in enumerate(term_tds)
+            ]
+            ptf = _chain_match_count(term_pos, n_terms, slop)
+            if ptf:
                 doc_out.append(int(cand[ci]))
-                ptf_out.append(starts.size)
+                ptf_out.append(ptf)
                 len_out.append(
                     float(term_tds[0].lens[int(rows_per_term[0][ci])])
                 )
@@ -176,6 +203,7 @@ def search_phrase(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    slop: int = 0,
 ) -> DataFrame:
     """positional postings x phrases -> (query_id, rank, doc_id, score).
 
@@ -183,6 +211,12 @@ def search_phrase(
     analyzer-output form (use analyze.py_tokenize on raw text). Plan is
     search_wand's: term-pruned scan -> per-dbucket kernel -> per-query
     rank window over the tiny candidate union.
+
+    slop > 0 = ordered proximity (ES span_near in_order=true; NOTE this
+    deliberately deviates from match_phrase's sloppy-freq semantics,
+    which also admits REORDERED terms once slop >= 2 — order is
+    enforced here): terms must appear in query order within a window of
+    len(terms) + slop positions; ptf counts the admitting starts.
     """
     terms = sorted({t for _, ts in phrase_queries for t in ts})
     df_rows = dictionary.filter(F.col("term").isin(terms)).collect()
@@ -197,7 +231,7 @@ def search_phrase(
     ad = float(avgdl)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _phrase_kernel(pdf, queries, idf_map, ad, k, k1, b)
+        return _phrase_kernel(pdf, queries, idf_map, ad, k, k1, b, slop)
 
     local = cand.groupBy("dbucket").applyInPandas(
         kernel, "query_id long, doc_id long, score double"

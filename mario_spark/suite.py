@@ -171,31 +171,62 @@ def bm25_topk_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one positional-postings build shared by the phrase-served suite
+# entries (same pure-caching contract as _WAND_CACHE)
+_POS_CACHE: dict = {}
+
+
+def _pos_index(spark: SparkSession, sf_dir: str):
+    from mario_spark import docs as docsmod
+    from mario_spark import phrase as ph
+    from mario_spark.postings import dictionary_from_postings, encode_tf_rows, pick_range_width
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _POS_CACHE:
+        d = _documents(spark, sf_dir).select("doc_id", "text")
+        tfpos = ph.positional_tf(d).persist()
+        st = docsmod.corpus_stats(
+            tfpos.select("doc_id", "len").distinct()
+        ).collect()[0]
+        rw = pick_range_width(
+            st["n_docs"], spark.sparkContext.defaultParallelism
+        )
+        post = encode_tf_rows(tfpos, rw).persist()
+        dic = dictionary_from_postings(post).persist()
+        _POS_CACHE[key] = (post, dic, st)
+    return _POS_CACHE[key]
+
+
 def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase (slop=0) over positional postings: the parallel
     `poss` VByte stream stores 0-based token positions; a doc matches
     iff the phrase terms occur consecutively in order. Scored as one
     pseudo-term (Lucene PhraseWeight): idf = sum of member idfs,
     tf = phrase frequency."""
-    from mario_spark import docs as docsmod
     from mario_spark import phrase as ph
     from mario_spark.analyze import py_tokenize
     from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
-    from mario_spark.postings import dictionary_from_postings, encode_tf_rows, pick_range_width
 
-    d = _documents(spark, sf_dir).select("doc_id", "text")
-    tfpos = ph.positional_tf(d).persist()
-    st = docsmod.corpus_stats(
-        tfpos.select("doc_id", "len").distinct()
-    ).collect()[0]
-    rw = pick_range_width(
-        st["n_docs"], spark.sparkContext.defaultParallelism
-    )
-    post = encode_tf_rows(tfpos, rw)
-    dic = dictionary_from_postings(post)
+    post, dic, st = _pos_index(spark, sf_dir)
     queries = [(qid, py_tokenize(q)) for qid, q in DOCUMENTS_PHRASE_SET]
     return ph.search_phrase(
         post, dic, queries, st["n_docs"], st["avgdl"], k=10
+    )
+
+
+def phrase_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity (ES span_near in_order=true, slop=2): bigram
+    terms must occur in order within a window of 2+slop positions; ptf
+    counts admitting starts (greedy minimal chain — see
+    phrase._chain_match_count); scored like match_phrase."""
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_NEAR_SET
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    queries = [(qid, py_tokenize(q)) for qid, q in DOCUMENTS_NEAR_SET]
+    return ph.search_phrase(
+        post, dic, queries, st["n_docs"], st["avgdl"], k=10, slop=2
     )
 
 
@@ -622,6 +653,7 @@ SUITE = {
     "fuzzy_topk": fuzzy_topk,
     "bm25_topk_title": bm25_topk_title,
     "phrase_topk": phrase_topk,
+    "phrase_near_topk": phrase_near_topk,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_components": dedup_components,
