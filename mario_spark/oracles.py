@@ -308,6 +308,29 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+FACET_TERMS_LANG = f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'join'),
+b AS (
+  SELECT d.lang AS key, count(*)::BIGINT AS doc_count,
+         round(avg(d.n_chars), 4) AS avg_n_chars
+  FROM documents d JOIN hits USING (doc_id)
+  GROUP BY 1
+)
+SELECT key, doc_count, avg_n_chars FROM b
+ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+SEARCH_AFTER_PAGE = """
+WITH en AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'),
+rk AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM en
+)
+SELECT doc_id, n_chars FROM rk WHERE rn BETWEEN 11 AND 20
+"""
+
 KEYWORD_NORMALIZE = r"""
 SELECT doc_id,
        trim(lower(regexp_replace(substr(text, 1, 20) || '.', '[./;=,?]$', ''))) AS kw
@@ -870,6 +893,8 @@ ORACLES: dict[str, str] = {
     "quality_score": _quality_oracle(),
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "multimodal_decode": MULTIMODAL_DECODE,
+    "facet_terms_lang": FACET_TERMS_LANG,
+    "search_after_page": SEARCH_AFTER_PAGE,
     "geo_distance": GEO_DISTANCE,
     "geo_bbox": GEO_BBOX,
     "completion_suggest": COMPLETION_SUGGEST,

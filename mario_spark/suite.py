@@ -621,6 +621,39 @@ def completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.suggest(table, "ha", k=5)
 
 
+def facet_terms_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation (the facet behind every TIMDEX UI filter):
+    buckets of `lang` over docs matching the term query 'join', with a
+    doc_count and an avg(n_chars) sub-aggregation; top-10 buckets by
+    doc_count desc, key asc. Plan: tf term filter -> doc_id semi-join
+    -> partial+final hash agg -> TakeOrderedAndProject (no global
+    window)."""
+    from mario_spark.ops import aggs
+
+    d = _documents(spark, sf_dir)
+    tf = query.term_frequencies(
+        docs.build_doc_table(documents_as_pages(spark, sf_dir))
+    )
+    hit_ids = tf.filter(F.col("term") == "join").select("doc_id")
+    hits = d.join(hit_ids, "doc_id", "left_semi")
+    return aggs.terms_agg(hits, "lang", size=10, metric_col="n_chars")
+
+
+def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after pagination: page 2 (rows 11-20) of lang='en'
+    docs ordered by n_chars desc, doc_id asc. Page 1's last row is the
+    cursor; page 2 is a cursor PREDICATE + top-10 — an independent
+    TakeOrderedAndProject, no offset scan (why ES recommends
+    search_after over from+size at depth)."""
+    from mario_spark.ops import aggs
+
+    d = _documents(spark, sf_dir).filter(F.col("lang") == "en").select(
+        "doc_id", "n_chars"
+    )
+    pages = aggs.paginate(d, "n_chars", size=10, n_pages=2)
+    return pages[-1].select("doc_id", "n_chars")
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import multimodal
 
@@ -667,6 +700,8 @@ SUITE = {
     "quality_score": quality_score,
     "winnow_fingerprints": winnow_fingerprints,
     "multimodal_decode": multimodal_decode,
+    "facet_terms_lang": facet_terms_lang,
+    "search_after_page": search_after_page,
     "geo_distance": geo_distance,
     "geo_bbox": geo_bbox,
     "completion_suggest": completion_suggest,

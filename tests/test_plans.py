@@ -75,6 +75,26 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_terms_agg_and_search_after_use_take_ordered(spark):
+    """Facet buckets and cursor pages are global top-k: they must plan
+    as TakeOrderedAndProject (never Sort over Exchange SinglePartition),
+    and the search_after cursor predicate must push into the scan."""
+    from mario_spark.ops import aggs
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(aggs.terms_agg(d, "lang", size=10, metric_col="n_chars"))
+    assert "TakeOrderedAndProject" in plan
+
+    page = aggs.search_after(
+        d.select("doc_id", "n_chars"), "n_chars", 10, cursor=(350, 17)
+    )
+    plan = _plan(page)
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
 def test_simhash_pairs_no_cross_join(spark):
     """Banded simhash pair generation must plan as an equi-join on the
     band key — never CartesianProduct / BroadcastNestedLoopJoin."""
