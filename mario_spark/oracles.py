@@ -308,6 +308,37 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+# Mirrors ops/highlight.py exactly: earliest boundary-safe match of
+# 'hash' or 'join' (fold order hash-then-join, strict < keeps the
+# earlier), 60-char fragment from 20 before the match, matched
+# occurrence wrapped in <em>.
+HIGHLIGHT_FRAGMENTS = """
+WITH p AS (
+  SELECT doc_id, text,
+         instr(' ' || lower(text) || ' ', ' hash ') AS p1,
+         instr(' ' || lower(text) || ' ', ' join ') AS p2
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         CASE WHEN p2 > 0 AND (p1 = 0 OR p2 < p1) THEN p2
+              WHEN p1 > 0 THEN p1 ELSE 0 END::BIGINT AS pos,
+         CASE WHEN p2 > 0 AND (p1 = 0 OR p2 < p1) THEN 'join'
+              WHEN p1 > 0 THEN 'hash' ELSE '' END AS term
+  FROM p
+),
+f AS (
+  SELECT doc_id, pos, term,
+         substr(text, greatest(1, pos - 20), 60) AS frag,
+         (pos - greatest(1, pos - 20) + 1)::BIGINT AS s
+  FROM m WHERE pos > 0
+)
+SELECT doc_id, pos, term,
+       substr(frag, 1, s - 1) || '<em>' || substr(frag, s, len(term))
+         || '</em>' || substr(frag, s + len(term), 60) AS snippet
+FROM f ORDER BY doc_id LIMIT 20
+"""
+
 FACET_TERMS_LANG = f"""
 WITH {_TOKS_CTE},
 hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'join'),
@@ -893,6 +924,7 @@ ORACLES: dict[str, str] = {
     "quality_score": _quality_oracle(),
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "multimodal_decode": MULTIMODAL_DECODE,
+    "highlight_fragments": HIGHLIGHT_FRAGMENTS,
     "facet_terms_lang": FACET_TERMS_LANG,
     "search_after_page": SEARCH_AFTER_PAGE,
     "geo_distance": GEO_DISTANCE,

@@ -621,6 +621,20 @@ def completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.suggest(table, "ha", k=5)
 
 
+def highlight_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight: first boundary-safe occurrence of any query term
+    ('hash', 'join'; earliest wins) wrapped in <em> inside a 60-char
+    fragment. Pure codegen string expressions — no UDF; first 20
+    matching docs by doc_id (TakeOrderedAndProject)."""
+    from mario_spark.ops import highlight
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = highlight.highlight_fragment(d, "text", ["hash", "join"])
+    return out.select("doc_id", "pos", "term", "snippet").orderBy(
+        "doc_id"
+    ).limit(20)
+
+
 def facet_terms_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms aggregation (the facet behind every TIMDEX UI filter):
     buckets of `lang` over docs matching the term query 'join', with a
@@ -700,6 +714,7 @@ SUITE = {
     "quality_score": quality_score,
     "winnow_fingerprints": winnow_fingerprints,
     "multimodal_decode": multimodal_decode,
+    "highlight_fragments": highlight_fragments,
     "facet_terms_lang": facet_terms_lang,
     "search_after_page": search_after_page,
     "geo_distance": geo_distance,
