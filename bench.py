@@ -154,6 +154,9 @@ def main() -> None:
         "phrase_topk",
         "bm25_topk_title",
         "simhash_pairs",
+        "fuzzy_topk",        # incl. one shared _wand_index build
+        "facet_terms_lang",
+        "search_after_page",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())
