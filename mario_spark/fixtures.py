@@ -243,6 +243,27 @@ DOCUMENTS_PHRASE_SET: list[tuple[int, str]] = [
 ]
 
 
+# Prefix-query set: 's' fans out to six vocab terms, the rest are
+# narrower; 'zz' matches nothing.
+DOCUMENTS_PREFIX_SET: list[tuple[int, str]] = [
+    (0, "jo"),     # -> join
+    (1, "s"),      # -> scan slow small sort spark stream
+    (2, "qu"),     # -> query
+    (3, "ta"),     # -> table
+    (4, "zz"),     # no expansion -> empty
+]
+
+
+# Wildcard-query set (* = any run, ? = one char, whole-term match).
+DOCUMENTS_WILDCARD_SET: list[tuple[int, str]] = [
+    (0, "w*ow"),    # -> window
+    (1, "sc?n"),    # -> scan
+    (2, "*der"),    # -> order (leading wildcard)
+    (3, "s??ll"),   # -> small
+    (4, "*zz*"),    # no expansion -> empty
+]
+
+
 # Ordered-proximity (span_near in_order, slop=2) query set: bigrams
 # only (keeps the SQL oracle's nested window predicate simple); the
 # wider window makes these match strictly more docs than slop=0.

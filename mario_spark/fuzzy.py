@@ -1,7 +1,11 @@
-"""Fuzzy term queries (ES match + fuzziness / Lucene FuzzyQuery).
+"""Multi-term queries: fuzzy, prefix, wildcard (Lucene MultiTermQuery).
 
-Mario's delegated engine answers `"fuzziness": N` matches out of the
-box on every text field; this module re-expresses them Spark-first.
+Mario's delegated engine answers `"fuzziness": N`, `prefix` and
+`wildcard` queries out of the box on every text field; this module
+re-expresses them Spark-first. All three share one shape: a single
+pruned pass over the term DICTIONARY produces the expansion set, which
+is then scored as a disjunction with per-variant idf by the standard
+WAND kernel (SCORING_BOOLEAN_REWRITE).
 
 Semantics (documented precisely because engines differ):
 - A query term expands to every DICTIONARY term within classic
@@ -60,6 +64,69 @@ def expand_terms(
     )
 
 
+def expand_prefix(
+    dictionary: DataFrame, query_terms: DataFrame
+) -> DataFrame:
+    """ES prefix query expansion: dictionary terms starting with the
+    query string. One dictionary pass with the broadcast query table —
+    the per-shard term-walk an ES prefix query does, as a join."""
+    q = F.broadcast(
+        query_terms.select("query_id", F.col("term").alias("qterm"))
+    )
+    return (
+        dictionary.join(q, F.col("term").startswith(F.col("qterm")))
+        .select("query_id", "term", "df")
+        .dropDuplicates(["query_id", "term"])
+    )
+
+
+def expand_wildcard(
+    dictionary: DataFrame, query_terms: DataFrame
+) -> DataFrame:
+    """ES wildcard query expansion: `*` = any run, `?` = one char, the
+    pattern must match the WHOLE term. Translated to SQL LIKE
+    (% and _) and evaluated in one dictionary pass. Patterns are
+    analyzer tokens plus * and ? — no % or _ can occur in them, so the
+    translation is injective."""
+    q = F.broadcast(
+        query_terms.select(
+            "query_id",
+            F.col("term").alias("qpat"),
+            F.translate(F.col("term"), "*?", "%_").alias("qlike"),
+        )
+    )
+    return (
+        dictionary.join(q, F.expr("term LIKE qlike"))
+        .select("query_id", "term", "df")
+        .dropDuplicates(["query_id", "term"])
+    )
+
+
+def _search_expansion(
+    postings: DataFrame,
+    expansion: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared multi-term tail: collect the (tiny) expansion, score it
+    as a disjunction with per-variant idf via the WAND kernel
+    (MultiTermQuery SCORING_BOOLEAN_REWRITE)."""
+    rows = expansion.collect()  # tiny: queries x bounded fan-out
+    qmap: dict[int, list[str]] = {}
+    nd = float(n_docs)
+    idf_map: dict[str, float] = {}
+    for r in rows:
+        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
+        idf_map[r["term"]] = _idf(nd, float(r["df"]))
+    queries = sorted((qid, sorted(ts)) for qid, ts in qmap.items())
+    return _run_kernel(
+        postings, queries, idf_map, float(avgdl), k, k1, b, conjunctive=False
+    )
+
+
 def search_fuzzy(
     postings: DataFrame,
     dictionary: DataFrame,
@@ -76,14 +143,36 @@ def search_fuzzy(
     standard WAND kernel over the expanded disjunction. Returns
     (query_id, rank, doc_id, score) like search_wand."""
     exp = expand_terms(dictionary, query_terms, max_edits, prefix_length)
-    rows = exp.collect()  # tiny: queries x bounded expansion fan-out
-    qmap: dict[int, list[str]] = {}
-    nd = float(n_docs)
-    idf_map: dict[str, float] = {}
-    for r in rows:
-        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
-        idf_map[r["term"]] = _idf(nd, float(r["df"]))
-    queries = sorted((qid, sorted(ts)) for qid, ts in qmap.items())
-    return _run_kernel(
-        postings, queries, idf_map, float(avgdl), k, k1, b, conjunctive=False
-    )
+    return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)
+
+
+def search_prefix(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    query_terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES prefix query, scored as a disjunction (rewrite=
+    scoring_boolean) over the matching dictionary terms."""
+    exp = expand_prefix(dictionary, query_terms)
+    return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)
+
+
+def search_wildcard(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    query_terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES wildcard query (whole-term * / ? patterns), scored as a
+    disjunction over the matching dictionary terms."""
+    exp = expand_wildcard(dictionary, query_terms)
+    return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)

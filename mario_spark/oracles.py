@@ -172,24 +172,19 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
-def fuzzy_topk_sql(
+def multiterm_topk_sql(
+    qrows: list[tuple[int, str]],
+    match_cond: str,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    max_edits: int = 1,
-    prefix_length: int = 1,
 ) -> str:
-    """Fuzzy-match oracle: expand each query term against the term
-    dictionary (same-prefix + classic levenshtein <= max_edits — DuckDB
-    and Spark both implement CLASSIC Levenshtein, transposition = 2),
-    dedupe per query, score the expansion as a disjunction with
-    per-variant idf. Mirrors fuzzy.search_fuzzy exactly."""
-    from mario_spark.fixtures import DOCUMENTS_FUZZY_SET
-
-    rows = []
-    for qid, qtext in DOCUMENTS_FUZZY_SET:
-        for t in dict.fromkeys(py_tokenize(qtext)):
-            rows.append(f"({qid}, '{t}')")
+    """Multi-term-query oracle (fuzzy / prefix / wildcard): expand each
+    query string against the term dictionary via `match_cond` (SQL
+    boolean over dfr.term and fq.qterm), dedupe per query, score the
+    expansion as a disjunction with per-variant idf. Mirrors
+    fuzzy._search_expansion exactly."""
+    rows = [f"({qid}, '{q}')" for qid, q in qrows]
     return f"""
 WITH fq(query_id, qterm) AS (VALUES {", ".join(rows)}),
 {_TOKS_CTE},
@@ -199,9 +194,7 @@ st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
 dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 exp AS (
   SELECT DISTINCT fq.query_id, dfr.term
-  FROM fq JOIN dfr
-    ON substr(dfr.term, 1, {prefix_length}) = substr(fq.qterm, 1, {prefix_length})
-   AND levenshtein(dfr.term, fq.qterm) <= {max_edits}
+  FROM fq JOIN dfr ON {match_cond}
 ),
 sc AS (
   SELECT exp.query_id::BIGINT AS query_id, tf.doc_id,
@@ -223,6 +216,42 @@ rk AS (
 )
 SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
+
+
+def fuzzy_topk_sql(max_edits: int = 1, prefix_length: int = 1) -> str:
+    """DuckDB and Spark both implement CLASSIC Levenshtein
+    (transposition = 2 edits), so the sides agree by construction."""
+    from mario_spark.fixtures import DOCUMENTS_FUZZY_SET
+
+    qrows = [
+        (qid, t)
+        for qid, qtext in DOCUMENTS_FUZZY_SET
+        for t in dict.fromkeys(py_tokenize(qtext))
+    ]
+    cond = (
+        f"substr(dfr.term, 1, {prefix_length}) = substr(fq.qterm, 1, {prefix_length}) "
+        f"AND levenshtein(dfr.term, fq.qterm) <= {max_edits}"
+    )
+    return multiterm_topk_sql(qrows, cond)
+
+
+def prefix_topk_sql() -> str:
+    from mario_spark.fixtures import DOCUMENTS_PREFIX_SET
+
+    return multiterm_topk_sql(
+        DOCUMENTS_PREFIX_SET, "dfr.term LIKE fq.qterm || '%'"
+    )
+
+
+def wildcard_topk_sql() -> str:
+    # * -> %, ? -> _ ; analyzer terms contain no % or _ so the
+    # translation is exact (same as fuzzy.expand_wildcard)
+    from mario_spark.fixtures import DOCUMENTS_WILDCARD_SET
+
+    return multiterm_topk_sql(
+        DOCUMENTS_WILDCARD_SET,
+        "dfr.term LIKE replace(replace(fq.qterm, '*', '%'), '?', '_')",
+    )
 
 
 def phrase_topk_sql(
@@ -908,6 +937,8 @@ ORACLES: dict[str, str] = {
     "bm25_topk_not": bm25_topk_sql(must_not=_mustnot_set()),
     "bm25_topk_msm": bm25_topk_sql(msm=2),
     "fuzzy_topk": fuzzy_topk_sql(),
+    "prefix_topk": prefix_topk_sql(),
+    "wildcard_topk": wildcard_topk_sql(),
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
     "phrase_topk": phrase_topk_sql(),
     "phrase_near_topk": phrase_topk_sql(slop=2, query_set=_near_set()),

@@ -149,6 +149,34 @@ def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix query (rewrite=scoring_boolean): one dictionary pass
+    finds terms starting with the prefix; the expansion is scored as a
+    disjunction with per-variant idf via the WAND kernel."""
+    from mario_spark.fixtures import DOCUMENTS_PREFIX_SET
+    from mario_spark.fuzzy import search_prefix
+
+    post, dic, st = _wand_index(spark, sf_dir)
+    # raw, not analyzer-tokenized: a prefix/pattern is not a term
+    q = spark.createDataFrame(
+        DOCUMENTS_PREFIX_SET, "query_id long, term string"
+    )
+    return search_prefix(post, dic, q, st["n_docs"], st["avgdl"], k=10)
+
+
+def wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query (whole-term * / ? patterns, incl. a leading
+    wildcard), scored like prefix_topk."""
+    from mario_spark.fixtures import DOCUMENTS_WILDCARD_SET
+    from mario_spark.fuzzy import search_wildcard
+
+    post, dic, st = _wand_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        DOCUMENTS_WILDCARD_SET, "query_id long, term string"
+    )
+    return search_wildcard(post, dic, q, st["n_docs"], st["avgdl"], k=10)
+
+
 def bm25_topk_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-scoped search (ES `title:` query): per-field inverted index
     via field-prefixed posting keys; BM25 uses the TITLE field's own
@@ -698,6 +726,8 @@ SUITE = {
     "bm25_topk_not": bm25_topk_not,
     "bm25_topk_msm": bm25_topk_msm,
     "fuzzy_topk": fuzzy_topk,
+    "prefix_topk": prefix_topk,
+    "wildcard_topk": wildcard_topk,
     "bm25_topk_title": bm25_topk_title,
     "phrase_topk": phrase_topk,
     "phrase_near_topk": phrase_near_topk,

@@ -50,6 +50,41 @@ def test_fuzzy_expansion_and_identity(spark):
     d.unpersist()
 
 
+def test_prefix_and_wildcard_expansion(spark):
+    """Prefix expansion is the LIKE-prefix term walk; wildcard * / ?
+    translate to % / _ and must match the WHOLE term."""
+    from mario_spark.fuzzy import expand_prefix, expand_wildcard
+
+    pages = pages_df(spark, 300, seed=7, partitions=4)
+    d = docs.build_doc_table(pages)
+    st_ = docs.corpus_stats(d).collect()[0]
+    _, dic, _ = build_postings(d, st_["n_docs"])
+
+    q = spark.createDataFrame([(0, "w0000")], "query_id long, term string")
+    got = sorted(r["term"] for r in expand_prefix(dic, q).collect())
+    want = sorted(
+        r["term"]
+        for r in dic.collect()
+        if r["term"].startswith("w0000")
+    )
+    assert got == want and len(got) > 1
+
+    q = spark.createDataFrame(
+        [(0, "w?001*"), (1, "w0000z*zz")], "query_id long, term string"
+    )
+    rows = expand_wildcard(dic, q).collect()
+    got = sorted(r["term"] for r in rows if r["query_id"] == 0)
+    import re
+
+    want = sorted(
+        r["term"]
+        for r in dic.collect()
+        if re.fullmatch(r"w.001.*", r["term"])
+    )
+    assert got == want and len(got) > 1
+    assert not [r for r in rows if r["query_id"] == 1]  # whole-term match
+
+
 def test_fuzzy_expansion_broadcasts_query_side(spark):
     """The dictionary pass must plan as a broadcast hash join on the
     prefix key — never a shuffled or nested-loop join over the vocab."""
