@@ -139,6 +139,62 @@ def scope_query_terms(query_terms: DataFrame, field: str) -> DataFrame:
     )
 
 
+def search_multi_field(
+    fdocs: DataFrame,
+    query_terms: DataFrame,
+    boosts: dict[str, float],
+    k: int = 10,
+    combine: str = "sum",
+) -> DataFrame:
+    """ES multi_match over analyzed fields with per-field boosts:
+
+    - combine='sum'  -> most_fields: score = Σ_f boost_f * BM25_f
+    - combine='max'  -> best_fields (dis_max, tie_breaker=0):
+                        score = max_f boost_f * BM25_f
+
+    Each field is scored EXHAUSTIVELY with its own Lucene-style stats
+    (df, docCount, avgFieldLength) — combining per-field top-k lists
+    would be wrong (a winning doc can sit outside one field's top-k),
+    so the field frames carry full candidate scores; they are still
+    term-pruned by the broadcast query join, so the frame size is
+    bounded by the queried terms' postings, not the corpus. The union
+    is one groupBy(query_id, doc_id) away from the final rank.
+    """
+    from mario_spark import query as querymod
+
+    if combine not in ("sum", "max"):
+        raise ValueError(f"combine must be 'sum' or 'max', got {combine!r}")
+    parts = []
+    for field, boost in boosts.items():
+        fd = fdocs.filter(F.col("field") == field).filter(F.col("len") > 0)
+        tf = fd.select(
+            "doc_id",
+            "len",
+            F.explode("tf_map").alias("term", "raw_tf"),
+        ).select(
+            "doc_id", "term", F.col("raw_tf").cast("double").alias("tf"), "len"
+        )
+        dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+        stats = fd.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("len").alias("avgdl"),
+        )
+        scored = querymod.bm25_scores(tf, dfreq, stats, query_terms)
+        parts.append(
+            scored.select(
+                "query_id",
+                "doc_id",
+                (F.col("score") * float(boost)).alias("fscore"),
+            )
+        )
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    agg = F.sum("fscore") if combine == "sum" else F.max("fscore")
+    combined = allf.groupBy("query_id", "doc_id").agg(agg.alias("score"))
+    return querymod.topk(combined, k=k)
+
+
 def search_field(
     postings: DataFrame,
     dictionary: DataFrame,

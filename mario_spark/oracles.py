@@ -218,6 +218,67 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+def multifield_topk_sql(
+    fields: list[tuple[str, str, float]],
+    combine: str = "sum",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """ES multi_match oracle: per-field BM25 with the field's OWN
+    docCount/avgFieldLength/df, boosted, then combined per (query, doc)
+    by sum (most_fields) or max (best_fields, tie_breaker=0). `fields`
+    is [(name, sql_text_expr, boost)]. Mirrors
+    fields.search_multi_field exactly."""
+    ctes, unions = [], []
+    for name, expr, boost in fields:
+        ctes.append(f"""
+toks_{name} AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(nfc_normalize({expr})), '{_TOK}')) AS term
+  FROM documents
+),
+tf_{name} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks_{name} GROUP BY 1, 2),
+dl_{name} AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks_{name} GROUP BY 1),
+st_{name} AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl_{name}),
+dfr_{name} AS (SELECT term, count(*)::DOUBLE AS df FROM tf_{name} GROUP BY 1),
+sc_{name} AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf_{name} tf USING (term)
+  JOIN dfr_{name} dfr USING (term)
+  JOIN dl_{name} dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st_{name} st
+  GROUP BY 1, 2
+)""")
+        unions.append(
+            f"SELECT query_id, doc_id, raw * {boost} AS fscore FROM sc_{name}"
+        )
+    agg = "sum(fscore)" if combine == "sum" else "max(fscore)"
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{", ".join(ctes)},
+sc_all AS ({" UNION ALL ".join(unions)}),
+comb AS (SELECT query_id, doc_id, {agg} AS raw FROM sc_all GROUP BY 1, 2),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+_MF_FIELDS = [
+    ("title", "substr(text, 1, 64)", 2.0),
+    ("contents", "text", 1.0),
+]
+
+
 def fuzzy_topk_sql(max_edits: int = 1, prefix_length: int = 1) -> str:
     """DuckDB and Spark both implement CLASSIC Levenshtein
     (transposition = 2 edits), so the sides agree by construction."""
@@ -940,6 +1001,8 @@ ORACLES: dict[str, str] = {
     "prefix_topk": prefix_topk_sql(),
     "wildcard_topk": wildcard_topk_sql(),
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
+    "multifield_most_topk": multifield_topk_sql(_MF_FIELDS, "sum"),
+    "multifield_best_topk": multifield_topk_sql(_MF_FIELDS, "max"),
     "phrase_topk": phrase_topk_sql(),
     "phrase_near_topk": phrase_topk_sql(slop=2, query_set=_near_set()),
     "minhash_signatures": MINHASH_SIGNATURES,

@@ -225,6 +225,47 @@ def _pos_index(spark: SparkSession, sf_dir: str):
     return _POS_CACHE[key]
 
 
+# shared (title, contents) field doc table (same caching contract)
+_FDOCS_CACHE: dict = {}
+
+
+def _field_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mario_spark import fields as fieldsmod
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FDOCS_CACHE:
+        d = _documents(spark, sf_dir).select("doc_id", "text")
+        _FDOCS_CACHE[key] = fieldsmod.build_field_doc_table(
+            d, {"title": F.substring("text", 1, 64), "contents": F.col("text")}
+        ).persist()
+    return _FDOCS_CACHE[key]
+
+
+def multifield_most_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match most_fields with boosts (title^2, contents^1):
+    score = 2*BM25_title + 1*BM25_contents, each field scored with its
+    own docCount/avgFieldLength/df (Lucene per-field stats)."""
+    from mario_spark import fields as fieldsmod
+
+    fdocs = _field_docs(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return fieldsmod.search_multi_field(
+        fdocs, q, {"title": 2.0, "contents": 1.0}, k=10, combine="sum"
+    )
+
+
+def multifield_best_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match best_fields (dis_max, tie_breaker=0) with the
+    same boosts: score = max(2*BM25_title, 1*BM25_contents)."""
+    from mario_spark import fields as fieldsmod
+
+    fdocs = _field_docs(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return fieldsmod.search_multi_field(
+        fdocs, q, {"title": 2.0, "contents": 1.0}, k=10, combine="max"
+    )
+
+
 def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase (slop=0) over positional postings: the parallel
     `poss` VByte stream stores 0-based token positions; a doc matches
@@ -729,6 +770,8 @@ SUITE = {
     "prefix_topk": prefix_topk,
     "wildcard_topk": wildcard_topk,
     "bm25_topk_title": bm25_topk_title,
+    "multifield_most_topk": multifield_most_topk,
+    "multifield_best_topk": multifield_best_topk,
     "phrase_topk": phrase_topk,
     "phrase_near_topk": phrase_near_topk,
     "minhash_signatures": minhash_signatures,
