@@ -448,6 +448,51 @@ class Index:
             st["n_docs"], st["avgdl"], k=k,
         )
 
+    def search_multiterm(
+        self,
+        queries: list[tuple[int, str]],
+        kind: str = "fuzzy",
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_length: int = 1,
+    ) -> DataFrame:
+        """Multi-term queries over a persisted index: kind = 'fuzzy'
+        (classic Levenshtein <= max_edits, same first prefix_length
+        chars), 'prefix', or 'wildcard' (whole-term * / ? patterns).
+        `queries` carries RAW query strings/patterns (not analyzed —
+        a pattern is not a term). Expansion is one pruned pass over
+        this index's dictionary; scoring is the standard WAND path."""
+        from mario_spark import fuzzy as fuzzymod
+
+        meta = _read_json(self.paths.meta) or {}
+        if meta.get("fields"):
+            raise ValueError(
+                f"index '{self.paths.name}' is field-scoped; "
+                "multi-term queries over fields are not wired yet"
+            )
+        st = self.stats()
+        qdf = self.spark.createDataFrame(
+            list(queries), "query_id long, term string"
+        )
+        fns = {
+            "fuzzy": lambda: fuzzymod.search_fuzzy(
+                self.postings(), self.dictionary(), qdf,
+                st["n_docs"], st["avgdl"], k=k,
+                max_edits=max_edits, prefix_length=prefix_length,
+            ),
+            "prefix": lambda: fuzzymod.search_prefix(
+                self.postings(), self.dictionary(), qdf,
+                st["n_docs"], st["avgdl"], k=k,
+            ),
+            "wildcard": lambda: fuzzymod.search_wildcard(
+                self.postings(), self.dictionary(), qdf,
+                st["n_docs"], st["avgdl"], k=k,
+            ),
+        }
+        if kind not in fns:
+            raise ValueError(f"kind must be one of {sorted(fns)}, got {kind!r}")
+        return fns[kind]()
+
     def field_stats(self) -> dict[str, dict]:
         """Per-field (n_docs, avgdl) summed from segment markers —
         additive because segments are doc-disjoint."""

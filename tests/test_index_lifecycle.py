@@ -54,6 +54,35 @@ def test_ingest_query_matches_exhaustive(spark, root):
     assert set(man["segment"].unique()) == {0, 1, 2, 3}
 
 
+def test_multiterm_queries_over_persisted_index(spark, root):
+    """fuzzy / prefix / wildcard served from a committed index must
+    equal the same expansion run directly against its postings."""
+    from mario_spark import fuzzy as fuzzymod
+
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 600, seed=5, partitions=4)
+    idx = cat.create("mt-2026-01-01t00-00-00z")
+    idx.ingest(pages, segment_docs=256)
+    st = idx.stats()
+    q = [(0, "w0000z"), (1, "w0001*")]
+    qdf = spark.createDataFrame(q, "query_id long, term string")
+
+    got = _canon(idx.search_multiterm(q, kind="fuzzy", k=10))
+    want = _canon(
+        fuzzymod.search_fuzzy(
+            idx.postings(), idx.dictionary(), qdf,
+            st["n_docs"], st["avgdl"], k=10,
+        )
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+
+    got = _canon(idx.search_multiterm([(0, "w0000")], kind="prefix", k=10))
+    assert len(got) > 0 and (got["query_id"] == 0).all()
+    got = _canon(idx.search_multiterm(q, kind="wildcard", k=10))
+    assert set(got["query_id"]) == {1}  # only the * pattern expands
+
+
 def test_resume_after_crash_is_identical(spark, root):
     cat = Catalog(spark, root)
     pages = pages_df(spark, 700, seed=5, partitions=4)
