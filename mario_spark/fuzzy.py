@@ -40,6 +40,31 @@ from mario_spark.query import B, K1
 from mario_spark.wand import _run_kernel
 
 
+def levenshtein_le(a: str, b: str, limit: int) -> bool:
+    """CLASSIC Levenshtein distance <= limit (matches Spark's
+    F.levenshtein and DuckDB's levenshtein: transposition = 2 edits).
+    Banded DP with early exit — used by the driver-side warm expansion,
+    so it MUST agree with the distributed join's semantics."""
+    if abs(len(a) - len(b)) > limit:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != cb),
+            )
+            cur.append(v)
+            row_min = min(row_min, v)
+        if row_min > limit:
+            return False
+        prev = cur
+    return prev[-1] <= limit
+
+
 def expand_terms(
     dictionary: DataFrame,
     query_terms: DataFrame,

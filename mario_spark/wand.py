@@ -566,5 +566,103 @@ class QuerySession:
             local[["query_id", "rank", "doc_id", "score"]], schema
         )
 
+    def _expand(
+        self,
+        queries: list[tuple[int, str]],
+        kind: str,
+        max_edits: int,
+        prefix_length: int,
+    ) -> dict[int, list[str]]:
+        """Multi-term expansion against the term dictionary. With the
+        driver dictionary cached this is a pure in-memory vocabulary
+        walk (exactly what an ES coordinating/data node does against
+        its in-heap terms index — no cluster round-trip); otherwise it
+        falls back to the one-pass distributed expansion join."""
+        import re as _re
+
+        from mario_spark import fuzzy as fuzzymod
+
+        if self._df_map is None:
+            spark = self.postings.sparkSession
+            qdf = spark.createDataFrame(
+                list(queries), "query_id long, term string"
+            )
+            exp = {
+                "fuzzy": lambda: fuzzymod.expand_terms(
+                    self.dictionary, qdf, max_edits, prefix_length
+                ),
+                "prefix": lambda: fuzzymod.expand_prefix(self.dictionary, qdf),
+                "wildcard": lambda: fuzzymod.expand_wildcard(
+                    self.dictionary, qdf
+                ),
+            }[kind]()
+            out: dict[int, list[str]] = {}
+            for r in exp.collect():
+                out.setdefault(int(r["query_id"]), []).append(r["term"])
+            return out
+
+        vocab = self._df_map.keys()
+        out = {}
+        for qid, q in queries:
+            if kind == "fuzzy":
+                pfx = q[:prefix_length]
+                hits = [
+                    t
+                    for t in vocab
+                    if t[:prefix_length] == pfx
+                    and fuzzymod.levenshtein_le(t, q, max_edits)
+                ]
+            elif kind == "prefix":
+                hits = [t for t in vocab if t.startswith(q)]
+            elif kind == "wildcard":
+                # * -> .*, ? -> . over re-escaped literals; whole-term
+                pat = _re.compile(
+                    ".*".join(
+                        ".".join(_re.escape(p) for p in part.split("?"))
+                        for part in q.split("*")
+                    )
+                )
+                hits = [t for t in vocab if pat.fullmatch(t)]
+            else:
+                raise ValueError(
+                    f"kind must be fuzzy|prefix|wildcard, got {kind!r}"
+                )
+            if hits:
+                out.setdefault(int(qid), []).extend(hits)
+        return out
+
+    def search_multiterm(
+        self,
+        queries: list[tuple[int, str]],
+        kind: str = "fuzzy",
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_length: int = 1,
+        k1: float = K1,
+        b: float = B,
+        driver_limit: int = 200_000,
+    ) -> DataFrame:
+        """Warm-path fuzzy / prefix / wildcard: [(query_id, raw
+        pattern)] -> (query_id, rank, doc_id, score). Expansion happens
+        driver-side against the cached dictionary (no Spark job), then
+        the expanded disjunction routes through the same kernel paths
+        as search() — bit-identical to the cold fuzzy module."""
+        qmap = self._expand(queries, kind, max_edits, prefix_length)
+        qlist = sorted((qid, sorted(ts)) for qid, ts in qmap.items())
+        terms = sorted({t for _, ts in qlist for t in ts})
+        idf_map = self._idf_for(terms, self.n_docs)
+        if (
+            driver_limit
+            and self._df_map is not None
+            and sum(self._df_map.get(t, 0) for t in terms) <= driver_limit
+        ):
+            return self._search_driver(
+                qlist, idf_map, self.avgdl, k, k1, b, conjunctive=False
+            )
+        return _run_kernel(
+            self.postings, qlist, idf_map, self.avgdl, k, k1, b,
+            conjunctive=False,
+        )
+
     def close(self) -> None:
         self.postings.unpersist()

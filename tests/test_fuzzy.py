@@ -85,6 +85,63 @@ def test_prefix_and_wildcard_expansion(spark):
     assert not [r for r in rows if r["query_id"] == 1]  # whole-term match
 
 
+def test_query_session_multiterm_identical_to_cold(spark):
+    """Warm QuerySession multi-term serving (driver-side vocabulary
+    expansion, both routing paths) must be bit-identical to the cold
+    fuzzy/prefix/wildcard functions, for both a cached and an uncached
+    dictionary."""
+    from mario_spark.fuzzy import (
+        levenshtein_le,
+        search_fuzzy,
+        search_prefix,
+        search_wildcard,
+    )
+    from mario_spark.wand import QuerySession
+
+    # python DP must equal classic Levenshtein (spot checks incl. a
+    # transposition, which costs 2 — NOT Damerau)
+    assert levenshtein_le("join", "joim", 1)
+    assert not levenshtein_le("join", "jion", 1)  # transposition = 2
+    assert levenshtein_le("join", "jion", 2)
+
+    pages = pages_df(spark, 800, seed=11, partitions=8)
+    d = docs.build_doc_table(pages).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st_["n_docs"])
+    q = [(0, "w0000z"), (1, "w0001")]
+    qdf = spark.createDataFrame(q, "query_id long, term string")
+    colds = {
+        "fuzzy": search_fuzzy(post, dic, qdf, st_["n_docs"], st_["avgdl"], k=10),
+        "prefix": search_prefix(post, dic, qdf, st_["n_docs"], st_["avgdl"], k=10),
+        "wildcard": search_wildcard(
+            post, dic,
+            spark.createDataFrame(
+                [(0, "w0?00*"), (1, "w*2")], "query_id long, term string"
+            ),
+            st_["n_docs"], st_["avgdl"], k=10,
+        ),
+    }
+    wq = {
+        "fuzzy": q, "prefix": q, "wildcard": [(0, "w0?00*"), (1, "w*2")],
+    }
+    for cached in (True, False):
+        sess = QuerySession(
+            post, dic, st_["n_docs"], st_["avgdl"], cache_dictionary=cached
+        )
+        for kind, cold in colds.items():
+            want = _canon(cold)
+            assert len(want) > 0, kind
+            for lim in (0, 10**9):
+                got = _canon(
+                    sess.search_multiterm(wq[kind], kind=kind, k=10, driver_limit=lim)
+                )
+                pd.testing.assert_frame_equal(
+                    got, want, check_exact=False, atol=1e-9
+                )
+        sess.close()
+    d.unpersist()
+
+
 def test_fuzzy_expansion_broadcasts_query_side(spark):
     """The dictionary pass must plan as a broadcast hash join on the
     prefix key — never a shuffled or nested-loop join over the vocab."""
