@@ -264,6 +264,18 @@ DOCUMENTS_WILDCARD_SET: list[tuple[int, str]] = [
 ]
 
 
+# Regexp-query set (ES regexp query: whole-term match). Patterns stay
+# in the dialect subset where Java regex (Spark) and RE2 (DuckDB)
+# agree: literals, ., classes, alternation, + and * quantifiers.
+DOCUMENTS_REGEXP_SET: list[tuple[int, str]] = [
+    (0, "jo.n"),         # -> join
+    (1, "s(can|ort)"),   # -> scan, sort (alternation)
+    (2, "qu[a-z]+"),     # -> query (class + quantifier)
+    (3, ".*dow"),        # -> window (leading any-run)
+    (4, "zz+"),          # no whole-term match -> empty
+]
+
+
 # Ordered-proximity (span_near in_order, slop=2) query set: bigrams
 # only (keeps the SQL oracle's nested window predicate simple); the
 # wider window makes these match strictly more docs than slop=0.

@@ -127,6 +127,27 @@ def expand_wildcard(
     )
 
 
+def expand_regexp(
+    dictionary: DataFrame, query_terms: DataFrame
+) -> DataFrame:
+    """ES regexp query expansion: the pattern must match the WHOLE
+    term (Lucene RegexpQuery semantics — anchored on both ends), one
+    dictionary pass with the broadcast pattern table. Patterns are
+    kept to the Java-regex/RE2 common subset so the DuckDB oracle
+    (regexp_full_match) agrees by construction."""
+    q = F.broadcast(
+        query_terms.select(
+            "query_id",
+            F.concat(F.lit("^(?:"), F.col("term"), F.lit(")$")).alias("qre"),
+        )
+    )
+    return (
+        dictionary.join(q, F.regexp_like(F.col("term"), F.col("qre")))
+        .select("query_id", "term", "df")
+        .dropDuplicates(["query_id", "term"])
+    )
+
+
 def _search_expansion(
     postings: DataFrame,
     expansion: DataFrame,
@@ -184,6 +205,22 @@ def search_prefix(
     """ES prefix query, scored as a disjunction (rewrite=
     scoring_boolean) over the matching dictionary terms."""
     exp = expand_prefix(dictionary, query_terms)
+    return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)
+
+
+def search_regexp(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    query_terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES regexp query (whole-term anchored patterns), scored as a
+    disjunction over the matching dictionary terms."""
+    exp = expand_regexp(dictionary, query_terms)
     return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)
 
 

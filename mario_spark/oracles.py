@@ -71,12 +71,17 @@ def bm25_topk_sql(
     conjunctive: bool = False,
     must_not: list[tuple[int, str]] | None = None,
     msm: int = 1,
+    filter_sql: str | None = None,
 ) -> str:
     """BM25 top-k oracle; conjunctive = ES bool.must, must_not = ES
     bool.must_not (per-query excluded terms, filter context), msm = ES
-    minimum_should_match over the OR terms."""
+    minimum_should_match over the OR terms, filter_sql = a doc_id
+    subquery joined as ES filter context (restricts results, never
+    stats)."""
     excl_cte = ""
     joins, conds = [], []
+    if filter_sql:
+        joins.append(f"SEMI JOIN ({filter_sql}) fd USING (doc_id)")
     if conjunctive:
         joins.append("JOIN qn USING (query_id)")
         conds.append("nt = qn")
@@ -127,6 +132,98 @@ rk AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
   FROM flt
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def function_score_sql(
+    boost_sql: str, k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """ES function_score boost_mode=multiply oracle: final score =
+    round(BM25_raw * boost, 4); `boost_sql` is a (doc_id, boost)
+    subquery. Mirrors query.search_function_score exactly."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+bst AS ({boost_sql}),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT sc.query_id, sc.doc_id, round(sc.raw * bst.boost, 4) AS score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY round(sc.raw * bst.boost, 4) DESC,
+                                     sc.doc_id ASC) AS rank
+  FROM sc JOIN bst USING (doc_id)
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def more_like_this_sql(
+    seeds: list[int],
+    max_query_terms: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """ES more_like_this oracle: per seed doc, top tf*idf terms
+    (round(w, 6) DESC, term ASC — same determinism convention as the
+    Spark side), then standard BM25 OR scoring excluding the seed.
+    Mirrors query.more_like_this exactly."""
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    return f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+seedw AS (
+  SELECT tf.doc_id AS query_id, tf.term,
+         round(tf.tf * ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)), 6) AS w
+  FROM tf JOIN dfr USING (term) CROSS JOIN st
+  WHERE tf.doc_id IN ({seed_list})
+),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w DESC, term ASC) AS r
+    FROM seedw
+  ) WHERE r <= {max_query_terms}
+),
+sc AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  WHERE tf.doc_id != q.query_id
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
 )
 SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
@@ -312,6 +409,16 @@ def wildcard_topk_sql() -> str:
     return multiterm_topk_sql(
         DOCUMENTS_WILDCARD_SET,
         "dfr.term LIKE replace(replace(fq.qterm, '*', '%'), '?', '_')",
+    )
+
+
+def regexp_topk_sql() -> str:
+    # regexp_full_match is whole-term anchored, exactly like the Spark
+    # side's ^(?:pat)$; patterns live in the Java-regex/RE2 common subset
+    from mario_spark.fixtures import DOCUMENTS_REGEXP_SET
+
+    return multiterm_topk_sql(
+        DOCUMENTS_REGEXP_SET, "regexp_full_match(dfr.term, fq.qterm)"
     )
 
 
@@ -1000,6 +1107,16 @@ ORACLES: dict[str, str] = {
     "fuzzy_topk": fuzzy_topk_sql(),
     "prefix_topk": prefix_topk_sql(),
     "wildcard_topk": wildcard_topk_sql(),
+    "regexp_topk": regexp_topk_sql(),
+    "bm25_topk_filtered": bm25_topk_sql(
+        filter_sql="SELECT doc_id FROM documents WHERE lower(lang) = 'en'"
+    ),
+    "bm25_topk_decay": function_score_sql(
+        "SELECT doc_id, exp(-0.6931471805599453 / 365.0 * "
+        "(DATE '2022-12-31' - (DATE '2020-01-01' + (doc_id % 1000)::INT))) "
+        "AS boost FROM documents"
+    ),
+    "more_like_this_topk": more_like_this_sql([0, 1, 2]),
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
     "multifield_most_topk": multifield_topk_sql(_MF_FIELDS, "sum"),
     "multifield_best_topk": multifield_topk_sql(_MF_FIELDS, "max"),

@@ -124,6 +124,110 @@ def topk(scored: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def search_filtered(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    filter_docs: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES bool {must: match, filter: ...}: the filter restricts which
+    docs can appear in the result but does NOT change scoring stats —
+    idf/avgdl stay index-wide, exactly as in ES/Lucene where filter
+    context never touches the similarity. `filter_docs` is a (doc_id)
+    DataFrame (any keyword/range/geo predicate reduced to doc ids).
+
+    Plan shape: the filter applies as a semi join on doc_id AFTER the
+    per-(query, doc) aggregation and BEFORE ranking, so the rank window
+    sees only filtered docs. At scale the semi join is broadcastable
+    when the filter is selective; otherwise it shuffles on doc_id —
+    never on text.
+    """
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    scored = bm25_scores(tf, dfreq, stats, query_terms).join(
+        filter_docs.select("doc_id").distinct(), "doc_id", "leftsemi"
+    )
+    return topk(scored, k)
+
+
+def search_function_score(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    boosts: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES function_score (boost_mode=multiply): final score =
+    BM25 * per-doc boost. `boosts` is (doc_id, boost double) — e.g. a
+    recency decay exp(-ln2 * age/scale). The boost joins on doc_id
+    after aggregation (one hash join, broadcast-able if the boost is an
+    expression over a dim table; here it is computed per doc).
+    Ranking/rounding conventions identical to topk()."""
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    scored = (
+        bm25_scores(tf, dfreq, stats, query_terms)
+        .join(boosts, "doc_id")
+        .withColumn("score", F.col("score") * F.col("boost"))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(scored, k)
+
+
+def more_like_this(
+    docs: DataFrame,
+    seed_doc_ids: list[int],
+    max_query_terms: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """ES more_like_this: for each seed doc, select its
+    `max_query_terms` highest tf*idf terms (the interesting-terms
+    heuristic MLT uses), then run a standard BM25 OR query with them,
+    excluding the seed doc itself. Returns (query_id=seed doc_id, rank,
+    doc_id, score).
+
+    Term selection ranks on round(tf*idf, 6) DESC, term ASC — the
+    rounding keeps selection deterministic across engines (same
+    convention as score ranking). Seeds are a tiny driver-side list;
+    everything else is the shared scoring pipeline."""
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    seed_tf = tf.filter(F.col("doc_id").isin([int(s) for s in seed_doc_ids]))
+    weighted = (
+        seed_tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    query_terms = (
+        weighted.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max_query_terms)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    scored = bm25_scores(tf, dfreq, stats, query_terms).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    return topk(scored, k)
+
+
 def search_exhaustive(
     docs: DataFrame, query_terms: DataFrame, k: int = 10, conjunctive: bool = False
 ) -> DataFrame:

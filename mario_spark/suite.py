@@ -177,6 +177,63 @@ def wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_wildcard(post, dic, q, st["n_docs"], st["avgdl"], k=10)
 
 
+def bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool {must: match, filter: term lang=en}: filter context
+    restricts the result set but never the scoring stats (idf/avgdl
+    stay index-wide, as in Lucene). Filter reduces to a doc_id set;
+    semi join after aggregation, before ranking."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    flt = (
+        _documents(spark, sf_dir)
+        .filter(F.lower(F.col("lang")) == "en")
+        .select("doc_id")
+    )
+    return query.search_filtered(d, q, flt, k=10)
+
+
+def bm25_topk_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score boost_mode=multiply with an exp recency decay
+    (scale=365d, decay=0.5): score = BM25 * exp(-ln2 * age/365).
+    documents has no date column, so doc_date := 2020-01-01 +
+    (doc_id % 1000) days (deterministic, oracle-identical); origin =
+    2022-12-31."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    doc_date = F.date_add(
+        F.lit("2020-01-01").cast("date"), (F.col("doc_id") % 1000).cast("int")
+    )
+    age = F.datediff(F.lit("2022-12-31").cast("date"), doc_date)
+    boosts = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.exp(F.lit(-0.6931471805599453 / 365.0) * age).alias("boost"),
+    )
+    return query.search_function_score(d, q, boosts, k=10)
+
+
+MLT_SEED_DOCS = [0, 1, 2]
+
+
+def more_like_this_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this: per seed doc, its top-5 tf*idf terms become a
+    BM25 OR query excluding the seed itself; query_id = seed doc_id."""
+    d = _doc_table(spark, sf_dir)
+    return query.more_like_this(d, MLT_SEED_DOCS, max_query_terms=5, k=10)
+
+
+def regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES regexp query (whole-term anchored match, Lucene RegexpQuery),
+    expanded in one dictionary pass and scored like prefix_topk."""
+    from mario_spark.fixtures import DOCUMENTS_REGEXP_SET
+    from mario_spark.fuzzy import search_regexp
+
+    post, dic, st = _wand_index(spark, sf_dir)
+    q = spark.createDataFrame(
+        DOCUMENTS_REGEXP_SET, "query_id long, term string"
+    )
+    return search_regexp(post, dic, q, st["n_docs"], st["avgdl"], k=10)
+
+
 def bm25_topk_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-scoped search (ES `title:` query): per-field inverted index
     via field-prefixed posting keys; BM25 uses the TITLE field's own
@@ -769,6 +826,10 @@ SUITE = {
     "fuzzy_topk": fuzzy_topk,
     "prefix_topk": prefix_topk,
     "wildcard_topk": wildcard_topk,
+    "regexp_topk": regexp_topk,
+    "bm25_topk_filtered": bm25_topk_filtered,
+    "bm25_topk_decay": bm25_topk_decay,
+    "more_like_this_topk": more_like_this_topk,
     "bm25_topk_title": bm25_topk_title,
     "multifield_most_topk": multifield_most_topk,
     "multifield_best_topk": multifield_best_topk,

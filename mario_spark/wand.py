@@ -595,6 +595,7 @@ class QuerySession:
                 "wildcard": lambda: fuzzymod.expand_wildcard(
                     self.dictionary, qdf
                 ),
+                "regexp": lambda: fuzzymod.expand_regexp(self.dictionary, qdf),
             }[kind]()
             out: dict[int, list[str]] = {}
             for r in exp.collect():
@@ -623,9 +624,12 @@ class QuerySession:
                     )
                 )
                 hits = [t for t in vocab if pat.fullmatch(t)]
+            elif kind == "regexp":
+                pat = _re.compile(q)
+                hits = [t for t in vocab if pat.fullmatch(t)]
             else:
                 raise ValueError(
-                    f"kind must be fuzzy|prefix|wildcard, got {kind!r}"
+                    f"kind must be fuzzy|prefix|wildcard|regexp, got {kind!r}"
                 )
             if hits:
                 out.setdefault(int(qid), []).extend(hits)
