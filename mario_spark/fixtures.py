@@ -264,6 +264,17 @@ DOCUMENTS_WILDCARD_SET: list[tuple[int, str]] = [
 ]
 
 
+# match_phrase_prefix set: last whitespace token is the prefix, the
+# rest are exact phrase members. 'zz' has no expansion -> empty.
+DOCUMENTS_PHRASE_PREFIX_SET: list[tuple[int, str]] = [
+    (0, "hash jo"),       # hash + jo*   (join)
+    (1, "the fa"),        # the + fa*    (fast)
+    (2, "customer or"),   # customer + or* (order)
+    (3, "merge zz"),      # no expansion -> empty
+    (4, "table s"),       # wide expansion fan-out
+]
+
+
 # Regexp-query set (ES regexp query: whole-term match). Patterns stay
 # in the dialect subset where Java regex (Spark) and RE2 (DuckDB)
 # agree: literals, ., classes, alternation, + and * quantifiers.

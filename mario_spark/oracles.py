@@ -505,6 +505,81 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+def phrase_prefix_topk_sql(
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_expansions: int = 50,
+) -> str:
+    """match_phrase_prefix oracle: fixed members must run consecutively
+    from p and arr[p + n_fixed] must be one of the <= max_expansions
+    alphabetically-first dictionary terms with the prefix; idf =
+    Σ idf(fixed) + Σ idf(expansions) (Lucene MultiPhraseWeight).
+    Mirrors phrase.search_phrase_prefix exactly."""
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_PREFIX_SET
+
+    exp_ctes, ph_selects, qidf_selects = [], [], []
+    for qid, qtext in DOCUMENTS_PHRASE_PREFIX_SET:
+        toks = py_tokenize(qtext)
+        fixed, prefix = toks[:-1], toks[-1]
+        fixed_in = ", ".join(f"'{t}'" for t in fixed)
+        exp_ctes.append(f"""
+exp_{qid} AS (
+  SELECT term, df FROM dfr WHERE term LIKE '{prefix}%'
+  ORDER BY term LIMIT {max_expansions}
+),
+expl_{qid} AS (SELECT coalesce(list(term ORDER BY term), []) AS lst FROM exp_{qid})""")
+        conds = " AND ".join(
+            f"arr[p + {j}] = '{t}'" for j, t in enumerate(fixed)
+        )
+        n_fixed = len(fixed)
+        ph_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(generate_series(1, greatest(len(arr) - {n_fixed}, 0)), "
+            f"p -> {conds} AND list_contains(e.lst, arr[p + {n_fixed}])))::DOUBLE AS ptf "
+            f"FROM docs_t CROSS JOIN expl_{qid} e WHERE len(e.lst) > 0"
+        )
+        qidf_selects.append(
+            f"SELECT {qid} AS query_id, "
+            f"(SELECT sum(ln(1.0 + (st.n_docs - df + 0.5) / (df + 0.5))) "
+            f" FROM dfr CROSS JOIN st WHERE term IN ({fixed_in})) + "
+            f"(SELECT sum(ln(1.0 + (st.n_docs - df + 0.5) / (df + 0.5))) "
+            f" FROM exp_{qid} CROSS JOIN st) AS sidf"
+        )
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM docs_t),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::DOUBLE AS len FROM docs_t WHERE len(arr) > 0),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+{", ".join(exp_ctes)},
+qidf AS ({" UNION ALL ".join(qidf_selects)}),
+ph AS ({" UNION ALL ".join(ph_selects)}),
+sc AS (
+  SELECT ph.query_id::BIGINT AS query_id, ph.doc_id,
+         qidf.sidf * (ph.ptf * ({k1} + 1.0))
+           / (ph.ptf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) AS raw
+  FROM ph
+  JOIN dl   USING (doc_id)
+  JOIN qidf USING (query_id)
+  CROSS JOIN st
+  WHERE ph.ptf > 0 AND qidf.sidf IS NOT NULL
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 # Mirrors ops/highlight.py exactly: earliest boundary-safe match of
 # 'hash' or 'join' (fold order hash-then-join, strict < keeps the
 # earlier), 60-char fragment from 20 before the match, matched
@@ -1122,6 +1197,7 @@ ORACLES: dict[str, str] = {
     "multifield_best_topk": multifield_topk_sql(_MF_FIELDS, "max"),
     "phrase_topk": phrase_topk_sql(),
     "phrase_near_topk": phrase_topk_sql(slop=2, query_set=_near_set()),
+    "phrase_prefix_topk": phrase_prefix_topk_sql(),
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
     "dedup_components": DEDUP_COMPONENTS,

@@ -194,6 +194,159 @@ def _phrase_kernel(
     )
 
 
+def _phrase_prefix_kernel(
+    pdf: pd.DataFrame,
+    queries: list[tuple[int, list[str], list[str], float]],
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> pd.DataFrame:
+    """Score match_phrase_prefix queries against one dbucket. Each
+    query is (qid, fixed_terms, expansion_terms, sum_idf): a doc
+    matches at start p iff the fixed terms occur consecutively from p
+    and the NEXT position holds any expansion term (the last-slot
+    position set is the sorted union across expansion terms —
+    Lucene MultiPhraseQuery's union postings view)."""
+    tds: dict[str, _PosTermData] = {
+        t: _PosTermData(g.sort_values("block_id"))
+        for t, g in pdf.groupby("term", sort=False)
+    }
+    out_q, out_d, out_s = [], [], []
+    for qid, fixed, exps, sum_idf in queries:
+        if any(t not in tds for t in fixed):
+            continue
+        exp_tds = [tds[t] for t in exps if t in tds]
+        if not exp_tds:
+            continue
+        fixed_tds = [tds[t] for t in fixed]
+        cand = fixed_tds[0].ids
+        for td in fixed_tds[1:]:
+            cand = cand[np.isin(cand, td.ids, assume_unique=True)]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            continue
+        exp_union = np.unique(np.concatenate([td.ids for td in exp_tds]))
+        cand = cand[np.isin(cand, exp_union, assume_unique=True)]
+        if cand.size == 0:
+            continue
+        rows_fixed = [np.searchsorted(td.ids, cand) for td in fixed_tds]
+        n_fixed = len(fixed_tds)
+        doc_out, ptf_out, len_out = [], [], []
+        for ci in range(cand.size):
+            d = int(cand[ci])
+            term_pos = [
+                td.positions_of(int(rows_fixed[j][ci]))
+                for j, td in enumerate(fixed_tds)
+            ]
+            last = []
+            for td in exp_tds:
+                i = int(np.searchsorted(td.ids, d))
+                if i < td.ids.size and td.ids[i] == d:
+                    last.append(td.positions_of(i))
+            lp = np.sort(np.concatenate(last)) if last else None
+            if lp is None or lp.size == 0:
+                continue
+            ptf = _chain_match_count(term_pos + [lp], n_fixed + 1, 0)
+            if ptf:
+                doc_out.append(d)
+                ptf_out.append(ptf)
+                len_out.append(float(fixed_tds[0].lens[int(rows_fixed[0][ci])]))
+        if not doc_out:
+            continue
+        ids = np.asarray(doc_out, dtype=np.int64)
+        ptf = np.asarray(ptf_out, dtype=np.float64)
+        dl = np.asarray(len_out, dtype=np.float64)
+        scores = (
+            sum_idf * ptf * (k1 + 1.0)
+            / (ptf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+        top = np.lexsort((ids, -scores))[:k]
+        out_q.append(np.full(top.size, qid, dtype=np.int64))
+        out_d.append(ids[top])
+        out_s.append(scores[top])
+    if not out_q:
+        return pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64"})
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
+def search_phrase_prefix(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    queries: list[tuple[int, list[str], str]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES match_phrase_prefix: `queries` is [(query_id, fixed_terms,
+    last_prefix)]. The last position expands to the `max_expansions`
+    alphabetically-first dictionary terms with the prefix (ES caps at
+    50, selected in term-dictionary order — deterministic on both
+    engines); a doc matches where the fixed terms run consecutively
+    and the next token is any expansion. Scored as one pseudo-term
+    (Lucene MultiPhraseWeight): idf = Σ idf(fixed) + Σ idf(expansions),
+    tf = admitting-start count. Expansion is ONE pruned dictionary
+    pass; the kernel runs per dbucket like search_phrase."""
+    prefixes = sorted({p for _, _, p in queries if p})
+    fixed_all = sorted({t for _, ts, _ in queries for t in ts})
+    pcond = None
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        pcond = c if pcond is None else (pcond | c)
+    exp_rows = (
+        dictionary.filter(pcond).select("term", "df").collect()
+        if pcond is not None
+        else []
+    )
+    fixed_rows = dictionary.filter(F.col("term").isin(fixed_all)).collect()
+    nd = float(n_docs)
+    idf_map = {r["term"]: _idf(nd, float(r["df"])) for r in fixed_rows}
+    idf_map.update({r["term"]: _idf(nd, float(r["df"])) for r in exp_rows})
+    exp_terms_sorted = sorted({r["term"] for r in exp_rows})
+    kq: list[tuple[int, list[str], list[str], float]] = []
+    for qid, fixed, prefix in queries:
+        if any(t not in idf_map for t in fixed):
+            continue  # OOV fixed member -> matches nothing
+        exps = [t for t in exp_terms_sorted if t.startswith(prefix)]
+        exps = exps[:max_expansions]
+        if not exps:
+            continue  # no expansion -> matches nothing (ES semantics)
+        sum_idf = sum(idf_map[t] for t in fixed) + sum(idf_map[t] for t in exps)
+        kq.append((qid, list(fixed), exps, sum_idf))
+    needed = sorted(
+        {t for _, fx, ex, _ in kq for t in fx}
+        | {t for _, fx, ex, _ in kq for t in ex}
+    )
+    cand = postings.filter(F.col("term").isin(needed))
+    ad = float(avgdl)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _phrase_prefix_kernel(pdf, kq, ad, k, k1, b)
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def search_phrase(
     postings: DataFrame,
     dictionary: DataFrame,

@@ -356,6 +356,24 @@ def phrase_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix: fixed phrase members followed by a
+    prefix-expanded last position (<=50 alphabetically-first dictionary
+    terms, Lucene MultiPhraseQuery), over positional postings."""
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_PREFIX_SET
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    queries = []
+    for qid, q in DOCUMENTS_PHRASE_PREFIX_SET:
+        toks = py_tokenize(q)
+        queries.append((qid, toks[:-1], toks[-1]))
+    return ph.search_phrase_prefix(
+        post, dic, queries, st["n_docs"], st["avgdl"], k=10
+    )
+
+
 def keyword_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 keyword_no_trailing_punctuation analyzer (reference:
     /root/reference/config/es_record_mappings.json:5-22), applied to a
@@ -835,6 +853,7 @@ SUITE = {
     "multifield_best_topk": multifield_best_topk,
     "phrase_topk": phrase_topk,
     "phrase_near_topk": phrase_near_topk,
+    "phrase_prefix_topk": phrase_prefix_topk,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_components": dedup_components,
