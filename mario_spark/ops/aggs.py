@@ -44,6 +44,141 @@ def terms_agg(
     return g.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
 
 
+def stats_agg(
+    df: DataFrame, key_col: str, metric_col: str
+) -> DataFrame:
+    """ES stats sub-aggregation under a terms bucket: per key —
+    (key, count, min, max, avg, sum). One partial+final hash agg;
+    every metric is algebraic, so the map-side combine carries five
+    scalars per bucket regardless of data size."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("count"),
+        F.min(metric_col).cast("long").alias("min"),
+        F.max(metric_col).cast("long").alias("max"),
+        F.round(F.avg(metric_col), 4).alias("avg"),
+        F.sum(metric_col).cast("long").alias("sum"),
+    )
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    interval: str = "month",
+) -> DataFrame:
+    """ES date_histogram (calendar_interval) with a sub-agg per
+    (bucket, key): unlike a fixed-width tumbling window, calendar
+    buckets have variable length (months), so the bucket key is
+    date_trunc — still a pure projection, so the groupBy is ONE hash
+    shuffle and partial aggregation stays map-side."""
+    b = F.date_format(
+        F.date_trunc(interval, F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    return df.groupBy(
+        b.alias("bucket"), F.col(key_col).alias("key")
+    ).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(F.sum(value_col), 2).alias("sum_value"),
+    )
+
+
+def range_agg(
+    df: DataFrame,
+    metric_col: str,
+    ranges: list[tuple[str, float | None, float | None]],
+) -> DataFrame:
+    """ES range aggregation: buckets are [from, to) half-open; EMPTY
+    buckets are still emitted with doc_count 0 (ES contract), which is
+    why this is a broadcast join against a tiny ranges dim table rather
+    than a groupBy of a bucket expression (a groupBy cannot produce
+    empty groups). `ranges` = [(label, lo|None, hi|None)]."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [
+            (
+                lbl,
+                float(lo) if lo is not None else float("-inf"),
+                float(hi) if hi is not None else float("inf"),
+            )
+            for lbl, lo, hi in ranges
+        ],
+        "key string, lo double, hi double",
+    )
+    m = F.col(metric_col).cast("double")
+    j = F.broadcast(dim).join(
+        df, (m >= F.col("lo")) & (m < F.col("hi")), "left"
+    )
+    return j.groupBy("key").agg(
+        F.count(metric_col).cast("long").alias("doc_count"),
+        # empty bucket -> avg 0.0 (not NULL) so the value-hash contract
+        # stays engine-stable; doc_count 0 marks emptiness
+        F.coalesce(F.round(F.avg(metric_col), 4), F.lit(0.0)).alias("avg"),
+    )
+
+
+def percentiles_agg(
+    df: DataFrame,
+    key_col: str,
+    metric_col: str,
+    qs: list[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """ES percentiles aggregation, exact linear-interpolation variant
+    (rank = q*(n-1)): per key, one column per requested percentile.
+    ES itself serves t-digest approximations; the exact form is the
+    oracle-checkable contract, and Spark's percentile is a partial
+    aggregate (per-partition sorted runs merged at the reducer), so it
+    distributes without a global sort."""
+    aggs = [
+        F.round(F.percentile(F.col(metric_col), F.lit(q)), 4).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(F.col(key_col).alias("key")).agg(*aggs)
+
+
+# 16^13 = 2^52 — the largest power of 16 exactly representable in a
+# double; 13 hex chars of md5 give a uniform u in [0, 1).
+_KMV_DENOM = float(16**13)
+
+
+def cardinality_kmv(
+    df: DataFrame, key_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """ES cardinality aggregation as a K-Minimum-Values sketch (the
+    theta-sketch family ES's HLL belongs to), made DETERMINISTIC and
+    engine-portable: u = first 13 hex chars of md5(value) / 16^13;
+    keep the k smallest distinct u per key; estimate = (k-1)/u_(k)
+    (exact count when fewer than k distinct values exist).
+
+    Distributed shape: distinct on (key, u) then a per-key top-k —
+    per-partition heads merge at the reducer, which IS the KMV union
+    operation, so the sketch scales like any partial agg: no state
+    beyond k doubles per key ever crosses the shuffle."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col(value_col).cast("string"), "utf-8")), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        / _KMV_DENOM
+    )
+    h = df.select(F.col(key_col).alias("key"), u.alias("u")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("u")
+    top = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return top.groupBy("key").agg(
+        F.count("*").alias("c"), F.max("u").alias("mu")
+    ).select(
+        "key",
+        F.when(F.col("c") < k, F.round(F.col("c").cast("double"), 4))
+        .otherwise(F.round((k - 1) / F.col("mu"), 4))
+        .alias("est_distinct"),
+    )
+
+
 def search_after(
     df: DataFrame,
     sort_col: str,

@@ -624,6 +624,65 @@ SELECT key, doc_count, avg_n_chars FROM b
 ORDER BY doc_count DESC, key ASC LIMIT 10
 """
 
+AGG_STATS_LANG = """
+SELECT lang AS key, count(*)::BIGINT AS count,
+       min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
+       round(avg(n_chars), 4) AS avg, sum(n_chars)::BIGINT AS sum
+FROM documents GROUP BY 1
+"""
+
+AGG_DATE_HISTOGRAM = """
+SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS bucket,
+       event_type AS key,
+       count(*)::BIGINT AS doc_count,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+AGG_RANGE_NCHARS = """
+WITH dim(key, lo, hi) AS (VALUES
+  ('0-500', 0.0, 500.0),
+  ('500-2000', 500.0, 2000.0),
+  ('2000-1000000', 2000.0, 1000000.0),
+  ('1000000-', 1000000.0, 'inf'::DOUBLE)),
+j AS (
+  SELECT dim.key, d.n_chars
+  FROM dim LEFT JOIN documents d
+    ON d.n_chars::DOUBLE >= dim.lo AND d.n_chars::DOUBLE < dim.hi
+)
+SELECT key, count(n_chars)::BIGINT AS doc_count,
+       coalesce(round(avg(n_chars), 4), 0.0) AS avg
+FROM j GROUP BY 1
+"""
+
+AGG_PERCENTILES = """
+SELECT lang AS key,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY 1
+"""
+
+# KMV cardinality sketch, identical arithmetic to aggs.cardinality_kmv:
+# u = first 13 hex chars of md5 / 16^13 (2^52 — exact in a double).
+AGG_CARDINALITY_USERS = """
+WITH h AS (
+  SELECT DISTINCT event_type AS key,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT)::DOUBLE
+           / 4503599627370496.0 AS u
+  FROM events
+),
+rk AS (
+  SELECT key, u, row_number() OVER (PARTITION BY key ORDER BY u) AS rn
+  FROM h
+),
+t AS (SELECT key, count(*) AS c, max(u) AS mu FROM rk WHERE rn <= 256 GROUP BY 1)
+SELECT key,
+       CASE WHEN c < 256 THEN round(c::DOUBLE, 4)
+            ELSE round(255.0 / mu, 4) END AS est_distinct
+FROM t
+"""
+
 SEARCH_AFTER_PAGE = """
 WITH en AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'),
 rk AS (
@@ -1213,6 +1272,11 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": MULTIMODAL_DECODE,
     "highlight_fragments": HIGHLIGHT_FRAGMENTS,
     "facet_terms_lang": FACET_TERMS_LANG,
+    "agg_stats_lang": AGG_STATS_LANG,
+    "agg_date_histogram": AGG_DATE_HISTOGRAM,
+    "agg_range_nchars": AGG_RANGE_NCHARS,
+    "agg_percentiles": AGG_PERCENTILES,
+    "agg_cardinality_users": AGG_CARDINALITY_USERS,
     "search_after_page": SEARCH_AFTER_PAGE,
     "geo_distance": GEO_DISTANCE,
     "geo_bbox": GEO_BBOX,

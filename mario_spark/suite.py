@@ -765,6 +765,60 @@ def completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.suggest(table, "ha", k=5)
 
 
+# ---------------------------------------------------- ES aggregations
+def agg_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms + stats sub-aggregation: per lang, the five algebraic
+    stats over n_chars."""
+    from mario_spark.ops import aggs
+
+    return aggs.stats_agg(_documents(spark, sf_dir), "lang", "n_chars")
+
+
+def agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram calendar_interval=month x event_type, with
+    count + sum(value) sub-aggs."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.date_histogram(e, "ts", "event_type", "value", "month")
+
+
+def agg_range_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation over n_chars ([from, to) half-open), with
+    an intentionally-empty tail bucket proving the empty-buckets-
+    emitted contract."""
+    from mario_spark.ops import aggs
+
+    return aggs.range_agg(
+        _documents(spark, sf_dir),
+        "n_chars",
+        [
+            ("0-500", 0, 500),
+            ("500-2000", 500, 2000),
+            ("2000-1000000", 2000, 1_000_000),
+            ("1000000-", 1_000_000, None),  # empty at every sf
+        ],
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (exact interpolated p50/p90/p99 of
+    n_chars per lang)."""
+    from mario_spark.ops import aggs
+
+    return aggs.percentiles_agg(_documents(spark, sf_dir), "lang", "n_chars")
+
+
+def agg_cardinality_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality agg per event_type: deterministic KMV sketch
+    (k=256) over user_id — engine-portable estimate, exact when the
+    true cardinality is under k."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.cardinality_kmv(e, "event_type", "user_id", k=256)
+
+
 def highlight_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES highlight: first boundary-safe occurrence of any query term
     ('hash', 'join'; earliest wins) wrapped in <em> inside a 60-char
@@ -869,6 +923,11 @@ SUITE = {
     "multimodal_decode": multimodal_decode,
     "highlight_fragments": highlight_fragments,
     "facet_terms_lang": facet_terms_lang,
+    "agg_stats_lang": agg_stats_lang,
+    "agg_date_histogram": agg_date_histogram,
+    "agg_range_nchars": agg_range_nchars,
+    "agg_percentiles": agg_percentiles,
+    "agg_cardinality_users": agg_cardinality_users,
     "search_after_page": search_after_page,
     "geo_distance": geo_distance,
     "geo_bbox": geo_bbox,
