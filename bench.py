@@ -157,6 +157,9 @@ def main() -> None:
         "fuzzy_topk",        # incl. one shared _wand_index build
         "facet_terms_lang",
         "search_after_page",
+        "phrase_prefix_topk",
+        "more_like_this_topk",
+        "agg_cardinality_users",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())

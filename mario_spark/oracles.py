@@ -624,6 +624,14 @@ SELECT key, doc_count, avg_n_chars FROM b
 ORDER BY doc_count DESC, key ASC LIMIT 10
 """
 
+SEARCH_SORTED_BY_FIELD = f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'join')
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN hits USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
+"""
+
 AGG_STATS_LANG = """
 SELECT lang AS key, count(*)::BIGINT AS count,
        min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
@@ -1251,6 +1259,11 @@ ORACLES: dict[str, str] = {
         "AS boost FROM documents"
     ),
     "more_like_this_topk": more_like_this_sql([0, 1, 2]),
+    "search_sorted_by_field": SEARCH_SORTED_BY_FIELD,
+    "bool_composed_topk": bm25_topk_sql(
+        filter_sql="SELECT doc_id FROM documents "
+        "WHERE n_chars >= 200 AND n_chars < 2000 AND lower(lang) != 'de'"
+    ),
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
     "multifield_most_topk": multifield_topk_sql(_MF_FIELDS, "sum"),
     "multifield_best_topk": multifield_topk_sql(_MF_FIELDS, "max"),

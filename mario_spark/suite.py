@@ -765,6 +765,40 @@ def completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.suggest(table, "ha", k=5)
 
 
+def search_sorted_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-field (sort: n_chars desc, doc_id asc tiebreak — NOT
+    by _score): docs containing 'join', top 10. Match reduces to a
+    distinct doc_id set; the sort+limit plans as TakeOrderedAndProject."""
+    d = _doc_table(spark, sf_dir)
+    tf = query.term_frequencies(d)
+    hits = tf.filter(F.col("term") == "join").select("doc_id").distinct()
+    docs_df = _documents(spark, sf_dir).join(hits, "doc_id", "leftsemi")
+    return (
+        docs_df.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def bool_composed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ES bool composition: {must: match(query set), filter:
+    range 200 <= n_chars < 2000, must_not: term lang=de}. Both filter
+    and must_not live in filter context (doc-set reduction, no score
+    effect); scoring stats stay index-wide."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    flt = (
+        _documents(spark, sf_dir)
+        .filter(
+            (F.col("n_chars") >= 200)
+            & (F.col("n_chars") < 2000)
+            & (F.lower(F.col("lang")) != "de")
+        )
+        .select("doc_id")
+    )
+    return query.search_filtered(d, q, flt, k=10)
+
+
 # ---------------------------------------------------- ES aggregations
 def agg_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms + stats sub-aggregation: per lang, the five algebraic
@@ -902,6 +936,8 @@ SUITE = {
     "bm25_topk_filtered": bm25_topk_filtered,
     "bm25_topk_decay": bm25_topk_decay,
     "more_like_this_topk": more_like_this_topk,
+    "search_sorted_by_field": search_sorted_by_field,
+    "bool_composed_topk": bool_composed_topk,
     "bm25_topk_title": bm25_topk_title,
     "multifield_most_topk": multifield_most_topk,
     "multifield_best_topk": multifield_best_topk,

@@ -171,6 +171,58 @@ def test_query_session_no_dbucket_shuffle(spark):
     sess.close()
 
 
+def test_filtered_search_semi_join_no_extra_shuffle(spark):
+    """Filter context must plan the doc_id restriction as a (LeftSemi)
+    join after aggregation — and the filter side's predicate must push
+    into its parquet scan."""
+    from mario_spark.suite import bm25_topk_filtered
+
+    plan = _plan(bm25_topk_filtered(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    flat = plan.replace(" ", "")
+    assert "PushedFilters" in plan and "lang" in flat
+
+
+def test_range_agg_broadcasts_dim_and_emits_empty_buckets(spark):
+    """The ranges dim is tiny: the non-equi join must broadcast (never
+    shuffle the fact side against 4 rows), and the empty tail bucket
+    must still be emitted with doc_count 0."""
+    from mario_spark.suite import agg_range_nchars
+
+    out = agg_range_nchars(spark, SF_DIR)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi + broadcast dim
+    rows = {r["key"]: r for r in out.collect()}
+    assert rows["1000000-"]["doc_count"] == 0
+    assert rows["1000000-"]["avg"] == 0.0
+
+
+def test_cardinality_kmv_partitions_by_key(spark):
+    """The KMV top-k window partitions by the agg key — the plan must
+    never collapse to a single partition."""
+    from mario_spark.suite import agg_cardinality_users
+
+    plan = _plan(agg_cardinality_users(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+
+
+def test_regexp_expansion_broadcasts_query_side(spark):
+    """The regexp dictionary pass must broadcast the (tiny) pattern
+    table — never shuffle or nested-loop the vocabulary against it on
+    a non-broadcast side."""
+    from mario_spark import docs
+    from mario_spark.fixtures import documents_as_pages
+    from mario_spark.fuzzy import expand_regexp
+    from mario_spark.postings import build_postings
+
+    d = docs.build_doc_table(documents_as_pages(spark, SF_DIR))
+    _, dic, _ = build_postings(d, 500, range_width=256)
+    q = spark.createDataFrame([(0, "jo.n")], "query_id long, term string")
+    plan = _plan(expand_regexp(dic, q))
+    assert "BroadcastNestedLoopJoin" in plan  # theta join, broadcast side
+    assert "CartesianProduct" not in plan
+
+
 def test_doc_id_assignment_never_single_partitions(spark):
     """The classic row_number-over-global-Window trap collapses to ONE
     partition; our partition-offset technique must not."""
