@@ -179,6 +179,54 @@ def cardinality_kmv(
     )
 
 
+def top_hits_agg(
+    df: DataFrame,
+    key_col: str,
+    sort_col: str,
+    size: int = 3,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """ES top_hits sub-aggregation: the top-`size` documents per
+    bucket by `sort_col` desc (tiebreak asc). A per-key rank window —
+    parallel across buckets, never a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(sort_col), F.asc(tiebreak_col)
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= size)
+        .select(F.col(key_col).alias("key"), "rank", tiebreak_col, sort_col)
+    )
+
+
+def composite_agg(
+    df: DataFrame,
+    keys: list[str],
+    size: int,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES composite aggregation: buckets over a multi-key group,
+    ordered by the key tuple, paged `size` at a time with an
+    `after`-key cursor. Like search_after, the cursor is a PREDICATE
+    over the key order (strictly-after), so every page is an
+    independent top-`size` — the plan stays TakeOrderedAndProject at
+    any depth, and bucket state never accumulates on the driver."""
+    g = df.groupBy(*keys).agg(F.count("*").cast("long").alias("doc_count"))
+    if after is not None:
+        cond = None
+        prefix_eq = None
+        for kcol, aval in zip(keys, after):
+            gt = F.col(kcol) > F.lit(aval)
+            this = gt if prefix_eq is None else (prefix_eq & gt)
+            cond = this if cond is None else (cond | this)
+            eq = F.col(kcol) == F.lit(aval)
+            prefix_eq = eq if prefix_eq is None else (prefix_eq & eq)
+        g = g.filter(cond)
+    return g.orderBy(*[F.asc(k) for k in keys]).limit(size)
+
+
 def search_after(
     df: DataFrame,
     sort_col: str,

@@ -384,6 +384,62 @@ def char_ngrams(documents: DataFrame, k: int = NGRAM_K) -> DataFrame:
     )
 
 
+# --------------------------------------------------- decontamination
+DECON_N = 8  # token n-gram width (GPT-3 used 13-grams; 8 suits short docs)
+
+
+def ngram_decontaminate(
+    documents: DataFrame,
+    benchmark_docs: DataFrame | None = None,
+    bench_mod: int = 10,
+    bench_rem: int = 7,
+    n: int = DECON_N,
+) -> DataFrame:
+    """Training-set decontamination (the GPT-3/C4 protocol): flag every
+    training doc sharing at least one token n-gram with the benchmark
+    set. Returns (doc_id, n_overlap) for contaminated docs only —
+    n_overlap = distinct shared grams.
+
+    `benchmark_docs` is the held-out eval set; when None, a
+    deterministic stand-in (doc_id % bench_mod == bench_rem) is carved
+    from the corpus so the op is testable without external data — the
+    residue is chosen to intersect the fixture's near-duplicate chains
+    (doc i duplicates root i % 100), so the flagged set is non-empty at
+    every scale factor.
+
+    Scale shape: grams are md5 digests (shuffle never carries text);
+    the benchmark gram set is tiny relative to the corpus (eval suites
+    are thousands of docs vs 10^12), so it BROADCASTS into a semi join
+    — the training side streams through map-side, one aggregation on
+    doc_id after. Docs shorter than n tokens emit no grams (explicit
+    length guard — Spark's sequence(1, 0) is descending, not empty).
+    """
+    gram_expr = F.expr(
+        f"transform(sequence(1, size(arr) - {n - 1}), "
+        f"p -> md5(concat_ws(' ', slice(arr, p, {n}))))"
+    )
+    arrs = documents.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+        ).alias("arr"),
+    ).filter(F.size("arr") >= n)
+    grams = arrs.select(
+        "doc_id", F.explode(gram_expr).alias("g")
+    ).distinct()
+    if benchmark_docs is None:
+        bench_g = grams.filter(F.col("doc_id") % bench_mod == bench_rem).select("g")
+        train_g = grams.filter(F.col("doc_id") % bench_mod != bench_rem)
+    else:
+        bench_ids = benchmark_docs.select("doc_id")
+        bench_g = grams.join(F.broadcast(bench_ids), "doc_id", "leftsemi").select("g")
+        train_g = grams.join(F.broadcast(bench_ids), "doc_id", "leftanti")
+    out = train_g.join(F.broadcast(bench_g.distinct()), "g", "leftsemi")
+    return out.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+
+
 NGRAM_BANDS = 4  # r independent min-hashes; recall = 1 - (1-J)^r
 
 

@@ -691,6 +691,81 @@ SELECT key,
 FROM t
 """
 
+AGG_TOP_HITS = """
+WITH rk AS (
+  SELECT lang AS key, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT key, rank::BIGINT AS rank, doc_id, n_chars FROM rk WHERE rank <= 3
+"""
+
+AGG_COMPOSITE_PAGE = """
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM documents
+WHERE (lang > 'de') OR (lang = 'de' AND source > 'src3')
+GROUP BY 1, 2
+ORDER BY lang ASC, source ASC LIMIT 5
+"""
+
+
+def rescore_topk_sql(
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """ES rescore oracle: first-pass window on round(or_score, 4) DESC,
+    doc_id ASC; final = qw*or + rw*(or if the doc matches every term).
+    Mirrors query.search_rescore exactly."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+qn AS (SELECT query_id, count(DISTINCT term) AS qn FROM q GROUP BY 1),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS or_score,
+         count(DISTINCT tf.term) AS nt
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT sc.query_id, sc.doc_id, sc.or_score, sc.nt, qn.qn,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY round(sc.or_score, 4) DESC,
+                                     sc.doc_id ASC) AS fr
+  FROM sc JOIN qn USING (query_id)
+),
+fin AS (
+  SELECT query_id, doc_id,
+         round({query_weight} * or_score
+               + {rescore_weight} * (CASE WHEN nt = qn THEN or_score
+                                          ELSE 0.0 END), 4) AS score
+  FROM win WHERE fr <= {window_size}
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fin
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 SEARCH_AFTER_PAGE = """
 WITH en AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'),
 rk AS (
@@ -921,6 +996,28 @@ _NG_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, '{i}' || ':' || mg{i} AS band_key FROM mins"
     for i in range(4)
 )
+
+# Token 8-gram decontamination, identical arithmetic to
+# ops/dedup.ngram_decontaminate (md5 over space-joined token windows;
+# benchmark stand-in = doc_id % 10 == 7; docs under 8 tokens excluded).
+NGRAM_DECONTAMINATE = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS arr
+  FROM documents
+),
+ok AS (SELECT doc_id, arr FROM arrs WHERE len(arr) >= 8),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - 7),
+                p -> md5(array_to_string(arr[p:p+7], ' ')))) AS g
+  FROM ok
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 != 7)
+SELECT doc_id, count(*)::BIGINT AS n_overlap
+FROM train SEMI JOIN bench USING (g)
+GROUP BY 1
+"""
 
 NGRAM_JACCARD_PAIRS = f"""
 WITH grams AS (
@@ -1276,6 +1373,7 @@ ORACLES: dict[str, str] = {
     "simhash64": _simhash_oracle(),
     "simhash_pairs": _simhash_pairs_oracle(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS,
+    "ngram_decontaminate": NGRAM_DECONTAMINATE,
     "ann_brute_topk": ANN_BRUTE_TOPK,
     "ann_lsh_pairs": _ann_lsh_oracle(),
     "ann_ivf_topk": _ann_ivf_oracle(),
@@ -1290,6 +1388,9 @@ ORACLES: dict[str, str] = {
     "agg_range_nchars": AGG_RANGE_NCHARS,
     "agg_percentiles": AGG_PERCENTILES,
     "agg_cardinality_users": AGG_CARDINALITY_USERS,
+    "agg_top_hits": AGG_TOP_HITS,
+    "agg_composite_page": AGG_COMPOSITE_PAGE,
+    "rescore_topk": rescore_topk_sql(),
     "search_after_page": SEARCH_AFTER_PAGE,
     "geo_distance": GEO_DISTANCE,
     "geo_bbox": GEO_BBOX,

@@ -228,6 +228,79 @@ def more_like_this(
     return topk(scored, k)
 
 
+def search_rescore(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    k: int = 10,
+) -> DataFrame:
+    """ES rescore: re-rank the top `window_size` first-pass docs with
+    final = query_weight * BM25_or + rescore_weight * BM25_rescore,
+    where the rescore query is the CONJUNCTIVE form of the same terms
+    (a doc matching every term rescores with its full BM25; partial
+    matches rescore 0 — ES semantics when the rescore query misses).
+
+    First-pass rank uses round(score,4) DESC, doc_id ASC (the engine's
+    determinism convention), so the rescored window is identical across
+    engines. The whole thing is ONE extra rank window over the already-
+    aggregated (query, doc) scores — no second scan of the corpus."""
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    q_idf = (
+        query_terms.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .select("query_id", "term", "idf", "avgdl")
+    )
+    qn = query_terms.groupBy("query_id").agg(
+        F.countDistinct("term").alias("qn")
+    )
+    scored = (
+        tf.join(F.broadcast(q_idf), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("len") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("or_score"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .join(F.broadcast(qn), "query_id")
+    )
+    wfirst = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("or_score", SCORE_DECIMALS)), F.asc("doc_id")
+    )
+    windowed = scored.withColumn(
+        "first_rank", F.row_number().over(wfirst)
+    ).filter(F.col("first_rank") <= window_size)
+    final = windowed.withColumn(
+        "score",
+        F.round(
+            query_weight * F.col("or_score")
+            + rescore_weight
+            * F.when(F.col("nt") == F.col("qn"), F.col("or_score")).otherwise(0.0),
+            SCORE_DECIMALS,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def search_exhaustive(
     docs: DataFrame, query_terms: DataFrame, k: int = 10, conjunctive: bool = False
 ) -> DataFrame:

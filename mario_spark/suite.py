@@ -668,6 +668,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir))
 
 
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination (GPT-3/C4 protocol): training
+    docs sharing any token 8-gram with the benchmark stand-in
+    (doc_id % 10 == 7) are flagged with their overlap count."""
+    from mario_spark.ops import dedup
+
+    return dedup.ngram_decontaminate(_documents(spark, sf_dir))
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -853,6 +862,42 @@ def agg_cardinality_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.cardinality_kmv(e, "event_type", "user_id", k=256)
 
 
+def agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-aggregation: top-3 docs per lang by n_chars
+    (doc_id tiebreak) — a per-bucket rank window, parallel across
+    buckets."""
+    from mario_spark.ops import aggs
+
+    return aggs.top_hits_agg(
+        _documents(spark, sf_dir), "lang", "n_chars", size=3
+    )
+
+
+def agg_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation page: (lang, source) buckets ordered by
+    key tuple, size=5, after-key cursor ('de', 'src3') — the cursor is
+    a pushable predicate, so deep pages stay TakeOrderedAndProject."""
+    from mario_spark.ops import aggs
+
+    return aggs.composite_agg(
+        _documents(spark, sf_dir),
+        ["lang", "source"],
+        size=5,
+        after=("de", "src3"),
+    )
+
+
+def rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: top-50 first-pass BM25 window re-ranked by
+    1.0*BM25_or + 2.0*BM25_conjunctive (docs matching every query term
+    get boosted; partial matches rescore 0)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return query.search_rescore(
+        d, q, window_size=50, query_weight=1.0, rescore_weight=2.0, k=10
+    )
+
+
 def highlight_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES highlight: first boundary-safe occurrence of any query term
     ('hash', 'join'; earliest wins) wrapped in <em> inside a 60-char
@@ -950,6 +995,7 @@ SUITE = {
     "simhash64": simhash64,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_decontaminate": ngram_decontaminate,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_ivf_topk": ann_ivf_topk,
@@ -964,6 +1010,9 @@ SUITE = {
     "agg_range_nchars": agg_range_nchars,
     "agg_percentiles": agg_percentiles,
     "agg_cardinality_users": agg_cardinality_users,
+    "agg_top_hits": agg_top_hits,
+    "agg_composite_page": agg_composite_page,
+    "rescore_topk": rescore_topk,
     "search_after_page": search_after_page,
     "geo_distance": geo_distance,
     "geo_bbox": geo_bbox,
