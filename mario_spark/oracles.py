@@ -1197,6 +1197,74 @@ FROM d
 """
 
 
+def _clean_corpus_oracle(quality_min: float = 0.65) -> str:
+    """Composed C4-style cascade, mirroring ops/pipeline.clean_corpus:
+    every stage reuses the verified per-op oracle arithmetic."""
+    from mario_spark.ops.textstats import STOPWORDS
+
+    toks = r"regexp_extract_all(lower(text), '[\p{L}\p{N}]+')"
+    cols, langs = [], sorted(STOPWORDS)
+    for lg in langs:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        cols.append(
+            f"len(list_filter({toks}, t -> list_contains([{lst}], t))) AS c_{lg}"
+        )
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH c AS (SELECT doc_id, {", ".join(cols)} FROM documents),
+lid AS (SELECT doc_id, {pred} AS pred_lang FROM c),
+qd AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         len(list_filter({toks}, t -> list_contains([{en}], t))) AS n_stop,
+         len(text) AS n_chars,
+         len(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]+', '', 'g')) AS n_punct
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n_tokens BETWEEN 50 AND 1024 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN round(n_stop / greatest(n_tokens, 1), 4) >= 0.01 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN round(n_punct / greatest(n_chars, 1), 4) <= 0.1 THEN 0.3 ELSE 0.0 END),
+         4) AS quality
+  FROM qd
+),
+k AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM documents GROUP BY 1),
+dup AS (
+  SELECT d.doc_id, (d.doc_id != k.keeper) AS dup_loser
+  FROM documents d JOIN k ON md5(d.text) = k.h
+),
+arrs AS (SELECT doc_id, {toks} AS arr FROM documents),
+okd AS (SELECT doc_id, arr FROM arrs WHERE len(arr) >= 8),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - 7),
+                p -> md5(array_to_string(arr[p:p+7], ' ')))) AS g
+  FROM okd
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 != 7),
+contam AS (SELECT DISTINCT doc_id FROM train SEMI JOIN bench USING (g))
+SELECT d.doc_id,
+       (lid.pred_lang = 'en')::BIGINT AS is_en,
+       q.quality,
+       dup.dup_loser::BIGINT AS dup_loser,
+       (d.doc_id IN (SELECT doc_id FROM contam))::BIGINT AS contaminated,
+       ( lid.pred_lang = 'en' AND q.quality > {quality_min}
+         AND NOT dup.dup_loser
+         AND d.doc_id NOT IN (SELECT doc_id FROM contam) )::BIGINT AS keep
+FROM documents d
+JOIN lid USING (doc_id)
+JOIN q   USING (doc_id)
+JOIN dup USING (doc_id)
+"""
+
+
 WINNOW_FINGERPRINTS = """
 WITH pos AS (
   SELECT doc_id, text,
@@ -1374,6 +1442,7 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": _simhash_pairs_oracle(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS,
     "ngram_decontaminate": NGRAM_DECONTAMINATE,
+    "clean_corpus": _clean_corpus_oracle(),
     "ann_brute_topk": ANN_BRUTE_TOPK,
     "ann_lsh_pairs": _ann_lsh_oracle(),
     "ann_ivf_topk": _ann_ivf_oracle(),

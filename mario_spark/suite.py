@@ -677,6 +677,15 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_decontaminate(_documents(spark, sf_dir))
 
 
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleanup cascade: lang filter + quality filter + exact
+    dedup keepers + decontamination composed into one per-doc decision
+    table (the keep/drop verdict an LLM-data pipeline feeds training)."""
+    from mario_spark.ops import pipeline
+
+    return pipeline.clean_corpus(_documents(spark, sf_dir))
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -996,6 +1005,7 @@ SUITE = {
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_decontaminate": ngram_decontaminate,
+    "clean_corpus": clean_corpus,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_ivf_topk": ann_ivf_topk,
