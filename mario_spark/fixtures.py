@@ -264,6 +264,23 @@ DOCUMENTS_WILDCARD_SET: list[tuple[int, str]] = [
 ]
 
 
+# Query-time synonym table (ES synonym_graph equivalent) + its query
+# set. 'quick' / 'large' are OOV on the documents corpus, so those
+# groups score with df = max over the present members only.
+DOCUMENTS_SYNONYMS: dict[str, list[str]] = {
+    "sort": ["order"],
+    "order": ["sort"],
+    "fast": ["quick"],
+    "big": ["large"],
+}
+DOCUMENTS_SYNONYM_QUERY_SET: list[tuple[int, str]] = [
+    (0, "sort"),
+    (1, "fast data"),
+    (2, "big table"),
+    (3, "order key"),
+]
+
+
 # match_phrase_prefix set: last whitespace token is the prefix, the
 # rest are exact phrase members. 'zz' has no expansion -> empty.
 DOCUMENTS_PHRASE_PREFIX_SET: list[tuple[int, str]] = [

@@ -422,6 +422,58 @@ def regexp_topk_sql() -> str:
     )
 
 
+def synonym_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Lucene SynonymQuery oracle: per group, tf = Σ member tfs in the
+    doc, df = MAX member df, idf from that; groups sum like BM25 terms.
+    Mirrors query.search_synonyms exactly (same expansion rows)."""
+    from mario_spark.fixtures import (
+        DOCUMENTS_SYNONYM_QUERY_SET,
+        DOCUMENTS_SYNONYMS,
+    )
+
+    rows = []
+    for qid, qtext in DOCUMENTS_SYNONYM_QUERY_SET:
+        for t in dict.fromkeys(py_tokenize(qtext)):
+            for m in dict.fromkeys([t, *DOCUMENTS_SYNONYMS.get(t, [])]):
+                rows.append(f"({qid}, '{t}', '{m}')")
+    return f"""
+WITH exp(query_id, gterm, term) AS (VALUES {", ".join(rows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+gidf AS (
+  SELECT g.query_id, g.gterm,
+         ln(1.0 + (st.n_docs - g.df + 0.5) / (g.df + 0.5)) AS idf, st.avgdl
+  FROM (
+    SELECT exp.query_id, exp.gterm, max(dfr.df) AS df
+    FROM exp JOIN dfr USING (term) GROUP BY 1, 2
+  ) g CROSS JOIN st
+),
+grouped AS (
+  SELECT exp.query_id, exp.gterm, tf.doc_id,
+         sum(tf.tf) AS gtf, min(dl.len) AS len
+  FROM exp JOIN tf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT grouped.query_id::BIGINT AS query_id, grouped.doc_id,
+         sum( gidf.idf * (grouped.gtf * ({k1} + 1.0))
+              / (grouped.gtf + {k1} * (1.0 - {b} + {b} * grouped.len / gidf.avgdl)) ) AS raw
+  FROM grouped JOIN gidf USING (query_id, gterm)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 def phrase_topk_sql(
     k: int = 10,
     k1: float = 1.2,
@@ -689,6 +741,29 @@ SELECT key,
        CASE WHEN c < 256 THEN round(c::DOUBLE, 4)
             ELSE round(255.0 / mu, 4) END AS est_distinct
 FROM t
+"""
+
+AGG_SIGNIFICANT_TERMS = f"""
+WITH {_TOKS_CTE},
+presence AS (SELECT DISTINCT doc_id, term FROM toks),
+fg_docs AS (SELECT DISTINCT doc_id FROM presence WHERE term = 'join'),
+nfg AS (SELECT count(*)::DOUBLE AS n FROM fg_docs),
+nbg AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (
+  SELECT term, count(*)::DOUBLE AS fg_df
+  FROM presence SEMI JOIN fg_docs USING (doc_id)
+  GROUP BY 1
+),
+bg AS (SELECT term, count(*)::DOUBLE AS bg_df FROM presence GROUP BY 1),
+j AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         round( (fg.fg_df / nfg.n - bg.bg_df / nbg.n)
+                * ((fg.fg_df / nfg.n) / (bg.bg_df / nbg.n)), 6) AS jlh
+  FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nbg
+  WHERE fg.term != 'join'
+)
+SELECT term, fg_df::BIGINT AS fg_count, bg_df::BIGINT AS bg_count, jlh
+FROM j ORDER BY jlh DESC, term ASC LIMIT 10
 """
 
 AGG_TOP_HITS = """
@@ -1415,6 +1490,7 @@ ORACLES: dict[str, str] = {
     "prefix_topk": prefix_topk_sql(),
     "wildcard_topk": wildcard_topk_sql(),
     "regexp_topk": regexp_topk_sql(),
+    "synonym_topk": synonym_topk_sql(),
     "bm25_topk_filtered": bm25_topk_sql(
         filter_sql="SELECT doc_id FROM documents WHERE lower(lang) = 'en'"
     ),
@@ -1458,6 +1534,7 @@ ORACLES: dict[str, str] = {
     "agg_percentiles": AGG_PERCENTILES,
     "agg_cardinality_users": AGG_CARDINALITY_USERS,
     "agg_top_hits": AGG_TOP_HITS,
+    "agg_significant_terms": AGG_SIGNIFICANT_TERMS,
     "agg_composite_page": AGG_COMPOSITE_PAGE,
     "rescore_topk": rescore_topk_sql(),
     "search_after_page": SEARCH_AFTER_PAGE,

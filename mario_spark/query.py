@@ -228,6 +228,69 @@ def more_like_this(
     return topk(scored, k)
 
 
+def search_synonyms(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES query-time synonym expansion with Lucene SynonymQuery
+    scoring: each query term and its synonyms form ONE group scored as
+    a single pseudo-term — tf = Σ tf over group members present in the
+    doc, df = MAX df among members (SynonymQuery.docFreq), idf from
+    that df. Groups then sum like ordinary BM25 terms. This is exactly
+    how a synonym_graph token filter scores at query time (synonyms
+    never inflate idf the way a naive OR expansion would).
+
+    The expansion dim is tiny (queries x group sizes) and broadcasts;
+    the group aggregation rides the same (query, doc) shuffle as plain
+    BM25 — one extra map-side groupBy on (query, group, doc)."""
+    from mario_spark.docs import corpus_stats
+
+    spark = docs.sparkSession
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    rows = []
+    for r in query_terms.collect():  # tiny driver-side query table
+        t = r["term"]
+        for m in dict.fromkeys([t, *synonyms.get(t, [])]):
+            rows.append((int(r["query_id"]), t, m))
+    exp = spark.createDataFrame(
+        rows, "query_id long, gterm string, term string"
+    )
+    g_idf = (
+        exp.join(dfreq, "term")
+        .groupBy("query_id", "gterm")
+        .agg(F.max("df").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .select("query_id", "gterm", "idf", "avgdl")
+    )
+    grouped = (
+        tf.join(F.broadcast(exp), "term")
+        .groupBy("query_id", "gterm", "doc_id")
+        .agg(F.sum("tf").alias("gtf"), F.min("len").alias("len"))
+    )
+    scored = (
+        grouped.join(F.broadcast(g_idf), ["query_id", "gterm"])
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("gtf") * (k1 + 1.0))
+            / (F.col("gtf") + k1 * (1.0 - b + b * F.col("len") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return topk(scored, k)
+
+
 def search_rescore(
     docs: DataFrame,
     query_terms: DataFrame,

@@ -221,6 +221,20 @@ def more_like_this_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.more_like_this(d, MLT_SEED_DOCS, max_query_terms=5, k=10)
 
 
+def synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query-time synonyms with Lucene SynonymQuery scoring: each
+    term + its synonyms score as one pseudo-term (tf summed over the
+    group, df = max over members) — synonyms never inflate idf."""
+    from mario_spark.fixtures import (
+        DOCUMENTS_SYNONYM_QUERY_SET,
+        DOCUMENTS_SYNONYMS,
+    )
+
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_SYNONYM_QUERY_SET)
+    return query.search_synonyms(d, q, DOCUMENTS_SYNONYMS, k=10)
+
+
 def regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES regexp query (whole-term anchored match, Lucene RegexpQuery),
     expanded in one dictionary pass and scored like prefix_topk."""
@@ -871,6 +885,39 @@ def agg_cardinality_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.cardinality_kmv(e, "event_type", "user_id", k=256)
 
 
+def agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms: terms overrepresented in the foreground
+    (docs containing 'join') vs the whole corpus, scored by JLH =
+    (fg% - bg%) * (fg% / bg%), top-10 by round(jlh, 6) desc / term asc,
+    the query term itself excluded. Presence sets are doc-distinct;
+    the foreground doc set semi-joins (broadcast-able — a result page
+    at 100TB is tiny next to the corpus)."""
+    d = _doc_table(spark, sf_dir)
+    tf = query.term_frequencies(d)
+    presence = tf.select("doc_id", "term").distinct()
+    fg_docs = presence.filter(F.col("term") == "join").select("doc_id")
+    n_fg = fg_docs.count()
+    n_bg = d.count()
+    fg = (
+        presence.join(F.broadcast(fg_docs), "doc_id", "leftsemi")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("fg_df"))
+    )
+    bg = presence.groupBy("term").agg(
+        F.count("*").cast("double").alias("bg_df")
+    )
+    j = fg.join(bg, "term").filter(F.col("term") != "join")
+    fg_pct = F.col("fg_df") / float(n_fg)
+    bg_pct = F.col("bg_df") / float(n_bg)
+    out = j.select(
+        "term",
+        F.col("fg_df").cast("long").alias("fg_count"),
+        F.col("bg_df").cast("long").alias("bg_count"),
+        F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("jlh"),
+    )
+    return out.orderBy(F.desc("jlh"), F.asc("term")).limit(10)
+
+
 def agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES top_hits sub-aggregation: top-3 docs per lang by n_chars
     (doc_id tiebreak) — a per-bucket rank window, parallel across
@@ -988,6 +1035,7 @@ SUITE = {
     "wildcard_topk": wildcard_topk,
     "regexp_topk": regexp_topk,
     "bm25_topk_filtered": bm25_topk_filtered,
+    "synonym_topk": synonym_topk,
     "bm25_topk_decay": bm25_topk_decay,
     "more_like_this_topk": more_like_this_topk,
     "search_sorted_by_field": search_sorted_by_field,
@@ -1021,6 +1069,7 @@ SUITE = {
     "agg_percentiles": agg_percentiles,
     "agg_cardinality_users": agg_cardinality_users,
     "agg_top_hits": agg_top_hits,
+    "agg_significant_terms": agg_significant_terms,
     "agg_composite_page": agg_composite_page,
     "rescore_topk": rescore_topk,
     "search_after_page": search_after_page,
