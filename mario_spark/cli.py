@@ -100,6 +100,13 @@ def main(argv: list[str] | None = None) -> int:
         "--phrase", action="store_true",
         help="match_phrase (requires an index ingested with --positions)",
     )
+    p.add_argument(
+        "--kind",
+        choices=["match", "fuzzy", "prefix", "wildcard", "regexp"],
+        default="match",
+        help="query kind; non-match kinds expand the raw pattern "
+        "against the term dictionary (ES fuzzy/prefix/wildcard/regexp)",
+    )
     p.add_argument("text", nargs="+")
 
     p = sub.add_parser("merge")
@@ -162,6 +169,10 @@ def main(argv: list[str] | None = None) -> int:
         idx = cat.resolve(args.index)
         if args.phrase:
             res = idx.search_phrase([(0, " ".join(args.text))], k=args.k)
+        elif args.kind != "match":
+            res = idx.search_multiterm(
+                [(0, " ".join(args.text))], kind=args.kind, k=args.k
+            )
         else:
             q = query_terms_df(spark, [(0, " ".join(args.text))])
             res = idx.search(q, k=args.k)

@@ -458,7 +458,8 @@ class Index:
     ) -> DataFrame:
         """Multi-term queries over a persisted index: kind = 'fuzzy'
         (classic Levenshtein <= max_edits, same first prefix_length
-        chars), 'prefix', or 'wildcard' (whole-term * / ? patterns).
+        chars), 'prefix', 'wildcard' (whole-term * / ? patterns), or
+        'regexp' (whole-term anchored pattern).
         `queries` carries RAW query strings/patterns (not analyzed —
         a pattern is not a term). Expansion is one pruned pass over
         this index's dictionary; scoring is the standard WAND path."""
@@ -485,6 +486,10 @@ class Index:
                 st["n_docs"], st["avgdl"], k=k,
             ),
             "wildcard": lambda: fuzzymod.search_wildcard(
+                self.postings(), self.dictionary(), qdf,
+                st["n_docs"], st["avgdl"], k=k,
+            ),
+            "regexp": lambda: fuzzymod.search_regexp(
                 self.postings(), self.dictionary(), qdf,
                 st["n_docs"], st["avgdl"], k=k,
             ),

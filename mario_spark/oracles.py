@@ -422,6 +422,44 @@ def regexp_topk_sql() -> str:
     )
 
 
+def collapse_topk_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    """ES field-collapsing oracle: best hit per (query, lang), then
+    survivors re-ranked to top-k. Mirrors suite.collapse_topk."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         round(sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ), 4) AS score
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT sc.query_id, sc.doc_id, d.lang, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+  FROM sc JOIN documents d USING (doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, lang, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM j WHERE rn = 1
+)
+SELECT query_id, rank, doc_id, lang, score FROM rk WHERE rank <= {k}
+"""
+
+
 def synonym_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
     """Lucene SynonymQuery oracle: per group, tf = Σ member tfs in the
     doc, df = MAX member df, idf from that; groups sum like BM25 terms.
@@ -1491,6 +1529,7 @@ ORACLES: dict[str, str] = {
     "wildcard_topk": wildcard_topk_sql(),
     "regexp_topk": regexp_topk_sql(),
     "synonym_topk": synonym_topk_sql(),
+    "collapse_topk": collapse_topk_sql(),
     "bm25_topk_filtered": bm25_topk_sql(
         filter_sql="SELECT doc_id FROM documents WHERE lower(lang) = 'en'"
     ),

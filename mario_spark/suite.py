@@ -221,6 +221,35 @@ def more_like_this_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.more_like_this(d, MLT_SEED_DOCS, max_query_terms=5, k=10)
 
 
+def collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing (collapse: lang): only the best-scoring hit
+    per (query, lang) survives, then the survivors re-rank to top-5.
+    Both windows partition by query (and lang) — parallel, never a
+    global sort."""
+    from mario_spark.docs import corpus_stats
+
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    tf = query.term_frequencies(d)
+    dfreq = query.doc_frequencies(tf)
+    stats = corpus_stats(d)
+    scored = query.bm25_scores(tf, dfreq, stats, q).withColumn(
+        "score", F.round("score", 4)
+    )
+    langs = _documents(spark, sf_dir).select("doc_id", "lang")
+    j = scored.join(langs, "doc_id")
+    w1 = Window.partitionBy("query_id", "lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = j.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") == 1)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "lang", "score")
+    )
+
+
 def synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES query-time synonyms with Lucene SynonymQuery scoring: each
     term + its synonyms score as one pseudo-term (tf summed over the
@@ -1036,6 +1065,7 @@ SUITE = {
     "regexp_topk": regexp_topk,
     "bm25_topk_filtered": bm25_topk_filtered,
     "synonym_topk": synonym_topk,
+    "collapse_topk": collapse_topk,
     "bm25_topk_decay": bm25_topk_decay,
     "more_like_this_topk": more_like_this_topk,
     "search_sorted_by_field": search_sorted_by_field,
