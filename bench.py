@@ -87,6 +87,11 @@ def main() -> None:
     timed("index_build", _build)
     extra["index_docs"] = n_docs
     extra["docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+    # NOTE: steady-state build throughput (fixed costs amortized over an
+    # 800k-doc corpus, warm-up discarded, A-B interleaved across noise)
+    # is measured by scripts/scaling_bench.py and recorded in
+    # BENCH/BASELINE.md — this per-round number includes ~2s of fixed
+    # cost on a 50k corpus and the box's documented ±2x bimodal noise.
 
     qset = make_pages_query_set(seed=42, n=50)
     qdf = query_terms_df(spark, qset)

@@ -126,9 +126,14 @@ def percentiles_agg(
     """ES percentiles aggregation, exact linear-interpolation variant
     (rank = q*(n-1)): per key, one column per requested percentile.
     ES itself serves t-digest approximations; the exact form is the
-    oracle-checkable contract, and Spark's percentile is a partial
-    aggregate (per-partition sorted runs merged at the reducer), so it
-    distributes without a global sort."""
+    oracle-checkable contract. Spark's exact percentile is a partial
+    aggregate (no global sort), but its per-group state is a
+    value->count map — O(distinct metric values per group) memory. For
+    bounded-domain metrics (lengths, counts, scores rounded to fixed
+    precision) that is small at any corpus size; for an unbounded
+    continuous metric at 100TB, swap F.percentile for
+    F.percentile_approx (t-digest-style sketch, O(1/accuracy) state) —
+    same call shape, no longer exactly oracle-matchable."""
     aggs = [
         F.round(F.percentile(F.col(metric_col), F.lit(q)), 4).alias(
             f"p{int(q * 100)}"
