@@ -304,6 +304,32 @@ DOCUMENTS_REGEXP_SET: list[tuple[int, str]] = [
 ]
 
 
+# Term-suggester inputs ("did you mean"): misspellings of corpus
+# vocabulary at 1-2 classic-Levenshtein edits (incl. transpositions,
+# which count as 2).
+DOCUMENTS_SUGGEST_SET: list[str] = [
+    "jion",      # join (1)
+    "tabel",     # table (2: transposition)
+    "merg",      # merge (1)
+    "windwo",    # window (2)
+    "qery",      # query (1)
+]
+
+
+# query_string mini-language set (mario_spark.qs): bare = should,
+# '+' = must, '-' = must_not, quotes = phrase. Exercises every clause
+# kind, shoulds-optional-with-musts, pure-must, OOV must (empty), and
+# a phrase-only query.
+DOCUMENTS_QS_SET: list[tuple[int, str]] = [
+    (0, "hash join -merge"),           # should+should, exclusion
+    (1, '+table "sort merge"'),        # must term + should phrase
+    (2, "scan +fast -slow batch"),     # mixed
+    (3, '"hash join" window'),         # phrase should + term should
+    (4, "+spark +window"),             # pure conjunction
+    (5, "+zzz join"),                  # OOV must -> empty result
+]
+
+
 # Ordered-proximity (span_near in_order, slop=2) query set: bigrams
 # only (keeps the SQL oracle's nested window predicate simple); the
 # wider window makes these match strictly more docs than slop=0.

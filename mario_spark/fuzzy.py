@@ -89,6 +89,48 @@ def expand_terms(
     )
 
 
+def suggest_terms(
+    dictionary: DataFrame,
+    inputs: list[str],
+    max_edits: int = 2,
+    size: int = 3,
+) -> DataFrame:
+    """ES term suggester ("did you mean"): for each input term, the
+    top-`size` dictionary terms within `max_edits` CLASSIC Levenshtein
+    edits (distance >= 1: exact hits need no suggestion), ranked by
+    distance ASC, then df DESC (ES sort=frequency within equal score),
+    then term ASC. One dictionary pass against the broadcast inputs;
+    the cheap length-difference band prunes before the DP distance
+    runs, all JVM-side codegen (F.levenshtein). Returns
+    (input, rank, suggestion, dist, df)."""
+    spark = dictionary.sparkSession
+    inp = spark.createDataFrame([(t,) for t in inputs], "input string")
+    cand = (
+        dictionary.join(
+            F.broadcast(inp),
+            F.abs(F.length("term") - F.length("input")) <= max_edits,
+        )
+        .withColumn("dist", F.levenshtein("input", "term").cast("long"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_edits))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("input").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= size)
+        .select(
+            "input",
+            "rank",
+            F.col("term").alias("suggestion"),
+            "dist",
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
 def expand_prefix(
     dictionary: DataFrame, query_terms: DataFrame
 ) -> DataFrame:

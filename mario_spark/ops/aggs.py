@@ -117,6 +117,133 @@ def range_agg(
     )
 
 
+def histogram_agg(
+    df: DataFrame, metric_col: str, interval: int
+) -> DataFrame:
+    """ES histogram aggregation (fixed numeric interval,
+    min_doc_count=0): bucket key = floor(v/interval)*interval, and —
+    the ES contract — EMPTY buckets between the min and max observed
+    keys are emitted. A groupBy cannot produce empty groups, so the
+    observed buckets left-join a generated bucket spine. The spine
+    bounds come from one 1-row collect (min/max of the metric — an
+    algebraic agg, no sort); the spine itself is
+    sequence(lo, hi, interval) exploded on the driver side of a
+    broadcast, O(#buckets) rows regardless of corpus size."""
+    spark = df.sparkSession
+    m = F.col(metric_col).cast("double")
+    b = (F.floor(m / interval) * interval).cast("long")
+    got = df.groupBy(b.alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    lo, hi = df.agg(F.min(m), F.max(m)).collect()[0]
+    lo_b = int(lo // interval) * interval
+    hi_b = int(hi // interval) * interval
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(lo_b), F.lit(hi_b), F.lit(interval))
+        ).alias("key")
+    )
+    return F.broadcast(spine).join(got, "key", "left").select(
+        "key", F.coalesce("n", F.lit(0)).cast("long").alias("doc_count")
+    )
+
+
+def extended_stats_agg(
+    df: DataFrame, key_col: str, metric_col: str
+) -> DataFrame:
+    """ES extended_stats: stats + sum_of_squares, population variance
+    and std deviation. Every moment is algebraic — the map-side combine
+    carries (n, sum, sum_sq, min, max) per bucket, so the shuffle is
+    O(buckets) at any corpus size (also covers ES value_count = count).
+    Variance/stddev derive from the raw moments (ss/n - mean^2) rather
+    than var_pop so both engines run literally the same arithmetic on
+    exact integer sums — engine-private streaming variants (Welford)
+    could differ in the last ulp across engines."""
+    m = F.col(metric_col).cast("double")
+    g = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("count"),
+        F.min(metric_col).cast("long").alias("min"),
+        F.max(metric_col).cast("long").alias("max"),
+        F.sum(metric_col).cast("long").alias("sum"),
+        F.sum(m * m).alias("ss"),
+    )
+    n = F.col("count").cast("double")
+    mean = F.col("sum").cast("double") / n
+    var = F.col("ss") / n - mean * mean
+    return g.select(
+        "key",
+        "count",
+        "min",
+        "max",
+        F.round(mean, 4).alias("avg"),
+        "sum",
+        F.round("ss", 2).alias("sum_of_squares"),
+        F.round(var, 4).alias("variance"),
+        F.round(F.sqrt(var), 4).alias("std_deviation"),
+    )
+
+
+def filters_agg(
+    df: DataFrame, buckets: list[tuple[str, Column]]
+) -> DataFrame:
+    """ES filters aggregation: one named bucket per filter, all
+    evaluated in a SINGLE pass as conditional sums (no per-bucket
+    rescan — exactly how ES runs sibling filter buckets in one
+    collector pass), then unpivoted to (key, doc_count) rows via
+    stack(). Also expresses the ES `missing` agg: pass an isNull()
+    condition as a bucket."""
+    row = df.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in buckets
+        ]
+    )
+    n = len(buckets)
+    cells = ", ".join(f"'{name}', {name}" for name, _ in buckets)
+    return row.select(
+        F.expr(f"stack({n}, {cells}) as (key, doc_count)")
+    )
+
+
+def pipeline_date_histogram(
+    df: DataFrame, ts_col: str, value_col: str, interval: str = "month"
+) -> DataFrame:
+    """ES pipeline aggregations over a date_histogram:
+    cumulative_sum, derivative, and moving_fn(avg, window=3) of the
+    per-bucket doc_count. The parent histogram is a normal distributed
+    hash agg; the pipeline window then runs over the REDUCED bucket
+    table (rows = #calendar buckets, dozens), which is exactly where ES
+    computes pipeline aggs — on the coordinating node after the shard
+    reduce. The unpartitioned window is therefore O(#buckets), not a
+    data-scale global sort. ES emits NO derivative key for the first
+    bucket; a NULL float is engine-hash-hazardous (Spark NaN vs DuckDB
+    None), so the first bucket's derivative is pinned to 0 on both
+    engines."""
+    from pyspark.sql import Window
+
+    b = F.date_format(
+        F.date_trunc(interval, F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(value_col), 2).alias("sum_value"),
+    )
+    w = Window.orderBy("bucket")
+    mv = Window.orderBy("bucket").rowsBetween(-2, 0)
+    return g.select(
+        "bucket",
+        "n",
+        "sum_value",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum_n"),
+        F.coalesce(F.col("n") - F.lag("n").over(w), F.lit(0))
+        .cast("long")
+        .alias("deriv_n"),
+        F.round(F.avg("n").over(mv), 4).alias("mavg_n"),
+    )
+
+
 def percentiles_agg(
     df: DataFrame,
     key_col: str,

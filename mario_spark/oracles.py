@@ -729,6 +729,101 @@ SELECT lang AS key, count(*)::BIGINT AS count,
 FROM documents GROUP BY 1
 """
 
+def _term_suggest_oracle() -> str:
+    from mario_spark.fixtures import DOCUMENTS_SUGGEST_SET
+
+    vals = ", ".join(f"('{t}')" for t in DOCUMENTS_SUGGEST_SET)
+    return f"""
+WITH {_TOKS_CTE},
+tfp AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM tfp GROUP BY 1),
+inp(input) AS (VALUES {vals}),
+cand AS (
+  SELECT input, term, df, levenshtein(input, term)::BIGINT AS dist
+  FROM dfr CROSS JOIN inp
+),
+f AS (SELECT * FROM cand WHERE dist BETWEEN 1 AND 2),
+rk AS (
+  SELECT input,
+         row_number() OVER (PARTITION BY input
+                            ORDER BY dist ASC, df DESC, term ASC) AS rank,
+         term AS suggestion, dist, df
+  FROM f
+)
+SELECT input, rank::BIGINT AS rank, suggestion, dist, df
+FROM rk WHERE rank <= 3
+"""
+
+
+def _qs_oracle() -> str:
+    from mario_spark.fixtures import DOCUMENTS_QS_SET
+    from mario_spark.qs import query_string_sql
+
+    return query_string_sql(DOCUMENTS_QS_SET, k=10)
+
+
+AGG_HISTOGRAM_NCHARS = """
+WITH got AS (
+  SELECT (n_chars // 500) * 500 AS key, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT (min(n_chars) // 500) * 500 FROM documents),
+    (SELECT (max(n_chars) // 500) * 500 FROM documents),
+    500)) AS key
+)
+SELECT spine.key::BIGINT AS key, coalesce(got.n, 0)::BIGINT AS doc_count
+FROM spine LEFT JOIN got USING (key)
+"""
+
+AGG_EXTENDED_STATS = """
+WITH g AS (
+  SELECT lang AS key,
+         count(*)::BIGINT AS count,
+         min(n_chars)::BIGINT AS min,
+         max(n_chars)::BIGINT AS max,
+         sum(n_chars)::BIGINT AS sum,
+         sum(n_chars::DOUBLE * n_chars::DOUBLE) AS ss
+  FROM documents GROUP BY 1
+)
+SELECT key, count, min, max,
+       round(sum::DOUBLE / count::DOUBLE, 4) AS avg,
+       sum,
+       round(ss, 2) AS sum_of_squares,
+       round(ss / count::DOUBLE - (sum::DOUBLE / count::DOUBLE) * (sum::DOUBLE / count::DOUBLE), 4) AS variance,
+       round(sqrt(ss / count::DOUBLE - (sum::DOUBLE / count::DOUBLE) * (sum::DOUBLE / count::DOUBLE)), 4) AS std_deviation
+FROM g
+"""
+
+AGG_FILTERS = """
+WITH c AS (
+  SELECT sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END)::BIGINT AS short,
+         sum(CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+         sum(CASE WHEN contains(text, 'hash') THEN 1 ELSE 0 END)::BIGINT AS has_hash,
+         sum(CASE WHEN nullif(source, 'src3') IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing
+  FROM documents
+)
+SELECT 'short' AS key, short AS doc_count FROM c
+UNION ALL SELECT 'en', en FROM c
+UNION ALL SELECT 'has_hash', has_hash FROM c
+UNION ALL SELECT 'missing', missing FROM c
+"""
+
+AGG_PIPELINE_MONTHLY = """
+WITH g AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS bucket,
+         count(*)::BIGINT AS n,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT bucket, n, sum_value,
+       (sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_n,
+       coalesce(n - lag(n) OVER (ORDER BY bucket), 0)::BIGINT AS deriv_n,
+       round(avg(n) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg_n
+FROM g
+"""
+
 AGG_DATE_HISTOGRAM = """
 SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS bucket,
        event_type AS key,
@@ -1569,6 +1664,12 @@ ORACLES: dict[str, str] = {
     "facet_terms_lang": FACET_TERMS_LANG,
     "agg_stats_lang": AGG_STATS_LANG,
     "agg_date_histogram": AGG_DATE_HISTOGRAM,
+    "query_string_topk": _qs_oracle(),
+    "term_suggest": _term_suggest_oracle(),
+    "agg_histogram_nchars": AGG_HISTOGRAM_NCHARS,
+    "agg_extended_stats": AGG_EXTENDED_STATS,
+    "agg_filters": AGG_FILTERS,
+    "agg_pipeline_monthly": AGG_PIPELINE_MONTHLY,
     "agg_range_nchars": AGG_RANGE_NCHARS,
     "agg_percentiles": AGG_PERCENTILES,
     "agg_cardinality_users": AGG_CARDINALITY_USERS,

@@ -1,0 +1,331 @@
+"""ES/Lucene `query_string` mini-language, compiled onto the engine's
+BM25 machinery.
+
+Mario's delegated engine exposes query_string on every search box
+(TIMDEX's simple search IS a query_string query); this module gives the
+Spark engine the same surface. Grammar — the subset users actually
+type:
+
+    query   := clause+
+    clause  := '+' atom | '-' atom | atom
+    atom    := '"' word+ '"' | word
+
+Bare atoms are SHOULD clauses, '+' marks MUST, '-' marks MUST_NOT;
+quoted atoms are phrases. Lucene BooleanQuery semantics: a doc matches
+iff every must clause matches, no must_not clause matches, and — when
+there are should clauses but no must clauses — at least one should
+clause matches (with musts present, shoulds are pure score boosts).
+Score = sum of matching must+should clause scores.
+
+Unified clause model: every scoring clause is a CHAIN of analyzer
+terms (length 1 = plain term, length > 1 = match_phrase). A clause
+scores as Lucene PhraseWeight: idf = sum of member idfs, tf = chain
+frequency (plain tf for a single term), saturated by BM25 — so a
+single-term clause scores EXACTLY like a normal term query.
+
+Distributed shape: all TERM clauses share one tokenize + (doc, term)
+aggregation (a broadcast join against the tiny clause dim prunes it to
+query terms); each PHRASE clause is one extra projection over the
+token-array scan (adjacency counted in codegen, no UDF). The per-doc
+combine is a single hash aggregation; matching rules reduce to
+conditional counts joined against a broadcast per-query constants dim.
+Production serving would route term clauses through the compressed
+postings (wand.QuerySession) and phrases through positional postings
+(phrase.search_phrase); this module is the semantics/composition layer
+the suite verifies end-to-end against DuckDB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from mario_spark.analyze import py_tokenize, tokenize_udf
+from mario_spark.query import B, K1, SCORE_DECIMALS, topk
+
+_ATOM_RE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
+
+
+def parse_query_string(s: str) -> list[tuple[str, list[str]]]:
+    """Parse into [(kind, chain_terms)]; kind in must|should|not.
+    Atom text runs through the standard analyzer (py_tokenize), so
+    'Hash-Join' and '"Sort Merge"' normalize exactly like indexed text.
+    Atoms that analyze to zero terms are dropped (Lucene does the same
+    for stopword-only clauses)."""
+    out: list[tuple[str, list[str]]] = []
+    for sign, quoted, bare in _ATOM_RE.findall(s):
+        terms = py_tokenize(quoted if quoted else bare)
+        if not terms:
+            continue
+        kind = {"+": "must", "-": "not"}.get(sign, "should")
+        out.append((kind, terms))
+    return out
+
+
+def _chain_ctf_expr(arr, terms: list[str]):
+    """Chain frequency of `terms` in token array `arr` as a pure
+    codegen expression: number of start positions p with
+    arr[p+j] == terms[j] for all j. Guarded so texts shorter than the
+    chain emit 0 (F.sequence(1, 0) would yield a DESCENDING [1, 0])."""
+    if len(terms) == 1:
+        return F.size(F.filter(arr, lambda x: x == F.lit(terms[0])))
+    m = len(terms) - 1
+    starts = F.sequence(F.lit(1), F.size(arr) - m)
+    conds = lambda p: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(m)),
+        F.lit(True),
+        lambda acc, j: acc
+        & (
+            F.element_at(arr, (p + j).cast("int"))
+            == F.element_at(F.array(*[F.lit(t) for t in terms]), (j + 1).cast("int"))
+        ),
+    )
+    return F.when(
+        F.size(arr) > m,
+        F.size(F.filter(starts, conds)),
+    ).otherwise(F.lit(0))
+
+
+def search_query_string(
+    documents: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Run query_string queries over documents(doc_id, text);
+    returns (query_id, rank, doc_id, score) — the engine's standard
+    top-k contract."""
+    spark = documents.sparkSession
+    parsed = [(qid, parse_query_string(s)) for qid, s in queries]
+
+    docs_t = documents.select(
+        "doc_id", tokenize_udf(F.col("text")).alias("arr")
+    ).filter(F.size("arr") > 0)
+    dl = docs_t.select("doc_id", F.size("arr").cast("double").alias("len"))
+    st = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    tf = (
+        docs_t.select("doc_id", F.explode("arr").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    # clause dims (driver-side, tiny): every clause-term pair for idf;
+    # single-term scoring clauses route through the shared tf table
+    cl_rows, term_cl_rows, qc = [], [], {}
+    for qid, clauses in parsed:
+        n_must = sum(1 for kind, _ in clauses if kind == "must")
+        n_should = sum(1 for kind, _ in clauses if kind == "should")
+        qc[qid] = (n_must, n_should)
+        for cid, (kind, terms) in enumerate(clauses):
+            for t in terms:
+                cl_rows.append((qid, cid, kind, t))
+            if len(terms) == 1:
+                term_cl_rows.append((qid, cid, kind, terms[0]))
+    cl = spark.createDataFrame(
+        cl_rows, "query_id long, clause_id int, kind string, term string"
+    )
+    # per-clause idf sum (terms absent from the corpus contribute 0 and
+    # can never match — Lucene's behavior for OOV terms)
+    sidf = (
+        cl.join(dfreq, "term", "left")
+        .crossJoin(F.broadcast(st))
+        .groupBy("query_id", "clause_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("df").isNotNull(),
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).alias("sidf")
+        )
+    )
+
+    parts = []
+    if term_cl_rows:
+        tcl = spark.createDataFrame(
+            term_cl_rows, "query_id long, clause_id int, kind string, term string"
+        )
+        parts.append(
+            tf.join(F.broadcast(tcl), "term").select(
+                "query_id", "clause_id", "kind", "doc_id", F.col("tf").alias("ctf")
+            )
+        )
+    for qid, clauses in parsed:
+        for cid, (kind, terms) in enumerate(clauses):
+            if len(terms) == 1:
+                continue
+            ctf = _chain_ctf_expr(F.col("arr"), terms)
+            parts.append(
+                docs_t.select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    F.lit(cid).cast("int").alias("clause_id"),
+                    F.lit(kind).alias("kind"),
+                    "doc_id",
+                    ctf.cast("double").alias("ctf"),
+                ).filter(F.col("ctf") > 0)
+            )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+
+    scored = (
+        hits.join(F.broadcast(sidf), ["query_id", "clause_id"])
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .withColumn(
+            "contrib",
+            F.when(F.col("kind") == "not", F.lit(0.0)).otherwise(
+                F.col("sidf")
+                * (F.col("ctf") * (K1 + 1.0))
+                / (
+                    F.col("ctf")
+                    + K1 * (1.0 - B + B * F.col("len") / F.col("avgdl"))
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.countDistinct(
+                F.when(F.col("kind") == "must", F.col("clause_id"))
+            ).alias("n_must_hit"),
+            F.max(F.when(F.col("kind") == "should", 1).otherwise(0)).alias(
+                "any_should"
+            ),
+            F.max(F.when(F.col("kind") == "not", 1).otherwise(0)).alias(
+                "any_not"
+            ),
+        )
+    )
+    qcdim = spark.createDataFrame(
+        [(qid, nm, ns) for qid, (nm, ns) in qc.items()],
+        "query_id long, req_must int, n_should int",
+    )
+    ok = (
+        scored.join(F.broadcast(qcdim), "query_id")
+        .filter(
+            (F.col("any_not") == 0)
+            & (F.col("n_must_hit") == F.col("req_must"))
+            & (
+                (F.col("n_should") == 0)
+                | (F.col("req_must") > 0)
+                | (F.col("any_should") == 1)
+            )
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(ok, k)
+
+
+def query_string_sql(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB oracle for search_query_string: identical clause model,
+    arithmetic, and matching rules, generated from the same parse."""
+    parsed = [(qid, parse_query_string(s)) for qid, s in queries]
+    cl_vals, tcl_vals, qc_vals, ph_selects = [], [], [], []
+    for qid, clauses in parsed:
+        n_must = sum(1 for kind, _ in clauses if kind == "must")
+        n_should = sum(1 for kind, _ in clauses if kind == "should")
+        qc_vals.append(f"({qid}, {n_must}, {n_should})")
+        for cid, (kind, terms) in enumerate(clauses):
+            for t in terms:
+                cl_vals.append(f"({qid}, {cid}, '{kind}', '{t}')")
+            if len(terms) == 1:
+                tcl_vals.append(f"({qid}, {cid}, '{kind}', '{terms[0]}')")
+            else:
+                m = len(terms) - 1
+                conds = " AND ".join(
+                    f"arr[p + {j}] = '{t}'" for j, t in enumerate(terms)
+                )
+                ptf = (
+                    f"CASE WHEN len(arr) > {m} THEN "
+                    f"len(list_filter(generate_series(1, len(arr) - {m}), "
+                    f"p -> {conds})) ELSE 0 END::DOUBLE"
+                )
+                ph_selects.append(
+                    f"SELECT {qid} AS query_id, {cid} AS clause_id, "
+                    f"'{kind}' AS kind, doc_id, {ptf} AS ctf FROM docs_t"
+                )
+    if not tcl_vals:  # keep the VALUES clause well-formed
+        tcl_vals.append("(NULL, NULL, NULL, NULL)")
+        term_part = ""
+    else:
+        term_part = (
+            "SELECT tcl.query_id, tcl.clause_id, tcl.kind, tf.doc_id, tf.tf AS ctf "
+            "FROM tf JOIN tcl USING (term)"
+        )
+    ph_part = " UNION ALL ".join(
+        f"SELECT query_id, clause_id, kind, doc_id, ctf FROM ({s}) WHERE ctf > 0"
+        for s in ph_selects
+    )
+    hits = " UNION ALL ".join(x for x in [term_part, ph_part] if x)
+    tok = r"[\p{L}\p{N}]+"
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{tok}') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM docs_t),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::DOUBLE AS len FROM docs_t WHERE len(arr) > 0),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+cl(query_id, clause_id, kind, term) AS (VALUES {", ".join(cl_vals)}),
+tcl(query_id, clause_id, kind, term) AS (VALUES {", ".join(tcl_vals)}),
+qc(query_id, req_must, n_should) AS (VALUES {", ".join(qc_vals)}),
+sidf AS (
+  SELECT cl.query_id, cl.clause_id,
+         sum(CASE WHEN dfr.df IS NOT NULL
+             THEN ln(1.0 + ((SELECT n_docs FROM st) - dfr.df + 0.5) / (dfr.df + 0.5))
+             ELSE 0.0 END) AS sidf
+  FROM cl LEFT JOIN dfr USING (term)
+  GROUP BY 1, 2
+),
+hits AS ({hits}),
+contrib AS (
+  SELECT h.query_id, h.doc_id, h.clause_id, h.kind,
+         CASE WHEN h.kind = 'not' THEN 0.0
+              ELSE s.sidf * (h.ctf * ({k1} + 1.0))
+                   / (h.ctf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl))
+         END AS contrib
+  FROM hits h
+  JOIN sidf s USING (query_id, clause_id)
+  JOIN dl USING (doc_id)
+  CROSS JOIN st
+),
+agg AS (
+  SELECT query_id, doc_id,
+         sum(contrib) AS score,
+         count(DISTINCT CASE WHEN kind = 'must' THEN clause_id END) AS n_must_hit,
+         max(CASE WHEN kind = 'should' THEN 1 ELSE 0 END) AS any_should,
+         max(CASE WHEN kind = 'not' THEN 1 ELSE 0 END) AS any_not
+  FROM contrib GROUP BY 1, 2
+),
+ok AS (
+  SELECT a.query_id::BIGINT AS query_id, a.doc_id, a.score
+  FROM agg a JOIN qc USING (query_id)
+  WHERE a.any_not = 0
+    AND a.n_must_hit = qc.req_must
+    AND (qc.n_should = 0 OR qc.req_must > 0 OR a.any_should = 1)
+),
+rk AS (
+  SELECT query_id, doc_id, round(score, {SCORE_DECIMALS}) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                                     doc_id ASC) AS rank
+  FROM ok
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""

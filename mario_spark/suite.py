@@ -972,6 +972,80 @@ def agg_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester ("did you mean"): top-3 dictionary corrections
+    within 2 classic-Levenshtein edits per misspelled input, ranked by
+    distance, then document frequency, then term."""
+    from mario_spark import fuzzy
+    from mario_spark.fixtures import DOCUMENTS_SUGGEST_SET
+
+    d = _doc_table(spark, sf_dir)
+    dfreq = query.doc_frequencies(query.term_frequencies(d))
+    return fuzzy.suggest_terms(dfreq, DOCUMENTS_SUGGEST_SET, max_edits=2, size=3)
+
+
+def query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query_string mini-language (bare=should, +must, -must_not,
+    quotes=phrase) compiled onto BM25: Lucene BooleanQuery matching
+    rules, every clause scored as a term/phrase chain (PhraseWeight).
+    See mario_spark.qs for the grammar and distributed shape."""
+    from mario_spark.fixtures import DOCUMENTS_QS_SET
+    from mario_spark.qs import search_query_string
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    return search_query_string(d, DOCUMENTS_QS_SET, k=10)
+
+
+def agg_histogram_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram agg (interval=500, min_doc_count=0) over n_chars:
+    empty buckets between the min and max observed keys are emitted
+    (bucket spine broadcast-joined against the hash agg)."""
+    from mario_spark.ops import aggs
+
+    return aggs.histogram_agg(_documents(spark, sf_dir), "n_chars", 500)
+
+
+def agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats per lang over n_chars: count/min/max/avg/sum +
+    sum_of_squares, population variance, std deviation — all algebraic
+    moments, variance computed as ss/n - mean^2 on BOTH engines."""
+    from mario_spark.ops import aggs
+
+    return aggs.extended_stats_agg(_documents(spark, sf_dir), "lang", "n_chars")
+
+
+def agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation (+ the missing agg expressed as an isNull
+    bucket): four named buckets counted in ONE conditional-sum pass,
+    unpivoted to (key, doc_count) rows."""
+    from mario_spark.ops import aggs
+
+    d = _documents(spark, sf_dir)
+    return aggs.filters_agg(
+        d,
+        [
+            ("short", F.col("n_chars") < 500),
+            ("en", F.lower(F.col("lang")) == "en"),
+            ("has_hash", F.col("text").contains("hash")),
+            # ES `missing` agg: docs where a (synthesized-nullable)
+            # field is null — nullif(source, 'src3') is null
+            ("missing", F.nullif(F.col("source"), F.lit("src3")).isNull()),
+        ],
+    )
+
+
+def agg_pipeline_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggs over a monthly date_histogram of events:
+    cumulative_sum, derivative (pinned to 0 for the first bucket — ES
+    emits no key there, and a NULL float is engine-hash-hazardous),
+    moving_fn avg window=3. The pipeline window runs over
+    the reduced bucket table (coordinating-node semantics), O(#months)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.pipeline_date_histogram(e, "ts", "value", "month")
+
+
 def rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: top-50 first-pass BM25 window re-ranked by
     1.0*BM25_or + 2.0*BM25_conjunctive (docs matching every query term
@@ -1101,6 +1175,12 @@ SUITE = {
     "agg_top_hits": agg_top_hits,
     "agg_significant_terms": agg_significant_terms,
     "agg_composite_page": agg_composite_page,
+    "query_string_topk": query_string_topk,
+    "term_suggest": term_suggest,
+    "agg_histogram_nchars": agg_histogram_nchars,
+    "agg_extended_stats": agg_extended_stats,
+    "agg_filters": agg_filters,
+    "agg_pipeline_monthly": agg_pipeline_monthly,
     "rescore_topk": rescore_topk,
     "search_after_page": search_after_page,
     "geo_distance": geo_distance,
