@@ -145,12 +145,17 @@ def search_multi_field(
     boosts: dict[str, float],
     k: int = 10,
     combine: str = "sum",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """ES multi_match over analyzed fields with per-field boosts:
 
-    - combine='sum'  -> most_fields: score = Σ_f boost_f * BM25_f
-    - combine='max'  -> best_fields (dis_max, tie_breaker=0):
-                        score = max_f boost_f * BM25_f
+    - combine='sum'    -> most_fields: score = Σ_f boost_f * BM25_f
+    - combine='max'    -> best_fields (dis_max, tie_breaker=0):
+                          score = max_f boost_f * BM25_f
+    - combine='dismax' -> dis_max with tie_breaker:
+                          score = max + tie_breaker * (sum - max)
+                          (Lucene DisjunctionMaxQuery: the best field
+                          dominates, other fields break ties)
 
     Each field is scored EXHAUSTIVELY with its own Lucene-style stats
     (df, docCount, avgFieldLength) — combining per-field top-k lists
@@ -162,8 +167,10 @@ def search_multi_field(
     """
     from mario_spark import query as querymod
 
-    if combine not in ("sum", "max"):
-        raise ValueError(f"combine must be 'sum' or 'max', got {combine!r}")
+    if combine not in ("sum", "max", "dismax"):
+        raise ValueError(
+            f"combine must be 'sum', 'max' or 'dismax', got {combine!r}"
+        )
     parts = []
     for field, boost in boosts.items():
         fd = fdocs.filter(F.col("field") == field).filter(F.col("len") > 0)
@@ -190,8 +197,16 @@ def search_multi_field(
     allf = parts[0]
     for p in parts[1:]:
         allf = allf.unionByName(p)
-    agg = F.sum("fscore") if combine == "sum" else F.max("fscore")
-    combined = allf.groupBy("query_id", "doc_id").agg(agg.alias("score"))
+    g = allf.groupBy("query_id", "doc_id").agg(
+        F.sum("fscore").alias("s"), F.max("fscore").alias("m")
+    )
+    if combine == "sum":
+        score = F.col("s")
+    elif combine == "max":
+        score = F.col("m")
+    else:
+        score = F.col("m") + float(tie_breaker) * (F.col("s") - F.col("m"))
+    combined = g.select("query_id", "doc_id", score.alias("score"))
     return querymod.topk(combined, k=k)
 
 

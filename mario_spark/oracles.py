@@ -321,12 +321,14 @@ def multifield_topk_sql(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    tie_breaker: float = 0.0,
 ) -> str:
     """ES multi_match oracle: per-field BM25 with the field's OWN
     docCount/avgFieldLength/df, boosted, then combined per (query, doc)
-    by sum (most_fields) or max (best_fields, tie_breaker=0). `fields`
-    is [(name, sql_text_expr, boost)]. Mirrors
-    fields.search_multi_field exactly."""
+    by sum (most_fields), max (best_fields, tie_breaker=0), or dismax
+    (max + tie_breaker * (sum - max)). `fields` is
+    [(name, sql_text_expr, boost)]. Mirrors fields.search_multi_field
+    exactly."""
     ctes, unions = [], []
     for name, expr, boost in fields:
         ctes.append(f"""
@@ -354,7 +356,14 @@ sc_{name} AS (
         unions.append(
             f"SELECT query_id, doc_id, raw * {boost} AS fscore FROM sc_{name}"
         )
-    agg = "sum(fscore)" if combine == "sum" else "max(fscore)"
+    if combine == "sum":
+        agg = "sum(fscore)"
+    elif combine == "max":
+        agg = "max(fscore)"
+    else:
+        agg = (
+            f"max(fscore) + {tie_breaker} * (sum(fscore) - max(fscore))"
+        )
     return f"""
 WITH q(query_id, term) AS (VALUES {_query_values()}),
 {", ".join(ctes)},
@@ -728,6 +737,91 @@ SELECT lang AS key, count(*)::BIGINT AS count,
        round(avg(n_chars), 4) AS avg, sum(n_chars)::BIGINT AS sum
 FROM documents GROUP BY 1
 """
+
+def _boosting_oracle(
+    negative_terms: list[str] | None = None,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """ES boosting-query oracle: BM25 OR scores, demoted (not removed)
+    by negative_boost where the doc matches any negative term."""
+    negs = ", ".join(f"'{t}'" for t in (negative_terms or ["merge"]))
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfr USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({negs})),
+dem AS (
+  SELECT sc.query_id, sc.doc_id,
+         CASE WHEN neg.doc_id IS NOT NULL THEN sc.raw * {negative_boost}
+              ELSE sc.raw END AS raw
+  FROM sc LEFT JOIN neg USING (doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM dem
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def _explain_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    """ES explain-API oracle: per-term breakdown rows for each query's
+    top-1 doc (rank on round(total,4) DESC, doc_id ASC)."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id, tf.term,
+         tf.tf, dfr.df,
+         ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) AS idf,
+         ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * ({k1} + 1.0))
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) AS contrib
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfr USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+tot AS (SELECT query_id, doc_id, sum(contrib) AS score FROM contrib GROUP BY 1, 2),
+top1 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 4) DESC, doc_id ASC) AS rk
+    FROM tot
+  ) WHERE rk = 1
+)
+SELECT c.query_id, c.doc_id, c.term,
+       c.tf::BIGINT AS tf, c.df::BIGINT AS df,
+       round(c.idf, 6) AS idf, round(c.contrib, 4) AS contrib
+FROM contrib c JOIN top1 USING (query_id, doc_id)
+"""
+
 
 def _term_suggest_oracle() -> str:
     from mario_spark.fixtures import DOCUMENTS_SUGGEST_SET
@@ -1642,6 +1736,9 @@ ORACLES: dict[str, str] = {
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
     "multifield_most_topk": multifield_topk_sql(_MF_FIELDS, "sum"),
     "multifield_best_topk": multifield_topk_sql(_MF_FIELDS, "max"),
+    "dismax_topk": multifield_topk_sql(_MF_FIELDS, "dismax", tie_breaker=0.3),
+    "boosting_topk": _boosting_oracle(),
+    "explain_scores": _explain_oracle(),
     "phrase_topk": phrase_topk_sql(),
     "phrase_near_topk": phrase_topk_sql(slop=2, query_set=_near_set()),
     "phrase_prefix_topk": phrase_prefix_topk_sql(),

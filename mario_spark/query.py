@@ -364,6 +364,93 @@ def search_rescore(
     )
 
 
+def search_boosting(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    negative_terms: list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+) -> DataFrame:
+    """ES boosting query: positive = the BM25 OR match; docs that also
+    match ANY negative term keep their positive score DEMOTED by
+    `negative_boost` (they still match — unlike must_not). The negative
+    doc set reduces to a distinct doc_id frame (term-pruned at the
+    scan) and broadcast-joins the scored frame: at 100TB the negative
+    set is postings-of-one-term-sized, tiny next to the corpus."""
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    scored = bm25_scores(tf, dfreq, stats, query_terms)
+    neg = (
+        tf.filter(F.col("term").isin(negative_terms))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_neg", F.lit(1))
+    )
+    demoted = scored.join(F.broadcast(neg), "doc_id", "left").withColumn(
+        "score",
+        F.when(F.col("is_neg").isNotNull(), F.col("score") * negative_boost)
+        .otherwise(F.col("score")),
+    )
+    return topk(demoted.select("query_id", "doc_id", "score"), k)
+
+
+def explain_scores(
+    docs: DataFrame, query_terms: DataFrame
+) -> DataFrame:
+    """ES explain API: the per-term BM25 breakdown for each query's
+    TOP-1 document — (query_id, doc_id, term, tf, df, idf, contrib),
+    the exact numbers ES's `"explanation"` tree carries (idf and the tf
+    saturation product). The top-1 doc is found by the standard rank
+    window; its contribution rows are then kept by a broadcast
+    semi-join — no second scoring pass."""
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    contribs = (
+        tf.join(F.broadcast(query_terms), "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("len") / F.col("avgdl"))),
+        )
+    )
+    total = contribs.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", SCORE_DECIMALS)), F.asc("doc_id")
+    )
+    top1 = (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("query_id", "doc_id")
+    )
+    return contribs.join(F.broadcast(top1), ["query_id", "doc_id"]).select(
+        "query_id",
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("idf", 6).alias("idf"),
+        F.round("contrib", 4).alias("contrib"),
+    )
+
+
 def search_exhaustive(
     docs: DataFrame, query_terms: DataFrame, k: int = 10, conjunctive: bool = False
 ) -> DataFrame:

@@ -366,6 +366,37 @@ def multifield_best_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max with tie_breaker=0.3 over (title^2, contents^1):
+    score = best_field + 0.3 * (sum_others) — the best field dominates,
+    the other field breaks ties (Lucene DisjunctionMaxQuery)."""
+    from mario_spark import fields as fieldsmod
+
+    fdocs = _field_docs(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return fieldsmod.search_multi_field(
+        fdocs, q, {"title": 2.0, "contents": 1.0}, k=10,
+        combine="dismax", tie_breaker=0.3,
+    )
+
+
+def boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: positive = the OR query set, negative = term
+    'merge', negative_boost = 0.5 — negative-matching docs keep HALF
+    their positive score (demoted, not excluded; contrast must_not)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return query.search_boosting(d, q, ["merge"], negative_boost=0.5, k=10)
+
+
+def explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES explain API: per-term BM25 breakdown (tf, df, idf, saturated
+    contribution) for each query's top-1 document."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return query.explain_scores(d, q)
+
+
 def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_phrase (slop=0) over positional postings: the parallel
     `poss` VByte stream stores 0-based token positions; a doc matches
@@ -1147,6 +1178,9 @@ SUITE = {
     "bm25_topk_title": bm25_topk_title,
     "multifield_most_topk": multifield_most_topk,
     "multifield_best_topk": multifield_best_topk,
+    "dismax_topk": dismax_topk,
+    "boosting_topk": boosting_topk,
+    "explain_scores": explain_scores,
     "phrase_topk": phrase_topk,
     "phrase_near_topk": phrase_near_topk,
     "phrase_prefix_topk": phrase_prefix_topk,
