@@ -23,7 +23,7 @@ Scale notes (the 100TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mario_spark.analyze import tokenize_udf
@@ -479,3 +479,55 @@ def ngram_jaccard_pairs(
     )
     g = grams.withColumnRenamed("gram", "term")
     return _verify_jaccard(g, cand, threshold)
+
+
+# ------------------------------------------------------------ URL dedup
+def url_canonical_expr(url_col):
+    """URL canonicalization for web-corpus dedup (the Common-Crawl
+    preprocessing step before any content hashing): lowercase
+    scheme+host, drop the port (synthetic corpus uses default ports
+    only), drop the fragment, drop utm_*/ref tracking params (other
+    params kept in original order), collapse a lone trailing slash,
+    empty path -> '/'. Pure codegen regex/array expressions — the same
+    patterns run verbatim as RE2 in the DuckDB oracle (common Java/RE2
+    subset: anchors, classes, optional groups)."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    proto = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/:?#]+)", 1))
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]*(/[^?#]*)?", 1)
+    path = F.when(
+        (path == "") | (path == "/"), F.lit("/")
+    ).otherwise(F.regexp_replace(path, r"/$", ""))
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    q2 = F.array_join(
+        F.filter(
+            F.split(q, "&"),
+            lambda x: ~(x.startswith("utm_") | x.startswith("ref=")),
+        ),
+        "&",
+    )
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+
+
+def url_dedup(documents_with_url: DataFrame) -> DataFrame:
+    """URL-based dedup: -> (doc_id, canon_url, keeper_doc_id,
+    group_size). Keeper = min doc_id per canonical URL. The group
+    window partitions by the canonical key (parallel; at 100TB swap
+    the raw canon string for md5(canon) as the shuffle key, exactly
+    like exact_dedup_groups shuffles digests, never text)."""
+    d = documents_with_url.withColumn(
+        "canon_url", url_canonical_expr("url")
+    )
+    w = Window.partitionBy("canon_url")
+    return d.select(
+        "doc_id",
+        "canon_url",
+        F.min("doc_id").over(w).alias("keeper_doc_id"),
+        F.count("*").over(w).cast("long").alias("group_size"),
+    )

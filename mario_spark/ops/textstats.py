@@ -9,6 +9,7 @@ suite.token_count_bpe.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,6 +83,64 @@ def quality_score(documents: DataFrame) -> DataFrame:
         stop.alias("stop_ratio"),
         wlen.alias("mean_wlen"),
         F.round(q, 4).alias("quality"),
+    )
+
+
+def py_repetition(text: str | None) -> tuple[float, float, float]:
+    """Pure twin of repetition_udf (oracle for unit tests).
+    Rounding is HALF-UP (floor(x*1e6 + 0.5) / 1e6) to match Spark's
+    F.round and DuckDB's round — Python's built-in round is banker's
+    and CAN differ on exact 7-decimal ties (e.g. k/1280 token counts)."""
+    import math
+
+    from collections import Counter
+
+    from mario_spark.analyze import py_tokenize
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    toks = py_tokenize(text)
+    n = len(toks)
+    if n == 0:
+        return (0.0, 0.0, 0.0)
+    ttr = r6(len(set(toks)) / n)
+    tb = 0.0
+    if n >= 2:
+        c2 = Counter(zip(toks, toks[1:]))
+        tb = r6(max(c2.values()) * 2.0 / n)
+    dt = 0.0
+    if n >= 3:
+        c3 = Counter(zip(toks, toks[1:], toks[2:]))
+        dup = sum(v for v in c3.values() if v > 1)
+        dt = r6(dup * 3.0 / n)
+    return (tb, dt, ttr)
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), adapted
+    to word n-grams (the synthetic corpus has no line structure):
+    -> (doc_id, top_bigram_frac, dup_trigram_frac, ttr) where
+      top_bigram_frac  = 2 * count(most frequent word 2-gram) / n_tokens
+      dup_trigram_frac = 3 * Σ counts of word 3-grams occurring >1 / n_tokens
+      ttr              = distinct tokens / n_tokens (type-token ratio)
+
+    This op is a fused per-doc pandas UDF, NOT a gram explode: per-doc
+    n-gram counting needs no cross-doc state, so exploding (doc, gram)
+    rows through a hash shuffle (O(corpus tokens) shuffle bytes at
+    100TB) would be pure waste — the same rationale as
+    analyze.tokenize_count_udf. One Arrow round-trip, O(n) per doc."""
+    @F.pandas_udf(
+        "top_bigram_frac double, dup_trigram_frac double, ttr double"
+    )
+    def rep_udf(s: pd.Series) -> pd.DataFrame:
+        rows = [py_repetition(v) for v in s]
+        return pd.DataFrame(
+            rows, columns=["top_bigram_frac", "dup_trigram_frac", "ttr"]
+        )
+
+    return documents.select("doc_id", rep_udf("text").alias("r")).select(
+        "doc_id", "r.*"
     )
 
 

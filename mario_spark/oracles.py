@@ -738,6 +738,76 @@ SELECT lang AS key, count(*)::BIGINT AS count,
 FROM documents GROUP BY 1
 """
 
+REPETITION_STATS = f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+nn AS (SELECT doc_id, len(arr) AS n, len(list_distinct(arr)) AS nd FROM docs_t),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i] || ' ' || arr[i + 1])) AS g
+  FROM docs_t WHERE len(arr) >= 2
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+top2 AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY 1),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - 2),
+                 i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])) AS g
+  FROM docs_t WHERE len(arr) >= 3
+),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+dup3 AS (SELECT doc_id, sum(c) AS sc FROM tgc WHERE c > 1 GROUP BY 1)
+SELECT nn.doc_id,
+       CASE WHEN nn.n = 0 THEN 0.0
+            ELSE round(coalesce(top2.mc, 0) * 2.0 / nn.n, 6) END AS top_bigram_frac,
+       CASE WHEN nn.n = 0 THEN 0.0
+            ELSE round(coalesce(dup3.sc, 0) * 3.0 / nn.n, 6) END AS dup_trigram_frac,
+       CASE WHEN nn.n = 0 THEN 0.0
+            ELSE round(nn.nd * 1.0 / nn.n, 6) END AS ttr
+FROM nn
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+"""
+
+URL_DEDUP = r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN printf('https://example.com/page/%d', doc_id // 4)
+      WHEN 1 THEN printf('HTTPS://EXAMPLE.COM/page/%d', doc_id // 4)
+      WHEN 2 THEN printf('https://example.com:443/page/%d/', doc_id // 4)
+      ELSE printf('https://example.com/page/%d?utm_source=feed&ref=x#frag', doc_id // 4)
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)?', 1) AS p,
+         coalesce(array_to_string(
+           list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                       x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'ref='))),
+           '&'), '') AS q2
+  FROM d
+),
+c AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) ||
+         (CASE WHEN p IN ('', '/') THEN '/' ELSE regexp_replace(p, '/$', '') END) ||
+         (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon_url
+  FROM parts
+)
+SELECT doc_id, canon_url,
+       min(doc_id) OVER (PARTITION BY canon_url) AS keeper_doc_id,
+       (count(*) OVER (PARTITION BY canon_url))::BIGINT AS group_size
+FROM c
+"""
+
+
 def _boosting_oracle(
     negative_terms: list[str] | None = None,
     negative_boost: float = 0.5,
@@ -1763,6 +1833,8 @@ ORACLES: dict[str, str] = {
     "agg_date_histogram": AGG_DATE_HISTOGRAM,
     "query_string_topk": _qs_oracle(),
     "term_suggest": _term_suggest_oracle(),
+    "repetition_stats": REPETITION_STATS,
+    "url_dedup": URL_DEDUP,
     "agg_histogram_nchars": AGG_HISTOGRAM_NCHARS,
     "agg_extended_stats": AGG_EXTENDED_STATS,
     "agg_filters": AGG_FILTERS,

@@ -760,6 +760,40 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.clean_corpus(_documents(spark, sf_dir))
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over word n-grams: fraction of
+    tokens in the most frequent bigram, fraction in duplicated
+    trigrams, type-token ratio. Fused per-doc pandas UDF — no gram
+    explode crosses a shuffle."""
+    from mario_spark.ops import textstats
+
+    return textstats.repetition_stats(_documents(spark, sf_dir))
+
+
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (Common-Crawl preprocessing): four
+    dirty variants per base URL are synthesized deterministically
+    (doc_id//4 groups: case-variant host, default port + trailing
+    slash, utm/ref params + fragment); canonicalization maps all four
+    to one key; keeper = min doc_id per canonical URL."""
+    from mario_spark.ops import dedup
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    base = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.format_string("https://example.com/page/%d", base))
+        .when(v == 1, F.format_string("HTTPS://EXAMPLE.COM/page/%d", base))
+        .when(v == 2, F.format_string("https://example.com:443/page/%d/", base))
+        .otherwise(
+            F.format_string(
+                "https://example.com/page/%d?utm_source=feed&ref=x#frag", base
+            )
+        )
+    )
+    return dedup.url_dedup(d.withColumn("url", url))
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -1191,6 +1225,8 @@ SUITE = {
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_decontaminate": ngram_decontaminate,
+    "repetition_stats": repetition_stats,
+    "url_dedup": url_dedup,
     "clean_corpus": clean_corpus,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
