@@ -165,6 +165,9 @@ def main() -> None:
         "phrase_prefix_topk",
         "more_like_this_topk",
         "agg_cardinality_users",
+        "query_string_topk",
+        "url_dedup",
+        "repetition_stats",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())

@@ -112,6 +112,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("merge")
     p.add_argument("-i", "--index", required=True)
 
+    p = sub.add_parser("delete-by-query")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument(
+        "terms", nargs="+",
+        help="docs containing ANY of these terms are tombstoned "
+        "(purged physically at the next merge)",
+    )
+
     args = ap.parse_args(argv)
     spark = _spark(args)
     cat = _catalog(spark, args)
@@ -189,6 +197,12 @@ def main(argv: list[str] | None = None) -> int:
 
         seg = compact_segments(cat.resolve(args.index))
         print(json.dumps({"merged_into": seg}))
+    elif args.cmd == "delete-by-query":
+        from mario_spark.analyze import py_tokenize
+
+        idx = cat.resolve(args.index)
+        terms = [t for raw in args.terms for t in py_tokenize(raw)]
+        print(json.dumps(idx.delete_by_query(terms)))
     return 0
 
 

@@ -198,6 +198,7 @@ def _search_expansion(
     k: int,
     k1: float,
     b: float,
+    deleted=None,
 ) -> DataFrame:
     """Shared multi-term tail: collect the (tiny) expansion, score it
     as a disjunction with per-variant idf via the WAND kernel
@@ -211,7 +212,8 @@ def _search_expansion(
         idf_map[r["term"]] = _idf(nd, float(r["df"]))
     queries = sorted((qid, sorted(ts)) for qid, ts in qmap.items())
     return _run_kernel(
-        postings, queries, idf_map, float(avgdl), k, k1, b, conjunctive=False
+        postings, queries, idf_map, float(avgdl), k, k1, b,
+        conjunctive=False, deleted=deleted,
     )
 
 
@@ -226,12 +228,15 @@ def search_fuzzy(
     prefix_length: int = 1,
     k1: float = K1,
     b: float = B,
+    deleted=None,
 ) -> DataFrame:
     """Fuzzy BM25 top-k: expansion join (one dictionary pass) ->
     standard WAND kernel over the expanded disjunction. Returns
     (query_id, rank, doc_id, score) like search_wand."""
     exp = expand_terms(dictionary, query_terms, max_edits, prefix_length)
-    return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)
+    return _search_expansion(
+        postings, exp, n_docs, avgdl, k, k1, b, deleted=deleted
+    )
 
 
 def search_prefix(
@@ -243,11 +248,14 @@ def search_prefix(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    deleted=None,
 ) -> DataFrame:
     """ES prefix query, scored as a disjunction (rewrite=
     scoring_boolean) over the matching dictionary terms."""
     exp = expand_prefix(dictionary, query_terms)
-    return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)
+    return _search_expansion(
+        postings, exp, n_docs, avgdl, k, k1, b, deleted=deleted
+    )
 
 
 def search_regexp(
@@ -259,11 +267,14 @@ def search_regexp(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    deleted=None,
 ) -> DataFrame:
     """ES regexp query (whole-term anchored patterns), scored as a
     disjunction over the matching dictionary terms."""
     exp = expand_regexp(dictionary, query_terms)
-    return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)
+    return _search_expansion(
+        postings, exp, n_docs, avgdl, k, k1, b, deleted=deleted
+    )
 
 
 def search_wildcard(
@@ -275,8 +286,11 @@ def search_wildcard(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    deleted=None,
 ) -> DataFrame:
     """ES wildcard query (whole-term * / ? patterns), scored as a
     disjunction over the matching dictionary terms."""
     exp = expand_wildcard(dictionary, query_terms)
-    return _search_expansion(postings, exp, n_docs, avgdl, k, k1, b)
+    return _search_expansion(
+        postings, exp, n_docs, avgdl, k, k1, b, deleted=deleted
+    )

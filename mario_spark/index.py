@@ -130,6 +130,13 @@ class IndexPaths:
     def manifest(self, seg_id: int) -> str:
         return os.path.join(self.base, "manifest", f"{seg_id:05d}.parquet")
 
+    @property
+    def deletes_marker(self) -> str:
+        return os.path.join(self.base, "_deletes.json")
+
+    def delete_gen(self, gen: int) -> str:
+        return os.path.join(self.base, "deletes", f"{gen:05d}.parquet")
+
     def committed_segments(self) -> list[int]:
         segdir = os.path.join(self.base, "segments")
         if not os.path.isdir(segdir):
@@ -428,11 +435,78 @@ class Index:
             m = _read_json(self.paths.seg_meta(seg)) or {}
             n += m.get("n_docs", 0)
             s += m.get("sum_len", 0)
+        dels = _read_json(self.paths.deletes_marker) or {}
         return {
             "n_docs": n,
             "avgdl": (s / n) if n else 0.0,
             "segments": len(self.paths.committed_segments()),
+            "n_deleted": int(dels.get("n_deleted", 0)),
         }
+
+    # ----------------------------------------------------------- deletes
+    def delete_by_query(self, terms: list[str]) -> dict:
+        """ES _delete_by_query with a terms query: tombstone every doc
+        containing ANY of `terms` (analyzed form). Lucene live-docs
+        semantics — tombstoned docs vanish from results immediately,
+        while collection stats (idf/avgdl) stay stale until a
+        compaction purges them (exactly what ES does between a
+        delete-by-query and the next segment merge).
+
+        Commit protocol: the new generation's doc_id parquet is written
+        first (invisible), then ONE _deletes.json commit makes it live —
+        same atomicity primitive as segment commits. Matching doc ids
+        come from decoding only the queried terms' posting blocks (a
+        term-pruned scan, never a corpus scan)."""
+        from mario_spark.merge import decode_to_tf_rows
+
+        meta = _read_json(self.paths.meta) or {}
+        if meta.get("fields"):
+            raise ValueError(
+                "delete_by_query over field-scoped indexes is not wired yet"
+            )
+        marker = _read_json(self.paths.deletes_marker) or {
+            "generations": [],
+            "n_deleted": 0,
+        }
+        gen = (max(marker["generations"]) + 1) if marker["generations"] else 0
+        hits = (
+            decode_to_tf_rows(
+                self.postings().filter(F.col("term").isin(list(terms)))
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        prev = self.deleted_ids()
+        if prev is not None:
+            hits = hits.join(prev, "doc_id", "left_anti")
+        hits.write.mode("overwrite").parquet(self.paths.delete_gen(gen))
+        n_new = self.spark.read.parquet(self.paths.delete_gen(gen)).count()
+        marker["generations"].append(gen)
+        marker["n_deleted"] = int(marker["n_deleted"]) + int(n_new)
+        _atomic_write_json(self.paths.deletes_marker, marker)
+        return {"deleted": int(n_new), "total_deleted": marker["n_deleted"]}
+
+    def deleted_ids(self) -> DataFrame | None:
+        """Union of committed tombstone generations, or None."""
+        marker = _read_json(self.paths.deletes_marker)
+        if not marker or not marker.get("generations"):
+            return None
+        return self.spark.read.parquet(
+            *[self.paths.delete_gen(g) for g in marker["generations"]]
+        ).select("doc_id").distinct()
+
+    def clear_deletes(self) -> None:
+        """Retire all tombstones (called after a purging compaction):
+        ONE marker commit first, then the now-unreferenced gen files."""
+        marker = _read_json(self.paths.deletes_marker)
+        if not marker:
+            return
+        gens = marker.get("generations", [])
+        _atomic_write_json(
+            self.paths.deletes_marker, {"generations": [], "n_deleted": 0}
+        )
+        for g in gens:
+            shutil.rmtree(self.paths.delete_gen(g), ignore_errors=True)
 
     # ------------------------------------------------------------- query
     def search(self, query_terms: DataFrame, k: int = 10) -> DataFrame:
@@ -446,6 +520,7 @@ class Index:
         return search_wand(
             self.postings(), self.dictionary(), query_terms,
             st["n_docs"], st["avgdl"], k=k,
+            deleted_docs=self.deleted_ids(),
         )
 
     def search_multiterm(
@@ -475,23 +550,27 @@ class Index:
         qdf = self.spark.createDataFrame(
             list(queries), "query_id long, term string"
         )
+        from mario_spark.phrase import _collect_deleted
+
+        dele = _collect_deleted(self.deleted_ids())
         fns = {
             "fuzzy": lambda: fuzzymod.search_fuzzy(
                 self.postings(), self.dictionary(), qdf,
                 st["n_docs"], st["avgdl"], k=k,
                 max_edits=max_edits, prefix_length=prefix_length,
+                deleted=dele,
             ),
             "prefix": lambda: fuzzymod.search_prefix(
                 self.postings(), self.dictionary(), qdf,
-                st["n_docs"], st["avgdl"], k=k,
+                st["n_docs"], st["avgdl"], k=k, deleted=dele,
             ),
             "wildcard": lambda: fuzzymod.search_wildcard(
                 self.postings(), self.dictionary(), qdf,
-                st["n_docs"], st["avgdl"], k=k,
+                st["n_docs"], st["avgdl"], k=k, deleted=dele,
             ),
             "regexp": lambda: fuzzymod.search_regexp(
                 self.postings(), self.dictionary(), qdf,
-                st["n_docs"], st["avgdl"], k=k,
+                st["n_docs"], st["avgdl"], k=k, deleted=dele,
             ),
         }
         if kind not in fns:
@@ -566,6 +645,7 @@ class Index:
         return search_phrase(
             self.postings(), self.dictionary(), queries,
             st["n_docs"], st["avgdl"], k=k,
+            deleted_docs=self.deleted_ids(),
         )
 
 

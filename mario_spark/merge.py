@@ -87,10 +87,23 @@ def decode_to_tf_rows(postings: DataFrame) -> DataFrame:
     return postings.mapInPandas(_decode_partition, schema)
 
 
-def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:
+def compact_segments(
+    index: Index,
+    seg_ids: list[int] | None = None,
+    purge_deletes: bool = True,
+) -> int:
     """Rewrite the given (default: all) committed segments into one new
     segment. Returns the new segment id. Query results are unchanged
-    (tests assert rank identity before/after)."""
+    (tests assert rank identity before/after).
+
+    purge_deletes=True (the Lucene merge contract) physically drops
+    tombstoned docs while rewriting: tf rows and the docs table
+    anti-join the tombstone set, the dictionary and collection stats
+    are RECOMPUTED from the surviving rows (df shrinks — queries after
+    the purge score exactly as a fresh build over the survivors), and
+    the tombstones are retired after the segment commit. Only applies
+    when ALL committed segments compact together (a partial compaction
+    cannot retire a tombstone that may hit other segments)."""
     p = index.paths
     committed = p.committed_segments()
     seg_ids = sorted(seg_ids if seg_ids is not None else committed)
@@ -99,6 +112,13 @@ def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:
     meta = _read_json(p.meta)
     rw = meta["range_width"]
     new_id = max(committed) + 1
+
+    deleted = index.deleted_ids() if purge_deletes else None
+    if deleted is not None and set(seg_ids) != set(committed):
+        raise ValueError(
+            "purging compaction must include every committed segment; "
+            "pass purge_deletes=False for a partial compaction"
+        )
 
     sp = index.spark
     post = sp.read.parquet(*[os.path.join(p.seg(s), "postings") for s in seg_ids])
@@ -110,6 +130,19 @@ def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:
     )
 
     tf_rows = decode_to_tf_rows(post)
+    purged_stats: dict | None = None
+    if deleted is not None:
+        tf_rows = tf_rows.join(F.broadcast(deleted), "doc_id", "left_anti")
+        docs = docs.join(F.broadcast(deleted), "doc_id", "left_anti")
+        # df changed: recompute the dictionary from surviving rows
+        dic = tf_rows.groupBy("term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        row = docs.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        purged_stats = {"n_docs": int(row["n"]), "sum_len": int(row["s"])}
     merged = encode_tf_rows(tf_rows, rw)
 
     seg_dir = p.seg(new_id)
@@ -118,17 +151,43 @@ def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:
     dic.write.mode("overwrite").parquet(os.path.join(seg_dir, "dictionary"))
     docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
 
-    # consolidated manifest + stats for the new segment
+    # consolidated manifest + stats for the new segment. A purging
+    # compaction changed the physical blocks, so its manifest is
+    # re-derived from the WRITTEN postings (read back from the new
+    # segment — one columnar scan of tiny metadata columns), not summed
+    # from the now-stale source manifests.
     mans = [_read_json(p.seg_meta(s)) for s in seg_ids]
     os.makedirs(os.path.join(p.base, "manifest"), exist_ok=True)
-    (
-        sp.read.parquet(*[p.manifest(s) for s in seg_ids if os.path.exists(p.manifest(s))])
-        .groupBy("dbucket")
-        .agg(
-            F.sum("postings").alias("postings"),
-            F.sum("blocks").alias("blocks"),
-            F.sum("payload_bytes").alias("payload_bytes"),
+    if purged_stats is not None:
+        man_src = (
+            sp.read.parquet(os.path.join(seg_dir, "postings"))
+            .groupBy("dbucket")
+            .agg(
+                F.sum("n").cast("long").alias("postings"),
+                F.count("*").cast("long").alias("blocks"),
+                (
+                    F.sum(F.octet_length("doc_ids"))
+                    + F.sum(F.octet_length("tfs"))
+                    + F.sum(F.octet_length("lens"))
+                )
+                .cast("long")
+                .alias("payload_bytes"),
+            )
         )
+    else:
+        man_src = (
+            sp.read.parquet(
+                *[p.manifest(s) for s in seg_ids if os.path.exists(p.manifest(s))]
+            )
+            .groupBy("dbucket")
+            .agg(
+                F.sum("postings").alias("postings"),
+                F.sum("blocks").alias("blocks"),
+                F.sum("payload_bytes").alias("payload_bytes"),
+            )
+        )
+    (
+        man_src
         .withColumn("segment", F.lit(new_id))
         .withColumn("doc_lo", F.lit(min(m["doc_lo"] for m in mans)).cast("long"))
         .withColumn("doc_hi", F.lit(max(m["doc_hi"] for m in mans)).cast("long"))
@@ -138,8 +197,16 @@ def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:
     # commit point (field stats stay additive across doc-disjoint segs)
     marker = {
         "status": "committed",
-        "n_docs": sum(m["n_docs"] for m in mans),
-        "sum_len": sum(m["sum_len"] for m in mans),
+        "n_docs": (
+            purged_stats["n_docs"]
+            if purged_stats is not None
+            else sum(m["n_docs"] for m in mans)
+        ),
+        "sum_len": (
+            purged_stats["sum_len"]
+            if purged_stats is not None
+            else sum(m["sum_len"] for m in mans)
+        ),
         "doc_lo": min(m["doc_lo"] for m in mans),
         "doc_hi": max(m["doc_hi"] for m in mans),
         "merged_from": seg_ids,
@@ -160,4 +227,6 @@ def compact_segments(index: Index, seg_ids: list[int] | None = None) -> int:
         shutil.rmtree(p.seg(s), ignore_errors=True)
         if os.path.exists(p.manifest(s)):
             shutil.rmtree(p.manifest(s), ignore_errors=True)
+    if deleted is not None:
+        index.clear_deletes()
     return new_id

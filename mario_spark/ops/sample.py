@@ -1,0 +1,101 @@
+"""Corpus shaping for training-data pipelines: deterministic
+stratified sampling and GPT-style sequence packing.
+
+Both are the last-mile ops between a cleaned corpus (ops.pipeline) and
+a tokenized training run:
+
+- stratified_sample: per-stratum (e.g. per-language) Bernoulli sampling
+  with a DETERMINISTIC hash coin — u = first 13 hex chars of
+  md5(doc_id) / 16^13, keep iff u < rate(stratum). Deterministic means
+  reproducible runs, engine-portable oracles, and — crucial at 100TB —
+  a pure map-side filter: no RNG state, no shuffle, pushes right after
+  the scan.
+- pack_sequences: the document-concatenation packing GPT-style
+  pretraining uses — docs are laid head-to-tail per shard in doc_id
+  order and the byte stream is cut every `seq_len` tokens; a doc's
+  chunk is floor(start_offset / seq_len). One running-sum window per
+  shard (shard = doc_id % n_shards), parallel across shards — never a
+  global sort. Token counts use the same BPE-ish JVM regexp as
+  suite.token_count_bpe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^13 = 2^52: largest power of 16 exactly representable in a double
+# (same constant as ops.aggs.cardinality_kmv)
+_DENOM = float(16**13)
+
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def hash_unit(col):
+    """Deterministic u in [0, 1) from any column (md5-based)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(
+            F.substring(F.md5(F.encode(c.cast("string"), "utf-8")), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        / _DENOM
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """-> (doc_id, stratum, u) for kept docs. rates maps stratum value
+    -> keep probability; unlisted strata use default_rate. The filter
+    is a pure projection predicate (codegen, zero shuffle), so at 100TB
+    it fuses into the scan."""
+    u = hash_unit("doc_id")
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return (
+        documents.select(
+            "doc_id",
+            F.col(stratum_col).alias("stratum"),
+            F.round(u, 8).alias("u"),
+            rate.alias("_rate"),
+        )
+        .filter(F.col("u") < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, seq_len: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """-> (doc_id, shard, n_tokens, start_offset, chunk_id): the
+    concat-then-chunk layout of GPT-style pretraining. Within a shard,
+    docs concatenate in doc_id order; start_offset is the running token
+    sum before the doc; chunk_id = start_offset // seq_len (the
+    training sequence whose window the doc starts in)."""
+    toks = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), F.lit(0))
+    ).cast("long")
+    d = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).cast("long").alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / seq_len).cast("long").alias("chunk_id"),
+    )

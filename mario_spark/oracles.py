@@ -808,6 +808,37 @@ FROM c
 """
 
 
+STRATIFIED_SAMPLE = """
+WITH s AS (
+  SELECT doc_id, lang AS stratum,
+         round((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT)::DOUBLE
+               / 4503599627370496.0, 8) AS u,
+         CASE WHEN lang = 'en' THEN 0.5
+              WHEN lang = 'de' THEN 0.25
+              ELSE 0.1 END AS rate
+  FROM documents
+)
+SELECT doc_id, stratum, u FROM s WHERE u < rate
+"""
+
+PACK_SEQUENCES = r"""
+WITH d AS (
+  SELECT doc_id, (doc_id % 8)::BIGINT AS shard,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_offset
+  FROM d
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       (start_offset // 2048)::BIGINT AS chunk_id
+FROM c
+"""
+
+
 def _boosting_oracle(
     negative_terms: list[str] | None = None,
     negative_boost: float = 0.5,
@@ -1835,6 +1866,8 @@ ORACLES: dict[str, str] = {
     "term_suggest": _term_suggest_oracle(),
     "repetition_stats": REPETITION_STATS,
     "url_dedup": URL_DEDUP,
+    "stratified_sample": STRATIFIED_SAMPLE,
+    "pack_sequences": PACK_SEQUENCES,
     "agg_histogram_nchars": AGG_HISTOGRAM_NCHARS,
     "agg_extended_stats": AGG_EXTENDED_STATS,
     "agg_filters": AGG_FILTERS,

@@ -121,6 +121,18 @@ def _chain_match_count(
     return int(np.count_nonzero(alive & win))
 
 
+def _collect_deleted(deleted_docs) -> np.ndarray | None:
+    """DataFrame of tombstoned doc_ids -> sorted unique np array (or
+    None); rides in the task closure like the WAND kernel's set."""
+    if deleted_docs is None:
+        return None
+    arr = np.array(
+        [r["doc_id"] for r in deleted_docs.select("doc_id").collect()],
+        dtype=np.int64,
+    )
+    return np.unique(arr) if arr.size else None
+
+
 def _phrase_kernel(
     pdf: pd.DataFrame,
     queries: list[tuple[int, list[str]]],
@@ -130,8 +142,12 @@ def _phrase_kernel(
     k1: float,
     b: float,
     slop: int = 0,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """Score every phrase query against one dbucket."""
+    """Score every phrase query against one dbucket. `deleted` =
+    global tombstone set (sorted unique) — masked out of the candidate
+    intersection BEFORE local top-k, so a tombstoned doc is replaced by
+    the next-best, never just dropped from the page."""
     tds: dict[str, _PosTermData] = {
         t: _PosTermData(g.sort_values("block_id"))
         for t, g in pdf.groupby("term", sort=False)
@@ -150,6 +166,10 @@ def _phrase_kernel(
                 break
         if cand.size == 0:
             continue
+        if deleted is not None and cand.size:
+            cand = cand[~np.isin(cand, deleted, assume_unique=True)]
+            if cand.size == 0:
+                continue
         sum_idf = sum(idf_map[t] for t in qterms)
         rows_per_term = [
             np.searchsorted(td.ids, cand) for td in term_tds
@@ -201,6 +221,7 @@ def _phrase_prefix_kernel(
     k: int,
     k1: float,
     b: float,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score match_phrase_prefix queries against one dbucket. Each
     query is (qid, fixed_terms, expansion_terms, sum_idf): a doc
@@ -229,6 +250,8 @@ def _phrase_prefix_kernel(
             continue
         exp_union = np.unique(np.concatenate([td.ids for td in exp_tds]))
         cand = cand[np.isin(cand, exp_union, assume_unique=True)]
+        if deleted is not None and cand.size:
+            cand = cand[~np.isin(cand, deleted, assume_unique=True)]
         if cand.size == 0:
             continue
         rows_fixed = [np.searchsorted(td.ids, cand) for td in fixed_tds]
@@ -357,8 +380,13 @@ def search_phrase(
     k1: float = K1,
     b: float = B,
     slop: int = 0,
+    deleted_docs: DataFrame | None = None,
 ) -> DataFrame:
     """positional postings x phrases -> (query_id, rank, doc_id, score).
+
+    deleted_docs = tombstoned doc ids (Index delete-by-query), applied
+    with Lucene live-docs semantics (excluded from results, stats
+    stale until compaction).
 
     `phrase_queries` is [(query_id, [ordered terms])]; terms must be in
     analyzer-output form (use analyze.py_tokenize on raw text). Plan is
@@ -382,9 +410,12 @@ def search_phrase(
     ]
     cand = postings.filter(F.col("term").isin(terms))
     ad = float(avgdl)
+    deleted = _collect_deleted(deleted_docs)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _phrase_kernel(pdf, queries, idf_map, ad, k, k1, b, slop)
+        return _phrase_kernel(
+            pdf, queries, idf_map, ad, k, k1, b, slop, deleted
+        )
 
     local = cand.groupBy("dbucket").applyInPandas(
         kernel, "query_id long, doc_id long, score double"

@@ -794,6 +794,28 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.url_dedup(d.withColumn("url", url))
 
 
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (per-lang rates en=0.5,
+    de=0.25, default 0.1): md5-hash Bernoulli coin, pure map-side
+    filter — reproducible across runs and engines."""
+    from mario_spark.ops import sample
+
+    return sample.stratified_sample(
+        _documents(spark, sf_dir), "lang", {"en": 0.5, "de": 0.25}, 0.1
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concat docs per shard in doc_id
+    order, cut every 2048 BPE-ish tokens; one running-sum window per
+    shard (parallel, never global)."""
+    from mario_spark.ops import sample
+
+    return sample.pack_sequences(
+        _documents(spark, sf_dir), seq_len=2048, n_shards=8
+    )
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -1227,6 +1249,8 @@ SUITE = {
     "ngram_decontaminate": ngram_decontaminate,
     "repetition_stats": repetition_stats,
     "url_dedup": url_dedup,
+    "stratified_sample": stratified_sample,
+    "pack_sequences": pack_sequences,
     "clean_corpus": clean_corpus,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_pairs": ann_lsh_pairs,

@@ -173,8 +173,15 @@ def _bucket_kernel(
     conjunctive: bool = False,
     must_not: dict[int, list[str]] | None = None,
     msm: int = 1,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score every query against one dbucket's candidate blocks.
+
+    deleted = GLOBAL tombstone set (sorted unique doc ids): Lucene live-
+    docs semantics — deleted docs never surface, but collection stats
+    (idf/avgdl) intentionally still include them until a compaction
+    purges the postings (exactly ES/Lucene behavior between a
+    delete-by-query and the next merge).
 
     must_not = ES bool.must_not (FILTER context: excluded docs never
     score, excluded terms never contribute). All of a doc's postings
@@ -198,9 +205,12 @@ def _bucket_kernel(
     def _excl_ids(qid: int) -> np.ndarray | None:
         nts = [t for t in must_not.get(qid, []) if t in tds]
         if not nts:
-            return None
+            return deleted
         parts = [tds[t].full()[0] for t in nts]
-        return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        e = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        # union1d keeps the sorted-unique contract isin(assume_unique)
+        # relies on
+        return e if deleted is None else np.union1d(e, deleted)
 
     out_q, out_d, out_s = [], [], []
     for qid, qterms in queries:
@@ -296,9 +306,13 @@ def _run_kernel(
     conjunctive: bool,
     must_not: dict[int, list[str]] | None = None,
     msm: int = 1,
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """Shared execution tail: term-pruned scan -> per-dbucket kernel ->
-    per-query rank window over the tiny candidate union."""
+    per-query rank window over the tiny candidate union. `deleted`
+    rides in the task closure (at 100TB ship it as a broadcast roaring
+    bitmap partitioned by dbucket; the sorted-array form keeps the
+    sandbox kernel numpy-pure)."""
     terms = sorted({t for _, ts in queries for t in ts if t in idf_map})
     # must_not terms ride along in the pruned scan (their ids are the
     # exclusion sets) but never contribute score
@@ -309,7 +323,8 @@ def _run_kernel(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _bucket_kernel(
-            pdf, queries, idf_map, avgdl, k, k1, b, conjunctive, must_not, msm
+            pdf, queries, idf_map, avgdl, k, k1, b, conjunctive, must_not,
+            msm, deleted,
         )
 
     local = cand.groupBy("dbucket").applyInPandas(
@@ -336,8 +351,13 @@ def search_wand(
     conjunctive: bool = False,
     must_not_terms: DataFrame | None = None,
     min_should_match: int = 1,
+    deleted_docs: DataFrame | None = None,
 ) -> DataFrame:
     """postings x (query_id, term) -> (query_id, rank, doc_id, score).
+
+    deleted_docs = tombstoned doc ids (Index delete-by-query): excluded
+    from every query's results; stats stay stale until compaction, the
+    Lucene live-docs contract.
 
     conjunctive=True = ES bool-must: rarest-first sorted intersection
     per bucket (and whole-bucket skip when any term is absent there).
@@ -373,9 +393,16 @@ def search_wand(
     df_rows = dictionary.filter(F.col("term").isin(terms)).collect()
     nd, ad = float(n_docs), float(avgdl)
     idf_map = {r["term"]: _idf(nd, float(r["df"])) for r in df_rows}
+    deleted = None
+    if deleted_docs is not None:
+        arr = np.array(
+            [r["doc_id"] for r in deleted_docs.select("doc_id").collect()],
+            dtype=np.int64,
+        )
+        deleted = np.unique(arr) if arr.size else None
     return _run_kernel(
         postings, queries, idf_map, ad, k, k1, b, conjunctive,
-        must_not, min_should_match,
+        must_not, min_should_match, deleted,
     )
 
 

@@ -1,0 +1,98 @@
+"""Delete-by-query tombstones + purging compaction (Lucene live-docs
+semantics): deleted docs vanish from results immediately while stats
+stay stale; a purging compaction physically drops them, recomputes
+df/n_docs/avgdl, and retires the tombstones."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mario_spark import query
+from mario_spark.docs import build_doc_table
+from mario_spark.fixtures import (
+    make_pages_query_set,
+    pages_df,
+    query_terms_df,
+)
+from mario_spark.index import Catalog
+from mario_spark.merge import compact_segments, decode_to_tf_rows
+
+
+def _canon(df):
+    return df.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "catalog")
+
+
+def test_delete_by_query_then_purge(spark, root):
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 600, seed=5, partitions=4)
+    idx = cat.create("pages-2026-01-01t00-00-00z")
+    idx.ingest(pages, segment_docs=256)
+    q = query_terms_df(spark, make_pages_query_set(seed=5, n=8))
+
+    res = idx.delete_by_query(["crawl"])
+    assert res["deleted"] > 0
+    deleted = {r["doc_id"] for r in idx.deleted_ids().collect()}
+    assert idx.stats()["n_deleted"] == len(deleted)
+
+    # idempotent: the same query tombstones nothing new
+    assert idx.delete_by_query(["crawl"])["deleted"] == 0
+
+    # Lucene contract: results = stale-stats exhaustive ranking with
+    # tombstoned docs removed and ranks recomputed
+    d = build_doc_table(pages).persist()
+    full = (
+        query.search_exhaustive(d, q, k=600)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    exp = full[~full["doc_id"].isin(deleted)].copy()
+    exp["rank"] = exp.groupby("query_id").cumcount() + 1
+    exp = exp[exp["rank"] <= 10].reset_index(drop=True)
+    got = _canon(idx.search(q, k=10))
+    pd.testing.assert_frame_equal(
+        got,
+        exp[["query_id", "rank", "doc_id", "score"]].astype(got.dtypes),
+        check_exact=False,
+        atol=1e-9,
+    )
+    # and the tombstoned docs truly never surface
+    assert not set(got["doc_id"]).intersection(deleted)
+
+    # multi-term paths respect tombstones too: every 'crawl' doc is
+    # tombstoned, so a prefix query that expands only to 'crawl'
+    # returns nothing
+    assert idx.search_multiterm([(0, "craw")], kind="prefix").count() == 0
+
+    # ---- purging compaction
+    n_before = idx.stats()["n_docs"]
+    compact_segments(idx)  # purge_deletes=True
+    st = idx.stats()
+    assert st["n_deleted"] == 0
+    assert st["n_docs"] == n_before - len(deleted)
+    assert idx.deleted_ids() is None
+
+    # postings physically contain no tombstoned doc
+    live_ids = {
+        r["doc_id"]
+        for r in decode_to_tf_rows(idx.postings())
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert not live_ids.intersection(deleted)
+
+    # post-purge scoring == a fresh build over the survivors (df and
+    # collection stats recomputed, doc ids preserved)
+    d_surv = d.filter(~F.col("doc_id").isin(list(deleted))).persist()
+    want = _canon(query.search_exhaustive(d_surv, q, k=10))
+    got2 = _canon(idx.search(q, k=10))
+    pd.testing.assert_frame_equal(got2, want, check_exact=False, atol=1e-9)
+    d.unpersist()
+    d_surv.unpersist()

@@ -53,3 +53,74 @@ def test_events_windowed_streaming_matches_batch(spark, tmp_path):
     assert got["c"] == batch["c"] > 0
     assert got["s"] == batch["s"]
     assert abs(float(got["v"]) - float(batch["v"])) < 1e-6
+
+
+def test_streaming_ingest_foreachbatch(spark, tmp_path):
+    """Streaming INGEST: pages arrive as a file stream; foreachBatch
+    appends each micro-batch into a persistent Index (the 100TB
+    catch-up shape: availableNow + bounded batches + idempotent
+    per-segment commits). The drained streamed index must score
+    queries identically to a one-shot batch build over the same pages
+    (compared on (score, url) — doc ids legitimately differ because
+    each batch gets its own id block)."""
+    import pandas as pd
+
+    from mario_spark.fixtures import (
+        make_pages_query_set,
+        pages_df,
+        query_terms_df,
+    )
+    from mario_spark.index import Catalog
+
+    pages = pages_df(spark, 400, seed=7, partitions=4)
+    src = str(tmp_path / "pages_stream")
+    pages.write.parquet(src)
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    idx = cat.create("pages-2026-01-01t00-00-00z")
+
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+
+    def fb(batch_df, batch_id):
+        if batch_df.count():
+            idx.append(batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert idx.stats()["n_docs"] == 400
+    assert idx.stats()["segments"] >= 2  # really incremental
+
+    ref = cat.create("ref-2026-01-01t00-00-00z")
+    ref.ingest(pages)
+    qs = query_terms_df(spark, make_pages_query_set(seed=7, n=6))
+
+    def canon(ix):
+        # FULL ranking (k = corpus size): a top-10 cut can legitimately
+        # admit different members of an equal-score tie block because
+        # the tie-break is doc_id and the two indexes id docs
+        # differently; the full result set is id-independent
+        res = ix.search(qs, k=400)
+        urls = ix.docs().select("doc_id", "url")
+        return (
+            res.join(urls, "doc_id")
+            .select("query_id", "score", "url")
+            .toPandas()
+            .sort_values(
+                ["query_id", "score", "url"],
+                ascending=[True, False, True],
+                ignore_index=True,
+            )
+        )
+
+    pd.testing.assert_frame_equal(
+        canon(idx), canon(ref), check_exact=False, atol=1e-9
+    )
