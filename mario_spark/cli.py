@@ -102,10 +102,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--kind",
-        choices=["match", "fuzzy", "prefix", "wildcard", "regexp"],
+        choices=[
+            "match", "fuzzy", "prefix", "wildcard", "regexp", "query_string",
+        ],
         default="match",
         help="query kind; non-match kinds expand the raw pattern "
-        "against the term dictionary (ES fuzzy/prefix/wildcard/regexp)",
+        "against the term dictionary (ES fuzzy/prefix/wildcard/regexp); "
+        "query_string parses the full +must/-not/\"phrase\" mini-language "
+        "(needs an index ingested with --positions)",
     )
     p.add_argument("text", nargs="+")
 
@@ -177,6 +181,8 @@ def main(argv: list[str] | None = None) -> int:
         idx = cat.resolve(args.index)
         if args.phrase:
             res = idx.search_phrase([(0, " ".join(args.text))], k=args.k)
+        elif args.kind == "query_string":
+            res = idx.search_query_string([(0, " ".join(args.text))], k=args.k)
         elif args.kind != "match":
             res = idx.search_multiterm(
                 [(0, " ".join(args.text))], kind=args.kind, k=args.k

@@ -626,6 +626,31 @@ class Index:
             fst["n_docs"], fst["avgdl"], k=k, conjunctive=conjunctive,
         )
 
+    def search_query_string(
+        self, queries: list[tuple[int, str]], k: int = 10
+    ) -> DataFrame:
+        """Full query_string mini-language over a positions=True index
+        ([(query_id, raw query string)] — bare/+/-/"phrase" clauses):
+        term clauses read tf from the positional postings, phrase
+        clauses run the chain matcher, Lucene BooleanQuery matching
+        applies, tombstones are masked. Rank-identical to
+        qs.search_query_string over the raw pages (asserted in
+        tests)."""
+        from mario_spark.qs import search_query_string_indexed
+
+        meta = _read_json(self.paths.meta) or {}
+        if not meta.get("positions"):
+            raise ValueError(
+                f"index '{self.paths.name}' was built without positions; "
+                "query_string needs them for its phrase clauses"
+            )
+        st = self.stats()
+        return search_query_string_indexed(
+            self.postings(), self.dictionary(), queries,
+            st["n_docs"], st["avgdl"], k=k,
+            deleted_docs=self.deleted_ids(),
+        )
+
     def search_phrase(
         self, phrases: list[tuple[int, str]], k: int = 10
     ) -> DataFrame:

@@ -329,3 +329,179 @@ rk AS (
 )
 SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- indexed serving path
+def _qs_kernel(
+    pdf,
+    queries: list[tuple[int, list[tuple[str, tuple, float]], int, int]],
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    deleted=None,
+):
+    """Evaluate parsed query_string queries against ONE dbucket of a
+    positional index. Exact per bucket: all of a doc's postings live in
+    its dbucket, so must-counts, exclusions, and phrase positions are
+    bucket-local facts. `queries` rows are
+    (query_id, [(kind, terms, sidf)], req_must, n_should)."""
+    import numpy as np
+    import pandas as pd
+
+    from mario_spark.phrase import _chain_match_count, _PosTermData
+
+    tds = {
+        t: _PosTermData(g.sort_values("block_id"))
+        for t, g in pdf.groupby("term", sort=False)
+    }
+
+    def clause_hits(terms: tuple):
+        """-> (ids, ctf, lens) of docs where the chain occurs."""
+        if any(t not in tds for t in terms):
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0), np.empty(0)
+        if len(terms) == 1:
+            td = tds[terms[0]]
+            tf = np.diff(td.pos_starts).astype(np.float64)
+            return td.ids, tf, td.lens
+        term_tds = [tds[t] for t in terms]
+        order = np.argsort([td.ids.size for td in term_tds])
+        cand = term_tds[order[0]].ids
+        for oi in order[1:]:
+            cand = cand[np.isin(cand, term_tds[oi].ids, assume_unique=True)]
+            if cand.size == 0:
+                break
+        if cand.size == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0), np.empty(0)
+        rows = [np.searchsorted(td.ids, cand) for td in term_tds]
+        ids_o, ctf_o, len_o = [], [], []
+        for ci in range(cand.size):
+            pos = [
+                td.positions_of(int(rows[j][ci]))
+                for j, td in enumerate(term_tds)
+            ]
+            ptf = _chain_match_count(pos, len(term_tds), 0)
+            if ptf:
+                ids_o.append(int(cand[ci]))
+                ctf_o.append(float(ptf))
+                len_o.append(float(term_tds[0].lens[int(rows[0][ci])]))
+        return (
+            np.asarray(ids_o, dtype=np.int64),
+            np.asarray(ctf_o),
+            np.asarray(len_o),
+        )
+
+    out_q, out_d, out_s = [], [], []
+    for qid, clauses, req_must, n_should in queries:
+        hits = [(kind, sidf, *clause_hits(terms)) for kind, terms, sidf in clauses]
+        parts = [h[2] for h in hits if h[2].size]
+        if not parts:
+            continue
+        all_ids = np.unique(np.concatenate(parts))
+        score = np.zeros(all_ids.size)
+        must_cnt = np.zeros(all_ids.size, dtype=np.int64)
+        should_hit = np.zeros(all_ids.size, dtype=bool)
+        not_hit = np.zeros(all_ids.size, dtype=bool)
+        for kind, sidf, ids, ctf, lens in hits:
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(all_ids, ids)
+            if kind == "not":
+                not_hit[pos] = True
+                continue
+            score[pos] += (
+                sidf * ctf * (k1 + 1.0)
+                / (ctf + k1 * (1.0 - b + b * lens / avgdl))
+            )
+            if kind == "must":
+                must_cnt[pos] += 1
+            else:
+                should_hit[pos] = True
+        keep = (
+            ~not_hit
+            & (must_cnt == req_must)
+            & ((n_should == 0) | (req_must > 0) | should_hit)
+        )
+        if deleted is not None:
+            keep &= ~np.isin(all_ids, deleted, assume_unique=True)
+        ids, sc = all_ids[keep], score[keep]
+        if ids.size == 0:
+            continue
+        top = np.lexsort((ids, -sc))[:k]
+        out_q.append(np.full(top.size, qid, dtype=np.int64))
+        out_d.append(ids[top])
+        out_s.append(sc[top])
+    if not out_q:
+        return pd.DataFrame(
+            {"query_id": [], "doc_id": [], "score": []}
+        ).astype({"query_id": "int64", "doc_id": "int64", "score": "float64"})
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
+def search_query_string_indexed(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    queries: list[tuple[int, str]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    deleted_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Serve query_string from a PERSISTED positional index: term
+    clauses read tf (= positions count) from the postings, phrase
+    clauses run the positional chain matcher, and Lucene BooleanQuery
+    matching applies bucket-locally — the production analogue of
+    qs.search_query_string (tests assert rank identity between the
+    two). Plan = search_wand's: term-pruned scan -> per-dbucket batch
+    kernel -> tiny per-query rank window."""
+    from pyspark.sql import Window
+
+    from mario_spark.phrase import _collect_deleted
+    from mario_spark.postings import idf as _idf
+
+    parsed = [(qid, parse_query_string(s)) for qid, s in queries]
+    all_terms = sorted(
+        {t for _, cls in parsed for _, terms in cls for t in terms}
+    )
+    df_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
+    idf_map = {
+        r["term"]: _idf(float(n_docs), float(r["df"])) for r in df_rows
+    }
+    queries_c = []
+    for qid, clauses in parsed:
+        req_must = sum(1 for kind, _ in clauses if kind == "must")
+        n_should = sum(1 for kind, _ in clauses if kind == "should")
+        cl = [
+            (kind, tuple(terms), sum(idf_map.get(t, 0.0) for t in terms))
+            for kind, terms in clauses
+        ]
+        queries_c.append((int(qid), cl, req_must, n_should))
+    deleted = _collect_deleted(deleted_docs)
+    cand = postings.filter(F.col("term").isin(all_terms))
+    ad = float(avgdl)
+
+    def kernel(pdf):
+        return _qs_kernel(pdf, queries_c, ad, k, k1, b, deleted)
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,51 @@
+"""query_string served from a persisted positional index must be
+rank-identical to the oracle-checked composition path
+(qs.search_query_string over the raw docs)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mario_spark.docs import assign_doc_ids
+from mario_spark.fixtures import pages_df
+from mario_spark.index import Catalog
+from mario_spark.qs import search_query_string
+
+QUERIES = [
+    (0, "data web -crawl"),
+    (1, '+index "the data"'),
+    (2, '"web search" spark'),
+    (3, "+score +page"),
+    (4, "-the data"),
+]
+
+
+def _canon(df):
+    return df.toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "catalog")
+
+
+def test_query_string_indexed_matches_composition(spark, root):
+    pages = pages_df(spark, 500, seed=11, partitions=4)
+    cat = Catalog(spark, root)
+    idx = cat.create("pages-2026-01-01t00-00-00z")
+    idx.ingest(pages, positions=True)
+
+    got = _canon(idx.search_query_string(QUERIES, k=10))
+    # same deterministic ids as ingest (pinned partition count)
+    ref_docs = assign_doc_ids(pages).select("doc_id", "text")
+    want = _canon(search_query_string(ref_docs, QUERIES, k=10))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+
+    # tombstones are honored on this path too
+    deleted_some = idx.delete_by_query(["data"])
+    assert deleted_some["deleted"] > 0
+    after = idx.search_query_string(QUERIES, k=10).toPandas()
+    dele = {r["doc_id"] for r in idx.deleted_ids().collect()}
+    assert not set(after["doc_id"]).intersection(dele)
