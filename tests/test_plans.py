@@ -235,3 +235,51 @@ def test_doc_id_assignment_never_single_partitions(spark):
     # a global Window would show 'Window' with no partition spec and a
     # preceding Exchange SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_suggest_terms_broadcasts_inputs(spark):
+    """The did-you-mean dictionary pass must broadcast the tiny input
+    list (BroadcastNestedLoopJoin over the length-band theta join),
+    never shuffle the dictionary."""
+    from mario_spark.suite import term_suggest
+
+    plan = _plan(term_suggest(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_spine_broadcasts(spark):
+    """The empty-bucket spine is dozens of rows — it must broadcast
+    into the left join against the hash agg."""
+    from mario_spark.suite import agg_histogram_nchars
+
+    plan = _plan(agg_histogram_nchars(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_scan_side_filter(spark):
+    """The hash-coin sample is a pure Filter over the scan: no
+    Exchange (shuffle) anywhere in the plan."""
+    from mario_spark.suite import stratified_sample
+
+    plan = _plan(stratified_sample(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_boosting_broadcasts_negative_set(spark):
+    from mario_spark.suite import boosting_topk
+
+    plan = _plan(boosting_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_windows_by_shard(spark):
+    """The running-sum window partitions by shard — a global
+    (SinglePartition) window would serialize the whole corpus."""
+    from mario_spark.suite import pack_sequences
+
+    plan = _plan(pack_sequences(spark, SF_DIR))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan.replace(" ", "")
