@@ -405,3 +405,49 @@ def paginate(
         last = tail[-1]
         cursor = (last[sort_col], last[tiebreak_col])
     return pages
+
+
+def nested_terms_agg(
+    df: DataFrame,
+    parent_col: str,
+    child_col: str,
+    parent_size: int = 3,
+    child_size: int = 2,
+) -> DataFrame:
+    """ES nested terms aggregation (terms > terms sub-agg): the top
+    `parent_size` parent buckets by doc_count (key asc tiebreak), each
+    carrying its top `child_size` child buckets. ONE hash agg over
+    (parent, child) feeds both levels (parent counts = re-aggregation
+    of the pairs — no second corpus scan); ranking is two windows, the
+    child one partitioned by parent (parallel)."""
+    from pyspark.sql import Window
+
+    pairs = df.groupBy(
+        F.col(parent_col).alias("parent_key"),
+        F.col(child_col).alias("child_key"),
+    ).agg(F.count("*").cast("long").alias("child_count"))
+    parents = pairs.groupBy("parent_key").agg(
+        F.sum("child_count").cast("long").alias("parent_count")
+    )
+    wp = Window.orderBy(F.desc("parent_count"), F.asc("parent_key"))
+    top_parents = (
+        parents.withColumn("prank", F.row_number().over(wp).cast("long"))
+        .filter(F.col("prank") <= parent_size)
+    )
+    wc = Window.partitionBy("parent_key").orderBy(
+        F.desc("child_count"), F.asc("child_key")
+    )
+    ranked = pairs.withColumn(
+        "crank", F.row_number().over(wc).cast("long")
+    ).filter(F.col("crank") <= child_size)
+    return (
+        ranked.join(F.broadcast(top_parents), "parent_key")
+        .select(
+            "parent_key",
+            "parent_count",
+            "prank",
+            "child_key",
+            "child_count",
+            "crank",
+        )
+    )

@@ -104,3 +104,40 @@ def suggest(completion_table: DataFrame, text: str, k: int = 5) -> DataFrame:
         .orderBy("value", "key")
         .limit(k)
     )
+
+
+def geotile_key(lon, lat, zoom: int):
+    """ES geotile_grid bucket key "z/x/y" (slippy-map tile) as a pure
+    Column expression: x = floor((lon+180)/360 * 2^z), y via the Web-
+    Mercator projection, latitude clamped to the Mercator domain
+    (±85.05112878 — the ES contract). All-JVM math (ln/tan/cos),
+    identical IEEE arithmetic to the DuckDB oracle."""
+    n = float(2**zoom)
+    latc = F.greatest(
+        F.least(lat, F.lit(85.05112878)), F.lit(-85.05112878)
+    )
+    lat_rad = F.radians(latc)
+    x = F.floor((lon + 180.0) / 360.0 * n).cast("long")
+    y = F.floor(
+        (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / 3.141592653589793)
+        / 2.0
+        * n
+    ).cast("long")
+    return F.concat_ws("/", F.lit(str(zoom)), x.cast("string"), y.cast("string"))
+
+
+def geotile_grid_agg(
+    df: DataFrame, lon_col, lat_col, zoom: int = 4, size: int = 20
+) -> DataFrame:
+    """ES geotile_grid aggregation: top-`size` tile buckets by
+    doc_count desc (key asc tiebreak) — one hash agg over the tile
+    key projection, then TakeOrderedAndProject."""
+    key = geotile_key(
+        F.col(lon_col) if isinstance(lon_col, str) else lon_col,
+        F.col(lat_col) if isinstance(lat_col, str) else lat_col,
+        zoom,
+    )
+    g = df.groupBy(key.alias("key")).agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    return g.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)

@@ -1019,6 +1019,56 @@ SELECT bucket, n, sum_value,
 FROM g
 """
 
+AGG_GEOTILE_GRID = """
+WITH p AS (
+  SELECT (doc_id % 360 - 180 + 0.5)::DOUBLE AS lon,
+         greatest(least(((doc_id * 7) % 170 - 85 + 0.5)::DOUBLE, 85.05112878),
+                  -85.05112878) AS latc
+  FROM documents
+),
+t AS (
+  SELECT '4/'
+         || (floor((lon + 180.0) / 360.0 * 16.0))::BIGINT::VARCHAR || '/'
+         || (floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc)))
+                    / 3.141592653589793) / 2.0 * 16.0))::BIGINT::VARCHAR AS key
+  FROM p
+)
+SELECT key, count(*)::BIGINT AS doc_count
+FROM t GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 20
+"""
+
+AGG_NESTED_TERMS = """
+WITH pairs AS (
+  SELECT lang AS parent_key, source AS child_key,
+         count(*)::BIGINT AS child_count
+  FROM documents GROUP BY 1, 2
+),
+parents AS (
+  SELECT parent_key, sum(child_count)::BIGINT AS parent_count
+  FROM pairs GROUP BY 1
+),
+tp AS (
+  SELECT * FROM (
+    SELECT parent_key, parent_count,
+           row_number() OVER (ORDER BY parent_count DESC, parent_key ASC) AS prank
+    FROM parents
+  ) WHERE prank <= 3
+),
+rc AS (
+  SELECT * FROM (
+    SELECT parent_key, child_key, child_count,
+           row_number() OVER (PARTITION BY parent_key
+                              ORDER BY child_count DESC, child_key ASC) AS crank
+    FROM pairs
+  ) WHERE crank <= 2
+)
+SELECT tp.parent_key, tp.parent_count, tp.prank::BIGINT AS prank,
+       rc.child_key, rc.child_count, rc.crank::BIGINT AS crank
+FROM rc JOIN tp USING (parent_key)
+"""
+
 AGG_DATE_HISTOGRAM = """
 SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS bucket,
        event_type AS key,
@@ -1872,6 +1922,8 @@ ORACLES: dict[str, str] = {
     "agg_extended_stats": AGG_EXTENDED_STATS,
     "agg_filters": AGG_FILTERS,
     "agg_pipeline_monthly": AGG_PIPELINE_MONTHLY,
+    "agg_geotile_grid": AGG_GEOTILE_GRID,
+    "agg_nested_terms": AGG_NESTED_TERMS,
     "agg_range_nchars": AGG_RANGE_NCHARS,
     "agg_percentiles": AGG_PERCENTILES,
     "agg_cardinality_users": AGG_CARDINALITY_USERS,

@@ -1133,6 +1133,32 @@ def agg_pipeline_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.pipeline_date_histogram(e, "ts", "value", "month")
 
 
+def agg_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation (zoom=4): slippy-map tile buckets
+    over the same synthesized (lon, lat) as geo_distance; top-20 by
+    doc_count. Pure JVM math projection + hash agg +
+    TakeOrderedAndProject."""
+    from mario_spark.ops import geo
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("doc_id") * 7) % 170 - 85 + 0.5).cast("double").alias("lat"),
+    )
+    return geo.geotile_grid_agg(d, "lon", "lat", zoom=4, size=20)
+
+
+def agg_nested_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested terms agg (terms lang > terms source): top-3 parents
+    by doc_count, top-2 child buckets each; one (parent, child) hash
+    agg feeds both levels."""
+    from mario_spark.ops import aggs
+
+    return aggs.nested_terms_agg(
+        _documents(spark, sf_dir), "lang", "source", 3, 2
+    )
+
+
 def rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: top-50 first-pass BM25 window re-ranked by
     1.0*BM25_or + 2.0*BM25_conjunctive (docs matching every query term
@@ -1275,6 +1301,8 @@ SUITE = {
     "agg_extended_stats": agg_extended_stats,
     "agg_filters": agg_filters,
     "agg_pipeline_monthly": agg_pipeline_monthly,
+    "agg_geotile_grid": agg_geotile_grid,
+    "agg_nested_terms": agg_nested_terms,
     "rescore_topk": rescore_topk,
     "search_after_page": search_after_page,
     "geo_distance": geo_distance,
