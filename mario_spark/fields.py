@@ -219,11 +219,13 @@ def search_field(
     field_avgdl: float,
     k: int = 10,
     conjunctive: bool = False,
+    deleted_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Field-scoped BM25 top-k via the production WAND path.
 
     The prefixed query terms prune the postings scan to the field's
-    terms only; scoring uses the FIELD's (n_docs, avgdl, df)."""
+    terms only; scoring uses the FIELD's (n_docs, avgdl, df).
+    deleted_docs = tombstoned doc ids (Lucene live-docs semantics)."""
     return search_wand(
         postings,
         dictionary,
@@ -232,4 +234,5 @@ def search_field(
         field_avgdl,
         k=k,
         conjunctive=conjunctive,
+        deleted_docs=deleted_docs,
     )

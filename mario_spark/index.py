@@ -456,22 +456,28 @@ class Index:
         first (invisible), then ONE _deletes.json commit makes it live —
         same atomicity primitive as segment commits. Matching doc ids
         come from decoding only the queried terms' posting blocks (a
-        term-pruned scan, never a corpus scan)."""
+        term-pruned scan, never a corpus scan). On a field-scoped index
+        a bare term matches ANY field (postings keys expand to every
+        '<field>:<term>')."""
         from mario_spark.merge import decode_to_tf_rows
 
         meta = _read_json(self.paths.meta) or {}
-        if meta.get("fields"):
-            raise ValueError(
-                "delete_by_query over field-scoped indexes is not wired yet"
-            )
         marker = _read_json(self.paths.deletes_marker) or {
             "generations": [],
             "n_deleted": 0,
         }
         gen = (max(marker["generations"]) + 1) if marker["generations"] else 0
+        # on a field-scoped index a bare term matches ANY field
+        # (postings keys are '<field>:<term>'); the scan filter stays a
+        # pushable In() either way
+        scan_terms = list(terms)
+        if meta.get("fields"):
+            scan_terms = [
+                f"{f}:{t}" for f in meta["fields"] for t in terms
+            ]
         hits = (
             decode_to_tf_rows(
-                self.postings().filter(F.col("term").isin(list(terms)))
+                self.postings().filter(F.col("term").isin(scan_terms))
             )
             .select("doc_id")
             .distinct()
@@ -530,6 +536,7 @@ class Index:
         k: int = 10,
         max_edits: int = 1,
         prefix_length: int = 1,
+        field: str | None = None,
     ) -> DataFrame:
         """Multi-term queries over a persisted index: kind = 'fuzzy'
         (classic Levenshtein <= max_edits, same first prefix_length
@@ -537,14 +544,24 @@ class Index:
         'regexp' (whole-term anchored pattern).
         `queries` carries RAW query strings/patterns (not analyzed —
         a pattern is not a term). Expansion is one pruned pass over
-        this index's dictionary; scoring is the standard WAND path."""
+        this index's dictionary; scoring is the standard WAND path.
+
+        Over a fields=... index pass `field`: the pattern expands
+        against THAT field's vocabulary (the '<field>:' slice of the
+        dictionary, prefix stripped for matching) and scoring uses the
+        field's own df/n_docs/avgdl — exactly ES's fuzzy/prefix/
+        wildcard on one mapped field."""
         from mario_spark import fuzzy as fuzzymod
 
         meta = _read_json(self.paths.meta) or {}
         if meta.get("fields"):
-            raise ValueError(
-                f"index '{self.paths.name}' is field-scoped; "
-                "multi-term queries over fields are not wired yet"
+            if field is None:
+                raise ValueError(
+                    f"index '{self.paths.name}' is field-scoped; pass "
+                    f"field=... (one of {sorted(meta['fields'])})"
+                )
+            return self._search_multiterm_field(
+                queries, kind, k, max_edits, prefix_length, field
             )
         st = self.stats()
         qdf = self.spark.createDataFrame(
@@ -576,6 +593,70 @@ class Index:
         if kind not in fns:
             raise ValueError(f"kind must be one of {sorted(fns)}, got {kind!r}")
         return fns[kind]()
+
+    def _search_multiterm_field(
+        self,
+        queries: list[tuple[int, str]],
+        kind: str,
+        k: int,
+        max_edits: int,
+        prefix_length: int,
+        field: str,
+    ) -> DataFrame:
+        """Field-scoped multi-term path: expand against the field's
+        slice of the dictionary (prefix stripped so patterns see bare
+        terms), score with the field's stats through the WAND kernel."""
+        from mario_spark import fuzzy as fuzzymod
+        from mario_spark.phrase import _collect_deleted
+        from mario_spark.postings import idf as _idf
+        from mario_spark.wand import _run_kernel
+
+        meta = _read_json(self.paths.meta) or {}
+        if field not in (meta.get("fields") or {}):
+            raise ValueError(
+                f"unknown field '{field}'; index has "
+                f"{sorted(meta.get('fields') or {})}"
+            )
+        fst = self.field_stats().get(field, {"n_docs": 0, "avgdl": 0.0})
+        pfx = f"{field}:"
+        dic = (
+            self.dictionary()
+            .filter(F.col("term").startswith(pfx))
+            .select(
+                F.col("term").substr(F.lit(len(pfx) + 1), F.length("term"))
+                .alias("term"),
+                "df",
+            )
+        )
+        qdf = self.spark.createDataFrame(
+            list(queries), "query_id long, term string"
+        )
+        expanders = {
+            "fuzzy": lambda: fuzzymod.expand_terms(
+                dic, qdf, max_edits, prefix_length
+            ),
+            "prefix": lambda: fuzzymod.expand_prefix(dic, qdf),
+            "wildcard": lambda: fuzzymod.expand_wildcard(dic, qdf),
+            "regexp": lambda: fuzzymod.expand_regexp(dic, qdf),
+        }
+        if kind not in expanders:
+            raise ValueError(
+                f"kind must be one of {sorted(expanders)}, got {kind!r}"
+            )
+        rows = expanders[kind]().collect()
+        nd = float(fst["n_docs"])
+        qmap: dict[int, list[str]] = {}
+        idf_map: dict[str, float] = {}
+        for r in rows:
+            t = pfx + r["term"]
+            qmap.setdefault(int(r["query_id"]), []).append(t)
+            idf_map[t] = _idf(nd, float(r["df"]))
+        qlist = sorted((qid, sorted(ts)) for qid, ts in qmap.items())
+        return _run_kernel(
+            self.postings(), qlist, idf_map, float(fst["avgdl"]),
+            k, K1, B, conjunctive=False,
+            deleted=_collect_deleted(self.deleted_ids()),
+        )
 
     def field_stats(self) -> dict[str, dict]:
         """Per-field (n_docs, avgdl) summed from segment markers —
@@ -624,6 +705,7 @@ class Index:
         return fieldsmod.search_field(
             self.postings(), self.dictionary(), qdf, field,
             fst["n_docs"], fst["avgdl"], k=k, conjunctive=conjunctive,
+            deleted_docs=self.deleted_ids(),
         )
 
     def search_query_string(

@@ -119,6 +119,12 @@ def compact_segments(
             "purging compaction must include every committed segment; "
             "pass purge_deletes=False for a partial compaction"
         )
+    if deleted is not None and meta.get("fields"):
+        raise ValueError(
+            "purging compaction over field-scoped indexes is not wired "
+            "(per-field stats need per-field doc lengths, which the "
+            "field docs table does not store); pass purge_deletes=False"
+        )
 
     sp = index.spark
     post = sp.read.parquet(*[os.path.join(p.seg(s), "postings") for s in seg_ids])

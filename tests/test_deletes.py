@@ -96,3 +96,94 @@ def test_delete_by_query_then_purge(spark, root):
     pd.testing.assert_frame_equal(got2, want, check_exact=False, atol=1e-9)
     d.unpersist()
     d_surv.unpersist()
+
+
+def test_field_index_multiterm_and_delete_by_query(spark, root):
+    """Field-scoped wiring of the multi-term and delete paths:
+
+    - search_multiterm(field=...) expands the pattern against THAT
+      field's vocabulary slice and must score identically to a
+      search_field query over the expanded term set (same OR-sum BM25);
+    - delete_by_query on a fields=... index tombstones docs matching
+      the bare term in ANY field (ES semantics: an unqualified term
+      searches all mapped fields), verified against an independent
+      tokenize pass;
+    - search_field and the field multiterm path both mask tombstones.
+    """
+    from mario_spark import fields as fieldsmod
+    from mario_spark.index import Catalog
+
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 400, seed=7, partitions=4).withColumn(
+        "title", F.substring("text", 1, 48)
+    )
+    idx = cat.create("fm-2026-01-01t00-00-00z")
+    idx.ingest(
+        pages, segment_docs=256, fields={"title": "title", "contents": "text"}
+    )
+
+    # -------- multiterm: prefix expansion == explicit OR over the
+    # field vocabulary (expansion recomputed in-test from the dictionary)
+    vocab = sorted(
+        r["term"][len("title:"):]
+        for r in idx.dictionary().collect()
+        if r["term"].startswith("title:")
+    )
+    prefix = vocab[len(vocab) // 2][:3]
+    expanded = sorted({t for t in vocab if t.startswith(prefix)})
+    assert expanded, "fixture vocabulary must produce a non-empty expansion"
+    want = _canon(idx.search_field("title", [(0, " ".join(expanded))], k=10))
+    got = _canon(
+        idx.search_multiterm([(0, prefix)], kind="prefix", field="title")
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+
+    # wildcard over the contents field agrees with its own expansion
+    cvocab = sorted(
+        r["term"][len("contents:"):]
+        for r in idx.dictionary().collect()
+        if r["term"].startswith("contents:")
+    )
+    cpfx = cvocab[len(cvocab) // 3][:2]
+    cexp = sorted({t for t in cvocab if t.startswith(cpfx)})
+    want_c = _canon(idx.search_field("contents", [(0, " ".join(cexp))], k=10))
+    got_c = _canon(
+        idx.search_multiterm([(0, cpfx + "*")], kind="wildcard", field="contents")
+    )
+    pd.testing.assert_frame_equal(got_c, want_c, check_exact=False, atol=1e-9)
+
+    with pytest.raises(ValueError, match="field-scoped"):
+        idx.search_multiterm([(0, "craw")], kind="prefix")  # no field=
+    with pytest.raises(ValueError, match="unknown field"):
+        idx.search_multiterm([(0, "craw")], kind="prefix", field="nope")
+
+    # -------- delete_by_query: bare term matches ANY field
+    term = "crawl"
+    fd = fieldsmod.build_field_doc_table(
+        pages, {"title": F.col("title"), "contents": F.col("text")}
+    )
+    expect_deleted = {
+        r["doc_id"]
+        for r in fd.filter(F.map_contains_key("tf_map", term))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    res = idx.delete_by_query([term])
+    assert res["deleted"] == len(expect_deleted) > 0
+    got_deleted = {r["doc_id"] for r in idx.deleted_ids().collect()}
+    assert got_deleted == expect_deleted
+
+    # both field-scoped query paths mask the tombstones
+    hits = _canon(idx.search_field("contents", [(0, term)], k=400))
+    assert not set(hits["doc_id"]).intersection(expect_deleted)
+    assert hits.empty  # every doc containing the term was tombstoned
+    mt = _canon(
+        idx.search_multiterm([(0, term[:4])], kind="prefix", field="contents")
+    )
+    assert not set(mt["doc_id"]).intersection(expect_deleted)
+
+    # purging compaction over field indexes is explicitly not wired:
+    # must refuse loudly rather than corrupt per-field stats
+    with pytest.raises(ValueError, match="field-scoped"):
+        compact_segments(idx)
