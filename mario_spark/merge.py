@@ -119,13 +119,6 @@ def compact_segments(
             "purging compaction must include every committed segment; "
             "pass purge_deletes=False for a partial compaction"
         )
-    if deleted is not None and meta.get("fields"):
-        raise ValueError(
-            "purging compaction over field-scoped indexes is not wired "
-            "(per-field stats need per-field doc lengths, which the "
-            "field docs table does not store); pass purge_deletes=False"
-        )
-
     sp = index.spark
     post = sp.read.parquet(*[os.path.join(p.seg(s), "postings") for s in seg_ids])
     docs = sp.read.parquet(*[os.path.join(p.seg(s), "docs") for s in seg_ids])
@@ -137,6 +130,7 @@ def compact_segments(
 
     tf_rows = decode_to_tf_rows(post)
     purged_stats: dict | None = None
+    purged_field_stats: dict[str, dict] | None = None
     if deleted is not None:
         tf_rows = tf_rows.join(F.broadcast(deleted), "doc_id", "left_anti")
         docs = docs.join(F.broadcast(deleted), "doc_id", "left_anti")
@@ -144,11 +138,41 @@ def compact_segments(
         dic = tf_rows.groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         )
-        row = docs.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
-        ).collect()[0]
-        purged_stats = {"n_docs": int(row["n"]), "sum_len": int(row["s"])}
+        if meta.get("fields"):
+            # Per-field (docCount, sumFieldLength) come straight from
+            # the surviving postings: each tf row's `len` IS the field
+            # length of that doc (field_tf emitted it), and field names
+            # cannot contain ':' while tokens are letters/digits only,
+            # so the prefix split is unambiguous. Lucene's docCount =
+            # docs with >= 1 token in the field = docs present in the
+            # field's postings — exactly this distinct set.
+            frows = (
+                tf_rows.select(
+                    F.substring_index("term", ":", 1).alias("field"),
+                    "doc_id",
+                    "len",
+                )
+                .distinct()
+                .groupBy("field")
+                .agg(F.count("*").alias("n"), F.sum("len").alias("s"))
+                .collect()
+            )
+            purged_field_stats = {
+                r["field"]: {"n_docs": int(r["n"]), "sum_len": int(r["s"])}
+                for r in frows
+            }
+            purged_stats = {
+                "n_docs": int(docs.count()),
+                "sum_len": sum(
+                    v["sum_len"] for v in purged_field_stats.values()
+                ),
+            }
+        else:
+            row = docs.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("len"), F.lit(0)).alias("s"),
+            ).collect()[0]
+            purged_stats = {"n_docs": int(row["n"]), "sum_len": int(row["s"])}
     merged = encode_tf_rows(tf_rows, rw)
 
     seg_dir = p.seg(new_id)
@@ -223,7 +247,9 @@ def compact_segments(
             a = fs_all.setdefault(f, {"n_docs": 0, "sum_len": 0})
             a["n_docs"] += st["n_docs"]
             a["sum_len"] += st["sum_len"]
-    if fs_all:
+    if purged_field_stats is not None:
+        marker["field_stats"] = purged_field_stats
+    elif fs_all:
         marker["field_stats"] = fs_all
     _atomic_write_json(p.seg_meta(new_id), marker)
     # retire sources: markers first (loaders stop seeing them), then data

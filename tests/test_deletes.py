@@ -183,7 +183,41 @@ def test_field_index_multiterm_and_delete_by_query(spark, root):
     )
     assert not set(mt["doc_id"]).intersection(expect_deleted)
 
-    # purging compaction over field indexes is explicitly not wired:
-    # must refuse loudly rather than corrupt per-field stats
-    with pytest.raises(ValueError, match="field-scoped"):
-        compact_segments(idx)
+    # -------- purging compaction recomputes per-field stats from the
+    # surviving postings' own len stream (the docs table stores no
+    # per-field lengths) — post-purge == a fresh field build over the
+    # survivors, verified via the ad-hoc fields.py path on the same
+    # pinned doc ids
+    n_before = idx.stats()["n_docs"]
+    compact_segments(idx)  # purge_deletes=True
+    st = idx.stats()
+    assert st["n_deleted"] == 0
+    assert st["n_docs"] == n_before - len(expect_deleted)
+    assert idx.deleted_ids() is None
+
+    surv_fd = fd.filter(
+        ~F.col("doc_id").isin([int(i) for i in expect_deleted])
+    ).persist()
+    want_fs = {
+        r["field"]: r for r in fieldsmod.field_stats(surv_fd).collect()
+    }
+    ifs = idx.field_stats()
+    for f in ("title", "contents"):
+        assert ifs[f]["n_docs"] == want_fs[f]["n_docs"]
+        assert abs(ifs[f]["avgdl"] - want_fs[f]["avgdl"]) < 1e-9
+
+    post2, dic2, _ = fieldsmod.build_field_postings(
+        surv_fd, idx.stats()["n_docs"]
+    )
+    from mario_spark.fixtures import query_terms_df
+
+    probe = [(0, " ".join(cexp[:3]))]
+    want_q = _canon(
+        fieldsmod.search_field(
+            post2, dic2, query_terms_df(spark, probe), "contents",
+            want_fs["contents"]["n_docs"], want_fs["contents"]["avgdl"], k=10,
+        )
+    )
+    got_q = _canon(idx.search_field("contents", probe, k=10))
+    pd.testing.assert_frame_equal(got_q, want_q, check_exact=False, atol=1e-9)
+    surv_fd.unpersist()
