@@ -49,29 +49,49 @@ FIELD_SEP = ":"
 
 
 def build_field_doc_table(
-    pages: DataFrame, fields: dict[str, "F.Column"]
+    pages: DataFrame, fields: dict[str, "F.Column"], positions: bool = False
 ) -> DataFrame:
-    """pages -> (doc_id, field, tf_map, len): one row per doc per field.
+    """pages -> (doc_id, field, tf_map|pos_map, len): one row per doc
+    per field.
 
     `fields` maps field name -> Column expression producing that field's
     text (e.g. {"title": F.substring("text", 1, 64), "contents":
     F.col("text")}). Each field runs through the same fused
     tokenize+count pandas UDF as the unscoped path.
+
+    positions=True swaps in the positional tokenizer (pos_map =
+    map<term, [token ordinals]>, ordinals are per-FIELD, starting at 0
+    in each field — Lucene's per-field position streams): downstream
+    field_tf emits the positions column and the encoder produces the
+    poss stream, so a field index can answer field-scoped match_phrase.
     """
+    from mario_spark.analyze import tokenize_positions_udf
+
     d = pages
     if "doc_id" not in d.columns:
         d = assign_doc_ids(d)
+    tok = tokenize_positions_udf if positions else tokenize_count_udf
+    map_col = "pos_map" if positions else "tf_map"
     per_field = [
         d.select(
             "doc_id",
             F.lit(name).alias("field"),
-            tokenize_count_udf(expr).alias("tf_map"),
+            tok(expr).alias(map_col),
         )
         for name, expr in fields.items()
     ]
     out = per_field[0]
     for p in per_field[1:]:
         out = out.unionByName(p)
+    if positions:
+        return out.withColumn(
+            "len",
+            F.aggregate(
+                F.map_values("pos_map"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.size(x).cast("long"),
+            ),
+        )
     return out.withColumn(
         "len",
         F.aggregate(
@@ -83,11 +103,27 @@ def build_field_doc_table(
 
 
 def field_tf(fdocs: DataFrame) -> DataFrame:
-    """(doc_id, field, tf_map, len) -> tf rows with field-prefixed terms.
+    """(doc_id, field, tf_map|pos_map, len) -> tf rows with
+    field-prefixed terms.
 
     JVM map-explode (no shuffle), identical to query.term_frequencies
     but the emitted term is `<field>:<term>` and len is the FIELD len.
+    A positional field table (pos_map) emits the positions column so
+    encode_tf_rows produces the poss stream.
     """
+    if "pos_map" in fdocs.columns:
+        return fdocs.select(
+            "doc_id",
+            "len",
+            F.explode("pos_map").alias("raw_term", "positions"),
+            "field",
+        ).select(
+            "doc_id",
+            F.concat_ws(FIELD_SEP, "field", "raw_term").alias("term"),
+            F.size("positions").cast("double").alias("tf"),
+            "len",
+            "positions",
+        )
     return fdocs.select(
         "doc_id",
         "len",

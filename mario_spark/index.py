@@ -187,11 +187,6 @@ class Index:
         Returns the final stats dict.
         """
         sp = self.spark
-        if fields and positions:
-            raise ValueError(
-                "fields=... with positions=True is not supported yet "
-                "(positional streams are per-field; index them separately)"
-            )
         meta = _read_json(self.paths.meta)
         if meta is None:
             parts = sp.sparkContext.defaultParallelism
@@ -284,7 +279,9 @@ class Index:
             from mario_spark.postings import dictionary_from_postings, encode_tf_rows
 
             d = fieldsmod.build_field_doc_table(
-                sl, {n: F.col(src) for n, src in fields_cfg.items()}
+                sl,
+                {n: F.col(src) for n, src in fields_cfg.items()},
+                positions=bool(meta.get("positions")),
             ).persist()
             frows = (
                 d.filter(F.col("len") > 0)
@@ -726,6 +723,14 @@ class Index:
                 f"index '{self.paths.name}' was built without positions; "
                 "query_string needs them for its phrase clauses"
             )
+        if meta.get("fields"):
+            # the mini-language has no field: syntax; unprefixed terms
+            # would silently miss the prefixed dictionary — refuse loudly
+            raise ValueError(
+                f"index '{self.paths.name}' is field-scoped; "
+                "query_string over field indexes is not supported "
+                "(use search_field / search_phrase with field=...)"
+            )
         st = self.stats()
         return search_query_string_indexed(
             self.postings(), self.dictionary(), queries,
@@ -734,10 +739,17 @@ class Index:
         )
 
     def search_phrase(
-        self, phrases: list[tuple[int, str]], k: int = 10
+        self, phrases: list[tuple[int, str]], k: int = 10,
+        field: str | None = None,
     ) -> DataFrame:
         """match_phrase over a positions=True index:
-        [(query_id, raw phrase text)] -> (query_id, rank, doc_id, score)."""
+        [(query_id, raw phrase text)] -> (query_id, rank, doc_id, score).
+
+        On a fields=... index pass `field`: the phrase matches within
+        THAT field's position stream (ordinals are per-field, so a
+        phrase can never span a field boundary) and is scored with the
+        field's own df/n_docs/avgdl — ES match_phrase on one mapped
+        field."""
         from mario_spark.analyze import py_tokenize
         from mario_spark.phrase import search_phrase
 
@@ -746,6 +758,27 @@ class Index:
             raise ValueError(
                 f"index '{self.paths.name}' was built without positions; "
                 "re-ingest with positions=True to enable phrase queries"
+            )
+        if meta.get("fields"):
+            if field is None:
+                raise ValueError(
+                    f"index '{self.paths.name}' is field-scoped; pass "
+                    f"field=... (one of {sorted(meta['fields'])})"
+                )
+            if field not in meta["fields"]:
+                raise ValueError(
+                    f"unknown field '{field}'; index has "
+                    f"{sorted(meta['fields'])}"
+                )
+            fst = self.field_stats().get(field, {"n_docs": 0, "avgdl": 0.0})
+            queries = [
+                (qid, [f"{field}:{t}" for t in py_tokenize(text)])
+                for qid, text in phrases
+            ]
+            return search_phrase(
+                self.postings(), self.dictionary(), queries,
+                fst["n_docs"], fst["avgdl"], k=k,
+                deleted_docs=self.deleted_ids(),
             )
         st = self.stats()
         queries = [(qid, py_tokenize(text)) for qid, text in phrases]

@@ -167,3 +167,96 @@ def test_field_scoped_stats_differ_from_global(spark):
             atol=1e-9,
         )
     sess.close()
+
+
+def test_field_index_with_positions_phrase(spark, tmp_path):
+    """fields=... composed with positions=True: field-scoped
+    match_phrase runs against THAT field's position stream (per-field
+    ordinals, so phrases never span fields) and scores with the field's
+    stats — rank/score-identical to a plain positional index built over
+    just that field's text with the same pinned doc ids and the field's
+    (n_docs, avgdl) supplied."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mario_spark import fields as fieldsmod
+    from mario_spark import phrase as phrasemod
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.docs import build_doc_table
+    from mario_spark.fixtures import pages_df
+    from mario_spark.index import Catalog
+    from mario_spark.postings import build_postings
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    pages = pages_df(spark, 300, seed=11, partitions=4).withColumn(
+        "title", F.substring("text", 1, 48)
+    )
+    idx = cat.create("fp-2026-01-01t00-00-00z")
+    idx.ingest(
+        pages, segment_docs=128, positions=True,
+        fields={"title": "title", "contents": "text"},
+    )
+
+    # pick a phrase guaranteed to occur in some title: the first two
+    # tokens of the longest title in the fixture
+    titles = [
+        r["title"] for r in pages.select("title").collect() if r["title"]
+    ]
+    toks = max(
+        (py_tokenize(t) for t in titles), key=lambda ts: (len(ts) >= 2, ts)
+    )
+    phrase = " ".join(toks[:2])
+
+    # oracle: plain positional index over ONLY the title text, same doc
+    # ids (urls are unique, ids are a pure function of url order), the
+    # FIELD's stats supplied explicitly
+    d_title = build_doc_table(
+        pages.withColumn("text", F.col("title")), positions=True
+    ).persist()
+    fst = idx.field_stats()["title"]
+    post, dic, _ = build_postings(d_title, 300)
+    want = (
+        phrasemod.search_phrase(
+            post, dic, [(0, py_tokenize(phrase))],
+            fst["n_docs"], fst["avgdl"], k=10,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert len(want) > 0
+    got = (
+        idx.search_phrase([(0, phrase)], k=10, field="title")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d_title.unpersist()
+
+    # the same phrase against contents generally matches MORE docs
+    # (every title is a prefix of its contents)
+    got_c = idx.search_phrase([(0, phrase)], k=300, field="contents")
+    assert got_c.count() >= len(got)
+
+    # BM25/WAND field search is unaffected by the poss stream
+    one = idx.search_field("title", [(0, phrase)], k=5)
+    assert one.count() > 0
+
+    # guard rails
+    with pytest.raises(ValueError, match="field-scoped"):
+        idx.search_phrase([(0, phrase)])
+    with pytest.raises(ValueError, match="unknown field"):
+        idx.search_phrase([(0, phrase)], field="nope")
+    with pytest.raises(ValueError, match="field-scoped"):
+        idx.search_query_string([(0, phrase)])
+
+    # compaction round-trips the per-field position streams
+    from mario_spark.merge import compact_segments
+
+    compact_segments(idx)
+    assert idx.stats()["segments"] == 1
+    after = (
+        idx.search_phrase([(0, phrase)], k=10, field="title")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(after, want, check_exact=False, atol=1e-9)
