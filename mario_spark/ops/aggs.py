@@ -451,3 +451,135 @@ def nested_terms_agg(
             "crank",
         )
     )
+
+
+def rare_terms_agg(
+    df: DataFrame, key_col: str, max_doc_count: int = 2
+) -> DataFrame:
+    """ES rare_terms aggregation: the buckets of `key_col` whose
+    doc_count is <= max_doc_count — the long-tail complement of
+    terms_agg. ES approximates this with a CuckooFilter because its
+    per-shard coordinator cannot hold every bucket; a distributed hash
+    agg CAN (the bucket table is spread over the cluster, never
+    collected), so the Spark-first form is exact: one partial+final
+    hash agg, then a post-agg filter on the tiny bucket table. No sort,
+    no limit — rarity is a predicate, not a top-k."""
+    g = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    return g.filter(F.col("doc_count") <= max_doc_count)
+
+
+def multi_terms_agg(
+    df: DataFrame, key_cols: list[str], size: int = 10
+) -> DataFrame:
+    """ES multi_terms aggregation: terms buckets over a composite key
+    (every key combination that occurs), top-`size` by doc_count desc
+    with the key tuple asc as tiebreak. One hash agg on the tuple;
+    ranking is orderBy().limit() = TakeOrderedAndProject — same top-k
+    rule as terms_agg, never a global window."""
+    g = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    order = [F.desc("doc_count")] + [F.asc(c) for c in key_cols]
+    return g.orderBy(*order).limit(size)
+
+
+def adjacency_matrix_agg(
+    df: DataFrame, filters: dict[str, Column]
+) -> DataFrame:
+    """ES adjacency_matrix aggregation: for N named filters, the doc
+    count of every filter and every pairwise intersection (keys "a",
+    "a&b" with names in sorted order — the ES key convention). All
+    N + N*(N-1)/2 cells are conditional sums in ONE aggregation pass
+    (no joins, no explode, no second scan); the 1-row result is
+    unpivoted with stack(). Partial aggregation keeps the map-side
+    combine at one long per cell."""
+    names = sorted(filters)
+    cells: list[tuple[str, Column]] = []
+    for i, a in enumerate(names):
+        cells.append((a, filters[a]))
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", filters[a] & filters[b]))
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+        for i, (_, cond) in enumerate(cells)
+    ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', _c{i}" for i, (n, _) in enumerate(cells))
+    return row.selectExpr(
+        f"stack({len(cells)}, {stack_args}) AS (key, doc_count)"
+    )
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, target_buckets: int = 40
+) -> DataFrame:
+    """ES auto_date_histogram: picks the smallest calendar interval
+    from the ladder day -> month -> year whose bucket count stays
+    <= target_buckets, then runs a normal calendar date_histogram.
+    The choice needs only (min, max) of the timestamp — an algebraic
+    1-row agg collected to the driver (O(1) rows regardless of corpus
+    size), after which the interval is a plan-time literal and the
+    histogram is ONE hash agg. The chosen interval is emitted as a
+    column so the oracle verifies the choice, not just the buckets."""
+    r = df.agg(
+        F.min(F.col(ts_col).cast("timestamp")).alias("mn"),
+        F.max(F.col(ts_col).cast("timestamp")).alias("mx"),
+    ).collect()[0]
+    mn, mx = r["mn"], r["mx"]
+    # identical arithmetic to DuckDB date_diff on truncated bounds
+    days = (mx.date() - mn.date()).days + 1
+    months = (mx.year - mn.year) * 12 + (mx.month - mn.month) + 1
+    if days <= target_buckets:
+        iv = "day"
+    elif months <= target_buckets:
+        iv = "month"
+    else:
+        iv = "year"
+    b = F.date_format(
+        F.date_trunc(iv, F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    return (
+        df.groupBy(b.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .withColumn("interval_chosen", F.lit(iv))
+    )
+
+
+def bucket_selector_daily(
+    df: DataFrame, ts_col: str, value_col: str, threshold: float
+) -> DataFrame:
+    """ES bucket_script + bucket_selector pipeline over a daily
+    date_histogram: the script metric (avg_value = sum/count) and the
+    selector predicate both run on the REDUCED bucket table —
+    coordinating-node semantics, O(#buckets) work after one corpus
+    hash agg, exactly like pipeline_date_histogram."""
+    b = F.date_format(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(F.sum(value_col), 2).alias("sum_value"),
+    )
+    g = g.withColumn(
+        "avg_value", F.round(F.col("sum_value") / F.col("doc_count"), 4)
+    )
+    return g.filter(F.col("avg_value") > threshold)
+
+
+def max_bucket_daily(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """ES max_bucket sibling pipeline agg: the daily bucket with the
+    largest sum_value (earliest bucket on ties — ES returns ALL tied
+    keys; the deterministic min-key form keeps the contract hashable).
+    orderBy().limit(1) over the bucket table = TakeOrderedAndProject
+    on O(#buckets) rows."""
+    b = F.date_format(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.round(F.sum(value_col), 2).alias("sum_value")
+    )
+    return g.orderBy(F.desc("sum_value"), F.asc("bucket")).limit(1)

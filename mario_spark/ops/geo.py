@@ -141,3 +141,48 @@ def geotile_grid_agg(
         F.count("*").cast("long").alias("doc_count")
     )
     return g.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+
+
+def geo_distance_agg(
+    df: DataFrame,
+    geopoint_col: str,
+    lon: float,
+    lat: float,
+    rings: list[tuple[str, float, float | None]],
+) -> DataFrame:
+    """ES geo_distance aggregation: ring buckets [from, to) km around
+    an origin. Like range_agg, EMPTY rings must still be emitted (the
+    ES contract), so the rings are a tiny broadcast dim table LEFT-
+    joined onto per-doc haversine distances — a groupBy of a ring
+    expression could not produce empty groups. The distance is pure
+    JVM codegen (haversine_km); the join adds no shuffle on the doc
+    side (broadcast nested loop over <=N rings).
+    `rings` = [(label, lo_km, hi_km|None)] with None = unbounded."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [
+            (lbl, float(lo), float(hi) if hi is not None else float("inf"))
+            for lbl, lo, hi in rings
+        ],
+        "key string, lo double, hi double",
+    )
+    g = F.col(geopoint_col)
+    d = F.round(
+        haversine_km(
+            g.getItem(0).cast("double"),
+            g.getItem(1).cast("double"),
+            F.lit(float(lon)),
+            F.lit(float(lat)),
+        ),
+        3,
+    )
+    pts = df.select(d.alias("distance_km"))
+    j = F.broadcast(dim).join(
+        pts,
+        (F.col("distance_km") >= F.col("lo"))
+        & (F.col("distance_km") < F.col("hi")),
+        "left",
+    )
+    return j.groupBy("key").agg(
+        F.count("distance_km").cast("long").alias("doc_count")
+    )

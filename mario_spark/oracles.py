@@ -1842,6 +1842,136 @@ hits AS (SELECT DISTINCT value, key FROM p WHERE prefix = 'ha')
 SELECT value, key FROM hits ORDER BY value, key LIMIT 5
 """
 
+
+# ------------------- round-2: remaining ES agg family + count/constant
+AGG_RARE_TERMS = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2)
+SELECT term AS key, count(*)::BIGINT AS doc_count
+FROM tf GROUP BY 1 HAVING count(*) <= 2
+"""
+
+AGG_MULTI_TERMS = """
+SELECT lang, source, count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1, 2
+ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10
+"""
+
+AGG_ADJACENCY_MATRIX = """
+WITH c AS (
+  SELECT sum(CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_en,
+         sum(CASE WHEN lower(lang) = 'en' AND contains(text, 'hash') THEN 1 ELSE 0 END)::BIGINT AS c_en_hash,
+         sum(CASE WHEN lower(lang) = 'en' AND n_chars < 500 THEN 1 ELSE 0 END)::BIGINT AS c_en_short,
+         sum(CASE WHEN contains(text, 'hash') THEN 1 ELSE 0 END)::BIGINT AS c_hash,
+         sum(CASE WHEN contains(text, 'hash') AND n_chars < 500 THEN 1 ELSE 0 END)::BIGINT AS c_hash_short,
+         sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END)::BIGINT AS c_short
+  FROM documents
+)
+SELECT 'en' AS key, c_en AS doc_count FROM c
+UNION ALL SELECT 'en&has_hash', c_en_hash FROM c
+UNION ALL SELECT 'en&short', c_en_short FROM c
+UNION ALL SELECT 'has_hash', c_hash FROM c
+UNION ALL SELECT 'has_hash&short', c_hash_short FROM c
+UNION ALL SELECT 'short', c_short FROM c
+"""
+
+AGG_AUTO_DATE_HISTOGRAM = """
+WITH span AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+choice AS (
+  SELECT CASE
+    WHEN date_diff('day', mn::DATE, mx::DATE) + 1 <= 40 THEN 'day'
+    WHEN date_diff('month', date_trunc('month', mn), date_trunc('month', mx)) + 1 <= 40 THEN 'month'
+    ELSE 'year' END AS iv
+  FROM span
+)
+SELECT strftime(date_trunc(c.iv, e.ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS doc_count,
+       c.iv AS interval_chosen
+FROM events e, choice c GROUP BY 1, 3
+"""
+
+AGG_GEO_DISTANCE_RINGS = """
+WITH g AS (
+  SELECT doc_id,
+         (doc_id % 360 - 180 + 0.5)::FLOAT::DOUBLE AS lon,
+         ((doc_id * 7) % 170 - 85 + 0.5)::FLOAT::DOUBLE AS lat
+  FROM documents
+),
+d AS (
+  SELECT round(2.0 * 6371.0088 * asin(sqrt(
+           pow(sin((radians(0.0) - radians(lat)) / 2), 2)
+           + cos(radians(lat)) * cos(radians(0.0))
+             * pow(sin((radians(0.0) - radians(lon)) / 2), 2)
+         )), 3) AS distance_km
+  FROM g
+),
+rings(key, lo, hi) AS (VALUES
+  ('0-2000', 0.0, 2000.0),
+  ('2000-5000', 2000.0, 5000.0),
+  ('5000-10000', 5000.0, 10000.0),
+  ('10000+', 10000.0, 'inf'::DOUBLE))
+SELECT r.key, count(d.distance_km)::BIGINT AS doc_count
+FROM rings r LEFT JOIN d
+  ON d.distance_km >= r.lo AND d.distance_km < r.hi
+GROUP BY 1
+"""
+
+AGG_BUCKET_SELECTOR = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         count(*)::BIGINT AS doc_count,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count, sum_value,
+       round(sum_value / doc_count, 4) AS avg_value
+FROM b WHERE round(sum_value / doc_count, 4) > 50.0
+"""
+
+AGG_MAX_BUCKET = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT bucket, sum_value FROM b
+ORDER BY sum_value DESC, bucket ASC LIMIT 1
+"""
+
+
+def match_count_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+q(query_id, term) AS (VALUES {_query_values()}),
+cand AS (
+  SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN toks t USING (term)
+)
+SELECT query_id, count(*)::BIGINT AS total_hits FROM cand GROUP BY 1
+"""
+
+
+def constant_score_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+q(query_id, term) AS (VALUES {_query_values()}),
+cand AS (
+  SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN toks t USING (term)
+),
+r AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY doc_id ASC)::BIGINT AS rank
+  FROM cand
+)
+SELECT query_id, doc_id, 1.2 AS score, rank FROM r WHERE rank <= 10
+"""
+
+
+NEAR_DEDUP_SURVIVORS = f"""
+SELECT doc_id FROM ({DEDUP_COMPONENTS}) c WHERE doc_id = comp
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -1935,4 +2065,14 @@ ORACLES: dict[str, str] = {
     "geo_distance": GEO_DISTANCE,
     "geo_bbox": GEO_BBOX,
     "completion_suggest": COMPLETION_SUGGEST,
+    "agg_rare_terms": AGG_RARE_TERMS,
+    "agg_multi_terms": AGG_MULTI_TERMS,
+    "agg_adjacency_matrix": AGG_ADJACENCY_MATRIX,
+    "agg_auto_date_histogram": AGG_AUTO_DATE_HISTOGRAM,
+    "agg_geo_distance_rings": AGG_GEO_DISTANCE_RINGS,
+    "agg_bucket_selector": AGG_BUCKET_SELECTOR,
+    "agg_max_bucket": AGG_MAX_BUCKET,
+    "match_count": match_count_sql(),
+    "constant_score_topk": constant_score_sql(),
+    "near_dedup_survivors": NEAR_DEDUP_SURVIVORS,
 }

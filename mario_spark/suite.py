@@ -1224,6 +1224,147 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(payloads)
 
 
+# ---------------------------------------------- round-2: remaining ES
+# agg family (rare/multi_terms, adjacency_matrix, auto_date_histogram,
+# geo rings, bucket pipeline), the _count API, constant_score, and the
+# near-dedup survivor set.
+def agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms agg over the corpus dictionary: terms appearing
+    in <= 2 docs. Exact (distributed bucket table), unlike ES's
+    CuckooFilter approximation — see ops/aggs.rare_terms_agg."""
+    from mario_spark.ops import aggs
+
+    tf = query.term_frequencies(_doc_table(spark, sf_dir))
+    return aggs.rare_terms_agg(tf, "term", max_doc_count=2)
+
+
+def agg_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms agg: top-10 (lang, source) composite buckets by
+    doc_count desc (keys asc tiebreak) — TakeOrderedAndProject."""
+    from mario_spark.ops import aggs
+
+    return aggs.multi_terms_agg(
+        _documents(spark, sf_dir), ["lang", "source"], size=10
+    )
+
+
+def agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix agg with 3 named filters (en / has_hash /
+    short — same predicates as agg_filters): 3 singles + 3 pairwise
+    intersections, all in ONE conditional-sum pass."""
+    from mario_spark.ops import aggs
+
+    d = _documents(spark, sf_dir)
+    return aggs.adjacency_matrix_agg(
+        d,
+        {
+            "short": F.col("n_chars") < 500,
+            "en": F.lower("lang") == "en",
+            "has_hash": F.col("text").contains("hash"),
+        },
+    )
+
+
+def agg_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram over events.ts targeting <= 40 buckets:
+    interval chosen from day -> month -> year off a 1-row min/max agg,
+    emitted as interval_chosen so the oracle checks the choice."""
+    from mario_spark.ops import aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.auto_date_histogram(ev, "ts", target_buckets=40)
+
+
+def agg_geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance agg: ring buckets (km from (0,0)) over the same
+    synthesized geopoints as geo_distance; empty rings emitted via the
+    broadcast rings dim."""
+    from mario_spark.ops import geo
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            (F.col("doc_id") % 360 - 180 + 0.5).cast("float"),
+            ((F.col("doc_id") * 7) % 170 - 85 + 0.5).cast("float"),
+        ).alias("geopoint"),
+    )
+    return geo.geo_distance_agg(
+        d,
+        "geopoint",
+        0.0,
+        0.0,
+        [
+            ("0-2000", 0.0, 2000.0),
+            ("2000-5000", 2000.0, 5000.0),
+            ("5000-10000", 5000.0, 10000.0),
+            ("10000+", 10000.0, None),
+        ],
+    )
+
+
+def agg_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script (avg_value = sum/count) + bucket_selector
+    (avg_value > 50) over a daily date_histogram of events — both
+    pipeline stages run on the reduced bucket table."""
+    from mario_spark.ops import aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.bucket_selector_daily(ev, "ts", "value", threshold=50.0)
+
+
+def agg_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES max_bucket sibling agg: the daily bucket with the largest
+    sum(value) (earliest on ties)."""
+    from mario_spark.ops import aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.max_bucket_daily(ev, "ts", "value")
+
+
+def match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _count API: per query of the fixed set, the number of docs
+    matching ANY analyzed term (OR semantics, no scoring). The query
+    terms broadcast into the tf explode; countDistinct(doc_id) is one
+    partial+final agg — no ranking, no window, no doc payload moved."""
+    d = _doc_table(spark, sf_dir)
+    tf = query.term_frequencies(d).select("doc_id", "term")
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("query_id")
+        .agg(F.countDistinct("doc_id").cast("long").alias("total_hits"))
+    )
+
+
+def constant_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score query: every doc matching the filter (any
+    query term) gets score = boost (1.2) — no BM25, no per-term stats.
+    Top-10 per query ranked by doc_id asc (the only total order when
+    all scores tie); rank window partitioned by query_id (parallel)."""
+    d = _doc_table(spark, sf_dir)
+    tf = query.term_frequencies(d).select("doc_id", "term")
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    cand = tf.join(F.broadcast(q), "term").select("query_id", "doc_id").distinct()
+    w = Window.partitionBy("query_id").orderBy(F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .withColumn("score", F.lit(1.2))
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-pipeline payoff of dedup_components: the corpus
+    AFTER near-dedup — one representative (min doc_id) per duplicate
+    cluster, singletons kept. A post-filter on the component labels;
+    no extra shuffle beyond dedup_components itself."""
+    from mario_spark.ops import dedup
+
+    comp = dedup.dedup_components(_documents(spark, sf_dir))
+    return comp.filter(F.col("doc_id") == F.col("comp")).select("doc_id")
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1307,5 +1448,15 @@ SUITE = {
     "search_after_page": search_after_page,
     "geo_distance": geo_distance,
     "geo_bbox": geo_bbox,
+    "agg_rare_terms": agg_rare_terms,
+    "agg_multi_terms": agg_multi_terms,
+    "agg_adjacency_matrix": agg_adjacency_matrix,
+    "agg_auto_date_histogram": agg_auto_date_histogram,
+    "agg_geo_distance_rings": agg_geo_distance_rings,
+    "agg_bucket_selector": agg_bucket_selector,
+    "agg_max_bucket": agg_max_bucket,
+    "match_count": match_count,
+    "constant_score_topk": constant_score_topk,
+    "near_dedup_survivors": near_dedup_survivors,
     "completion_suggest": completion_suggest,
 }

@@ -283,3 +283,54 @@ def test_pack_sequences_windows_by_shard(spark):
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan.replace(" ", "")
+
+
+def test_adjacency_matrix_single_pass_no_join(spark):
+    """All singles + pairwise intersections must come from ONE
+    conditional-sum aggregation over one scan — no joins, no union of
+    per-filter scans."""
+    from mario_spark.suite import agg_adjacency_matrix
+
+    plan = _plan(agg_adjacency_matrix(spark, SF_DIR))
+    assert "Join" not in plan and "Union" not in plan
+    # tree section lists each scan once as "Scan parquet  (n)"
+    assert plan.count("Scan parquet  (") == 1
+
+
+def test_geo_rings_broadcast_dim(spark):
+    """The rings dim must broadcast (empty-ring LEFT join); the doc
+    side must not shuffle into the join."""
+    from mario_spark.suite import agg_geo_distance_rings
+
+    plan = _plan(agg_geo_distance_rings(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multi_terms_take_ordered(spark):
+    from mario_spark.suite import agg_multi_terms
+
+    plan = _plan(agg_multi_terms(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_match_count_broadcasts_queries_no_window(spark):
+    """_count is a pure agg: query terms broadcast, no rank window,
+    no sort anywhere."""
+    from mario_spark.suite import match_count
+
+    plan = _plan(match_count(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "Sort" not in plan.replace(
+        "SortAggregate", ""
+    )
+
+
+def test_bucket_pipeline_aggs_single_scan(spark):
+    """bucket_script + bucket_selector run on the reduced bucket
+    table: one scan of events, no join, no window."""
+    from mario_spark.suite import agg_bucket_selector
+
+    plan = _plan(agg_bucket_selector(spark, SF_DIR))
+    assert plan.count("Scan parquet  (") == 1
+    assert "Join" not in plan and "Window" not in plan
