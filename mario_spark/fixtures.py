@@ -343,6 +343,27 @@ DOCUMENTS_NEAR_SET: list[tuple[int, str]] = [
 ]
 
 
+# Span-query sets (Lucene SpanOrQuery / SpanNotQuery).
+# span_or: a doc matches if ANY alternative phrase occurs; query 2 has
+# one OOV alternative (the live one still matches), query 3 is all-OOV.
+DOCUMENTS_SPAN_OR_SET: list[tuple[int, list[str]]] = [
+    (0, ["table hash", "customer join"]),
+    (1, ["merge group", "vector small"]),
+    (2, ["zzz join", "key stream"]),
+    (3, ["zzz yyy", "qqq www"]),
+]
+
+# span_not: (include phrase, exclude term) — spans widened by pre=1 /
+# post=1 that contain the exclude term are discarded; query 2 excludes
+# an OOV term (pure phrase), query 3 excludes a stopword-frequency term.
+DOCUMENTS_SPAN_NOT_SET: list[tuple[int, str, str]] = [
+    (0, "table hash", "join"),
+    (1, "customer join", "the"),
+    (2, "merge group", "zzz"),
+    (3, "vector small", "a"),
+]
+
+
 def make_pages_query_set(seed: int = 42, n: int = 50) -> list[tuple[int, str]]:
     """F3 query set over the synthetic pages corpus: 20 single-term
     (3 head, 3 rare, 2 OOV), 20 two-term, 10 three/four-term."""

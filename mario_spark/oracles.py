@@ -1972,6 +1972,113 @@ SELECT doc_id FROM ({DEDUP_COMPONENTS}) c WHERE doc_id = comp
 """
 
 
+
+def _span_scaffold_sql(q_rows: list[str], ph_selects: list[str], k: int,
+                       k1: float = 1.2, b: float = 0.75) -> str:
+    """Shared scaffold for span-query oracles: same corpus CTEs and
+    PhraseWeight scoring tail as phrase_topk_sql; callers supply the
+    per-query idf term rows and ptf SELECTs."""
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM docs_t),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::DOUBLE AS len FROM docs_t WHERE len(arr) > 0),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+qidf AS (
+  SELECT q.query_id,
+         sum(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))) AS sidf
+  FROM q JOIN dfr USING (term) CROSS JOIN st
+  GROUP BY 1
+),
+ph AS ({" UNION ALL ".join(ph_selects)}),
+sc AS (
+  SELECT ph.query_id::BIGINT AS query_id, ph.doc_id,
+         qidf.sidf * (ph.ptf * ({k1} + 1.0))
+           / (ph.ptf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) AS raw
+  FROM ph
+  JOIN dl   USING (doc_id)
+  JOIN qidf USING (query_id)
+  CROSS JOIN st
+  WHERE ph.ptf > 0
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def _chain_count_expr(terms: list[str]) -> str:
+    m = len(terms) - 1
+    conds = " AND ".join(
+        f"arr[p + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return (
+        f"len(list_filter(generate_series(1, greatest(len(arr) - {m}, 0)), "
+        f"p -> {conds}))"
+    )
+
+
+def span_or_sql(k: int = 10) -> str:
+    """SpanOrQuery oracle: ptf = Σ per-alternative chain counts; sidf
+    over the DISTINCT terms of every alternative (df > 0 only — the
+    dfr join drops OOV terms, mirroring Lucene's buildSimWeight)."""
+    from mario_spark.fixtures import DOCUMENTS_SPAN_OR_SET
+
+    q_rows, ph_selects = [], []
+    for qid, chains in DOCUMENTS_SPAN_OR_SET:
+        terms_by_chain = [py_tokenize(c) for c in chains]
+        for t in dict.fromkeys(t for ts in terms_by_chain for t in ts):
+            q_rows.append(f"({qid}, '{t}')")
+        parts = " + ".join(
+            _chain_count_expr(ts) for ts in terms_by_chain
+        )
+        ph_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, ({parts})::DOUBLE AS ptf "
+            f"FROM docs_t"
+        )
+    return _span_scaffold_sql(q_rows, ph_selects, k)
+
+
+def span_not_sql(k: int = 10, pre: int = 1, post: int = 1) -> str:
+    """SpanNotQuery oracle: include-chain starts whose span widened by
+    [pre, post] holds no exclude-term occurrence; sidf = include terms
+    only."""
+    from mario_spark.fixtures import DOCUMENTS_SPAN_NOT_SET
+
+    q_rows, ph_selects = [], []
+    for qid, inc, exc in DOCUMENTS_SPAN_NOT_SET:
+        terms = py_tokenize(inc)
+        for t in dict.fromkeys(terms):
+            q_rows.append(f"({qid}, '{t}')")
+        m = len(terms) - 1
+        conds = " AND ".join(
+            f"arr[p + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        no_exc = (
+            f"len(list_filter(generate_series(greatest(p - {pre}, 1), "
+            f"least(p + {m} + {post}, len(arr))), "
+            f"j -> arr[j] = '{exc}')) = 0"
+        )
+        ptf = (
+            f"len(list_filter(generate_series(1, greatest(len(arr) - {m}, 0)), "
+            f"p -> {conds} AND {no_exc}))::DOUBLE"
+        )
+        ph_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, {ptf} AS ptf FROM docs_t"
+        )
+    return _span_scaffold_sql(q_rows, ph_selects, k)
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2075,4 +2182,6 @@ ORACLES: dict[str, str] = {
     "match_count": match_count_sql(),
     "constant_score_topk": constant_score_sql(),
     "near_dedup_survivors": NEAR_DEDUP_SURVIVORS,
+    "span_or_topk": span_or_sql(),
+    "span_not_topk": span_not_sql(),
 }

@@ -427,3 +427,271 @@ def search_phrase(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# --------------------------------------------------------- span queries
+def _chain_match_spans(
+    term_pos: list[np.ndarray], n_terms: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Consecutive-position (slop=0) chain matches -> (starts, ends)
+    position arrays. Same greedy-minimal argument as _chain_match_count
+    specialized to exact phrases: p_j must equal p0 + j."""
+    p0 = term_pos[0].astype(np.int64)
+    alive = np.ones(p0.size, dtype=bool)
+    for j in range(1, n_terms):
+        pj = term_pos[j]
+        idx = np.searchsorted(pj, p0 + j)
+        ok = (idx < pj.size) & (pj[np.minimum(idx, pj.size - 1)] == p0 + j)
+        alive &= ok
+    starts = p0[alive]
+    return starts, starts + (n_terms - 1)
+
+
+def _chain_doc_ptfs(
+    tds: dict, qterms: list[str], deleted: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list]:
+    """One chain against one dbucket: -> (doc_ids, ptf, len, row_idx
+    per term) for candidate docs (doc-id intersection of every member
+    term, tombstones masked). ptf is NOT yet filtered to > 0 — span
+    composition needs the span positions, so callers that only need
+    counts filter themselves."""
+    empty = (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.float64),
+        np.array([], dtype=np.float64),
+        [],
+    )
+    if any(t not in tds for t in qterms):
+        return empty
+    term_tds = [tds[t] for t in qterms]
+    order = np.argsort([td.ids.size for td in term_tds])
+    cand = term_tds[order[0]].ids
+    for oi in order[1:]:
+        cand = cand[np.isin(cand, term_tds[oi].ids, assume_unique=True)]
+        if cand.size == 0:
+            return empty
+    if deleted is not None:
+        cand = cand[~np.isin(cand, deleted, assume_unique=True)]
+        if cand.size == 0:
+            return empty
+    rows_per_term = [np.searchsorted(td.ids, cand) for td in term_tds]
+    n_terms = len(term_tds)
+    ptf = np.zeros(cand.size, dtype=np.float64)
+    lens = np.zeros(cand.size, dtype=np.float64)
+    for ci in range(cand.size):
+        term_pos = [
+            td.positions_of(int(rows_per_term[j][ci]))
+            for j, td in enumerate(term_tds)
+        ]
+        starts, _ = _chain_match_spans(term_pos, n_terms)
+        ptf[ci] = starts.size
+        lens[ci] = float(term_tds[0].lens[int(rows_per_term[0][ci])])
+    return cand, ptf, lens, rows_per_term
+
+
+def _score_and_topk(qid, ids, ptf, dl, sum_idf, avgdl, k, k1, b):
+    """Shared PhraseWeight scoring tail: saturated pseudo-term tf."""
+    keep = ptf > 0
+    ids, ptf, dl = ids[keep], ptf[keep], dl[keep]
+    if ids.size == 0:
+        return None
+    scores = (
+        sum_idf * ptf * (k1 + 1.0)
+        / (ptf + k1 * (1.0 - b + b * dl / avgdl))
+    )
+    top = np.lexsort((ids, -scores))[:k]
+    return (
+        np.full(top.size, qid, dtype=np.int64),
+        ids[top],
+        scores[top],
+    )
+
+
+def search_span_or(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    span_queries: list[tuple[int, list[list[str]]]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    deleted_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene SpanOrQuery over positional postings: a doc matches if
+    ANY alternative phrase chain occurs; freq = total span count across
+    alternatives; weight idf = Σ idf over the DISTINCT present terms of
+    ALL alternatives (SpanWeight.buildSimWeight collects every clause's
+    terms with df > 0, including clauses whose other member is OOV).
+
+    `span_queries` = [(query_id, [[chain terms], ...])]. Plan shape is
+    search_phrase's: term-pruned scan -> per-dbucket kernel -> tiny
+    per-query rank window."""
+    all_terms = sorted(
+        {t for _, chains in span_queries for ch in chains for t in ch}
+    )
+    df_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
+    idf_map = {r["term"]: _idf(float(n_docs), float(r["df"])) for r in df_rows}
+    queries = []
+    for qid, chains in span_queries:
+        sidf = sum(
+            idf_map[t]
+            for t in {t for ch in chains for t in ch}
+            if t in idf_map
+        )
+        live = [ch for ch in chains if all(t in idf_map for t in ch)]
+        if live and sidf > 0:
+            queries.append((qid, live, sidf))
+    cand = postings.filter(F.col("term").isin(all_terms))
+    ad = float(avgdl)
+    deleted = _collect_deleted(deleted_docs)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tds = {
+            t: _PosTermData(g.sort_values("block_id"))
+            for t, g in pdf.groupby("term", sort=False)
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, chains, sidf in queries:
+            freq: dict[int, float] = {}
+            dlen: dict[int, float] = {}
+            for ch in chains:
+                ids, ptf, lens, _ = _chain_doc_ptfs(tds, ch, deleted)
+                for i in range(ids.size):
+                    if ptf[i] > 0:
+                        d = int(ids[i])
+                        freq[d] = freq.get(d, 0.0) + float(ptf[i])
+                        dlen[d] = float(lens[i])
+            if not freq:
+                continue
+            ids = np.array(sorted(freq), dtype=np.int64)
+            ptf = np.array([freq[int(d)] for d in ids], dtype=np.float64)
+            dl = np.array([dlen[int(d)] for d in ids], dtype=np.float64)
+            r = _score_and_topk(qid, ids, ptf, dl, sidf, ad, k, k1, b)
+            if r:
+                out_q.append(r[0]); out_d.append(r[1]); out_s.append(r[2])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def search_span_not(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    span_queries: list[tuple[int, list[str], str]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    pre: int = 1,
+    post: int = 1,
+    k1: float = K1,
+    b: float = B,
+    deleted_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene SpanNotQuery over positional postings: matches of the
+    include phrase chain whose span, widened by `pre` positions before
+    and `post` after, contains NO occurrence of the exclude term.
+    freq = surviving span count; weight idf covers the INCLUDE terms
+    only (the exclusion is match-time filtering, exactly Lucene).
+    An OOV/absent exclude term excludes nothing (pure phrase).
+
+    `span_queries` = [(query_id, [include terms], exclude_term)]."""
+    inc_terms = sorted({t for _, ts, _ in span_queries for t in ts})
+    exc_terms = sorted({x for _, _, x in span_queries})
+    scan_terms = sorted(set(inc_terms) | set(exc_terms))
+    df_rows = dictionary.filter(F.col("term").isin(inc_terms)).collect()
+    idf_map = {r["term"]: _idf(float(n_docs), float(r["df"])) for r in df_rows}
+    queries = [
+        (qid, ts, x, sum(idf_map[t] for t in ts))
+        for qid, ts, x in span_queries
+        if all(t in idf_map for t in ts)
+    ]
+    cand = postings.filter(F.col("term").isin(scan_terms))
+    ad = float(avgdl)
+    deleted = _collect_deleted(deleted_docs)
+    pre_i, post_i = int(pre), int(post)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tds = {
+            t: _PosTermData(g.sort_values("block_id"))
+            for t, g in pdf.groupby("term", sort=False)
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms, xterm, sidf in queries:
+            if any(t not in tds for t in qterms):
+                continue
+            term_tds = [tds[t] for t in qterms]
+            ids_all, _, lens, rows_per_term = _chain_doc_ptfs(
+                tds, qterms, deleted
+            )
+            if ids_all.size == 0:
+                continue
+            xtd = tds.get(xterm)
+            n_terms = len(term_tds)
+            ptf = np.zeros(ids_all.size, dtype=np.float64)
+            for ci in range(ids_all.size):
+                term_pos = [
+                    td.positions_of(int(rows_per_term[j][ci]))
+                    for j, td in enumerate(term_tds)
+                ]
+                starts, ends = _chain_match_spans(term_pos, n_terms)
+                if starts.size == 0:
+                    continue
+                if xtd is not None:
+                    xi = np.searchsorted(xtd.ids, ids_all[ci])
+                    if xi < xtd.ids.size and xtd.ids[xi] == ids_all[ci]:
+                        xpos = xtd.positions_of(int(xi))
+                        lo = np.searchsorted(xpos, starts - pre_i, "left")
+                        hi = np.searchsorted(xpos, ends + post_i, "right")
+                        starts = starts[hi == lo]  # no overlap survives
+                ptf[ci] = starts.size
+            r = _score_and_topk(
+                qid, ids_all, ptf, lens, sidf, ad, k, k1, b
+            )
+            if r:
+                out_q.append(r[0]); out_d.append(r[1]); out_s.append(r[2])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

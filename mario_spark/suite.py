@@ -1365,6 +1365,43 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.filter(F.col("doc_id") == F.col("comp")).select("doc_id")
 
 
+def span_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanOrQuery over positional postings: doc matches if ANY
+    alternative phrase occurs; freq = total spans, idf = distinct
+    present terms of every alternative (phrase.search_span_or)."""
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_SPAN_OR_SET
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    queries = [
+        (qid, [py_tokenize(c) for c in chains])
+        for qid, chains in DOCUMENTS_SPAN_OR_SET
+    ]
+    return ph.search_span_or(
+        post, dic, queries, st["n_docs"], st["avgdl"], k=10
+    )
+
+
+def span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNotQuery: include-phrase spans widened by pre=1 /
+    post=1 that contain the exclude term are discarded; freq =
+    surviving spans, idf = include terms only
+    (phrase.search_span_not)."""
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_SPAN_NOT_SET
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    queries = [
+        (qid, py_tokenize(inc), exc)
+        for qid, inc, exc in DOCUMENTS_SPAN_NOT_SET
+    ]
+    return ph.search_span_not(
+        post, dic, queries, st["n_docs"], st["avgdl"], k=10, pre=1, post=1
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1458,5 +1495,7 @@ SUITE = {
     "match_count": match_count,
     "constant_score_topk": constant_score_topk,
     "near_dedup_survivors": near_dedup_survivors,
+    "span_or_topk": span_or_topk,
+    "span_not_topk": span_not_topk,
     "completion_suggest": completion_suggest,
 }
