@@ -531,3 +531,57 @@ def url_dedup(documents_with_url: DataFrame) -> DataFrame:
         F.min("doc_id").over(w).alias("keeper_doc_id"),
         F.count("*").over(w).cast("long").alias("group_size"),
     )
+
+
+def dup_ngram_stats(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Cross-document duplicated n-gram fraction — the doc-level signal
+    behind exact-substring dedup (Lee et al. 2022) and RefinedWeb's
+    dup_ngram_frac filters: for each doc, the fraction of its token
+    n-gram occurrences whose gram also appears in at least one OTHER
+    document. -> (doc_id, n_grams, dup_frac); docs shorter than n
+    tokens emit (0, 0.0).
+
+    Scale shape: gram occurrences reduce per (doc_id, digest) FIRST
+    (map-side combine; the shuffle carries md5 digests + counts, never
+    text), per-digest doc-frequency is a second digest-keyed agg, and
+    grams occurring in >1 doc join back digest-keyed before ONE final
+    doc_id agg. No broadcast of the gram table (it is corpus-sized),
+    no all-pairs anything — three bounded hash shuffles total.
+    """
+    gram_expr = F.expr(
+        f"transform(sequence(1, size(arr) - {n - 1}), "
+        f"p -> md5(concat_ws(' ', slice(arr, p, {n}))))"
+    )
+    base = documents.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+        ).alias("arr"),
+    ).select(
+        "doc_id",
+        F.greatest(F.size("arr") - (n - 1), F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
+        "arr",
+    )
+    grams = (
+        base.filter(F.col("n_grams") > 0)
+        .select("doc_id", F.explode(gram_expr).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    gdf = grams.groupBy("g").agg(F.count("*").alias("doc_df"))
+    dup = (
+        grams.join(gdf.filter(F.col("doc_df") > 1).select("g"), "g")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("dup_occ"))
+    )
+    return base.select("doc_id", "n_grams").join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            F.coalesce(F.col("dup_occ"), F.lit(0))
+            / F.greatest(F.col("n_grams"), F.lit(1)),
+            4,
+        ).alias("dup_frac"),
+    )

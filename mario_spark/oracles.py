@@ -2079,6 +2079,35 @@ def span_not_sql(k: int = 10, pre: int = 1, post: int = 1) -> str:
     return _span_scaffold_sql(q_rows, ph_selects, k)
 
 
+
+DUP_NGRAM_FRAC = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS arr
+  FROM documents
+),
+base AS (
+  SELECT doc_id, greatest(len(arr) - 7, 0)::BIGINT AS n_grams, arr FROM arrs
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - 7),
+                p -> md5(array_to_string(arr[p:p+7], ' ')))) AS g
+  FROM base WHERE n_grams > 0
+),
+per_doc AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2),
+gdf AS (SELECT g, count(*) AS doc_df FROM per_doc GROUP BY 1),
+dup AS (
+  SELECT doc_id, sum(cnt) AS dup_occ
+  FROM per_doc JOIN gdf USING (g)
+  WHERE gdf.doc_df > 1
+  GROUP BY 1
+)
+SELECT b.doc_id, b.n_grams,
+       round(coalesce(d.dup_occ, 0) / greatest(b.n_grams, 1), 4) AS dup_frac
+FROM base b LEFT JOIN dup d USING (doc_id)
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2184,4 +2213,5 @@ ORACLES: dict[str, str] = {
     "near_dedup_survivors": NEAR_DEDUP_SURVIVORS,
     "span_or_topk": span_or_sql(),
     "span_not_topk": span_not_sql(),
+    "dup_ngram_frac": DUP_NGRAM_FRAC,
 }

@@ -1402,6 +1402,14 @@ def span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated 8-gram fraction per doc (exact-substring
+    dedup signal, Lee et al. 2022 / RefinedWeb) — ops/dedup.dup_ngram_stats."""
+    from mario_spark.ops import dedup
+
+    return dedup.dup_ngram_stats(_documents(spark, sf_dir), n=8)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1497,5 +1505,6 @@ SUITE = {
     "near_dedup_survivors": near_dedup_survivors,
     "span_or_topk": span_or_topk,
     "span_not_topk": span_not_topk,
+    "dup_ngram_frac": dup_ngram_frac,
     "completion_suggest": completion_suggest,
 }
