@@ -583,3 +583,40 @@ def max_bucket_daily(
         F.round(F.sum(value_col), 2).alias("sum_value")
     )
     return g.orderBy(F.desc("sum_value"), F.asc("bucket")).limit(1)
+
+
+def percentile_ranks_agg(
+    df: DataFrame, key_col: str, metric_col: str, values: list[float]
+) -> DataFrame:
+    """ES percentile_ranks aggregation: for each given value v, the
+    percent of observations <= v, per bucket. Each rank is an algebraic
+    conditional mean (avg of an indicator * 100) — the whole set of
+    ranks rides ONE partial+final hash agg, one double per (bucket,
+    value) across the shuffle. Exact, not TDigest: the sketch exists in
+    ES because coordinating nodes merge per-shard digests; a
+    distributed agg computes the true fraction directly."""
+    m = F.col(metric_col).cast("double")
+    aggs = [
+        F.round(
+            F.avg(F.when(m <= float(v), 1.0).otherwise(0.0)) * 100.0, 4
+        ).alias(f"pr_{int(v)}")
+        for v in values
+    ]
+    return df.groupBy(F.col(key_col).alias("key")).agg(*aggs)
+
+
+def weighted_avg_agg(
+    df: DataFrame, key_col: str, value_col, weight_col
+) -> DataFrame:
+    """ES weighted_avg aggregation: sum(value*weight)/sum(weight) per
+    bucket — two algebraic sums in one hash agg. Rows with NULL value
+    or weight are skipped (the ES contract for missing-less configs):
+    the product is NULL and sum() ignores NULLs on both engines."""
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    v, w = v.cast("double"), w.cast("double")
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.round(
+            F.sum(v * w) / F.sum(F.when(v.isNotNull(), w)), 4
+        ).alias("weighted_avg")
+    )

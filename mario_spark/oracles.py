@@ -2108,6 +2108,28 @@ FROM base b LEFT JOIN dup d USING (doc_id)
 """
 
 
+
+AGG_PERCENTILE_RANKS = """
+SELECT lang AS key,
+       round(avg(CASE WHEN n_chars::DOUBLE <= 500.0 THEN 1.0 ELSE 0.0 END) * 100.0, 4) AS pr_500,
+       round(avg(CASE WHEN n_chars::DOUBLE <= 2000.0 THEN 1.0 ELSE 0.0 END) * 100.0, 4) AS pr_2000
+FROM documents GROUP BY 1
+"""
+
+AGG_WEIGHTED_AVG = """
+WITH w AS (
+  SELECT event_type,
+         value::DOUBLE AS v,
+         json_extract(props, '$.k')::DOUBLE AS w
+  FROM events
+)
+SELECT event_type AS key,
+       round(sum(v * w) / sum(CASE WHEN v IS NOT NULL THEN w END), 4)
+         AS weighted_avg
+FROM w GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2214,4 +2236,9 @@ ORACLES: dict[str, str] = {
     "span_or_topk": span_or_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
+    "agg_percentile_ranks": AGG_PERCENTILE_RANKS,
+    "agg_weighted_avg": AGG_WEIGHTED_AVG,
+    "terms_lookup_topk": bm25_topk_sql(
+        filter_sql="SELECT vec_id AS doc_id FROM embeddings WHERE label = 3"
+    ),
 }

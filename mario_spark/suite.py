@@ -1410,6 +1410,41 @@ def dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_ngram_stats(_documents(spark, sf_dir), n=8)
 
 
+def agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks (values 500, 2000 over n_chars, per lang):
+    exact conditional means in one hash agg — ops/aggs."""
+    from mario_spark.ops import aggs
+
+    return aggs.percentile_ranks_agg(
+        _documents(spark, sf_dir), "lang", "n_chars", [500, 2000]
+    )
+
+
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg of events.value weighted by the JSON prop k,
+    per event_type — sum(v*w)/sum(w) in one hash agg."""
+    from mario_spark.ops import aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.get_json_object("props", "$.k")
+    return aggs.weighted_avg_agg(ev, "event_type", F.col("value"), w)
+
+
+def terms_lookup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms lookup: the filter id set comes from ANOTHER index
+    (embeddings rows with label = 3 -> vec_id), exactly the
+    cross-index terms-lookup shape; BM25 scoring stats stay corpus-wide
+    (filter context, query.search_filtered)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    lookup = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("label") == 3)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return query.search_filtered(d, q, lookup, k=10)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1506,5 +1541,8 @@ SUITE = {
     "span_or_topk": span_or_topk,
     "span_not_topk": span_not_topk,
     "dup_ngram_frac": dup_ngram_frac,
+    "agg_percentile_ranks": agg_percentile_ranks,
+    "agg_weighted_avg": agg_weighted_avg,
+    "terms_lookup_topk": terms_lookup_topk,
     "completion_suggest": completion_suggest,
 }
