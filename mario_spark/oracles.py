@@ -2130,6 +2130,54 @@ FROM w GROUP BY 1
 """
 
 
+
+def _sampler_sql(diversified: bool, k1: float = 1.2, b: float = 0.75) -> str:
+    """sampler / diversified_sampler oracle: BM25-scored candidates,
+    optional per-(query, lang) cap, top-N sample window, terms
+    sub-agg over the sample."""
+    div_cte = ""
+    src = "scl"
+    if diversified:
+        div_cte = """
+div AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, lang
+                               ORDER BY score DESC, doc_id ASC) AS dr
+  FROM scl
+),
+divc AS (SELECT * FROM div WHERE dr <= 2),"""
+        src = "divc"
+    n = 20 if diversified else 50
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         round(sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ), 4) AS score
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+scl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),{div_cte}
+smp AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM {src}
+)
+SELECT query_id, lang AS key, count(*)::BIGINT AS doc_count
+FROM smp WHERE rnk <= {n}
+GROUP BY 1, 2
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2238,6 +2286,8 @@ ORACLES: dict[str, str] = {
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,
     "agg_weighted_avg": AGG_WEIGHTED_AVG,
+    "agg_sampler_terms": _sampler_sql(False),
+    "agg_diversified_sampler": _sampler_sql(True),
     "terms_lookup_topk": bm25_topk_sql(
         filter_sql="SELECT vec_id AS doc_id FROM embeddings WHERE label = 3"
     ),

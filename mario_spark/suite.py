@@ -1445,6 +1445,67 @@ def terms_lookup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.search_filtered(d, q, lookup, k=10)
 
 
+def _sampler_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score, lang) BM25-scored candidates with the
+    doc's keyword field attached — shared by the sampler aggs. The
+    rank windows partition per query (parallel); the lang attach is a
+    broadcast of the TINY sampled side into the corpus dim."""
+    from mario_spark.docs import corpus_stats
+
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    tf = query.term_frequencies(d)
+    dfreq = query.doc_frequencies(tf)
+    st = corpus_stats(d)
+    scored = query.bm25_scores(tf, dfreq, st, q).withColumn(
+        "score", F.round("score", 4)
+    )
+    langs = _documents(spark, sf_dir).select("doc_id", "lang")
+    return scored.join(langs, "doc_id")
+
+
+def agg_sampler_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler agg (shard_size=50) + terms sub-agg: the terms
+    buckets are computed over only the top-50 BM25 hits per query —
+    the ES pattern for cheap aggs over the head of a result set.
+    Sample = per-query rank window (rounded score desc, doc_id asc),
+    then one hash agg over the tiny sample."""
+    sc = _sampler_base(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    sample = sc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 50
+    )
+    return sample.groupBy(
+        "query_id", F.col("lang").alias("key")
+    ).agg(F.count("*").cast("long").alias("doc_count"))
+
+
+def agg_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler (field=lang, max_docs_per_value=2,
+    shard_size=20) + terms sub-agg: a per-(query, lang) rank window
+    caps each lang at 2 docs BEFORE the top-20 sample window — the
+    de-duplicated head ES uses to stop one dominant key from flooding
+    the sample. Both windows are query-partitioned (parallel)."""
+    sc = _sampler_base(spark, sf_dir)
+    wdiv = Window.partitionBy("query_id", "lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    div = sc.withColumn("dr", F.row_number().over(wdiv)).filter(
+        F.col("dr") <= 2
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    sample = div.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 20
+    )
+    return sample.groupBy(
+        "query_id", F.col("lang").alias("key")
+    ).agg(F.count("*").cast("long").alias("doc_count"))
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1544,5 +1605,7 @@ SUITE = {
     "agg_percentile_ranks": agg_percentile_ranks,
     "agg_weighted_avg": agg_weighted_avg,
     "terms_lookup_topk": terms_lookup_topk,
+    "agg_sampler_terms": agg_sampler_terms,
+    "agg_diversified_sampler": agg_diversified_sampler,
     "completion_suggest": completion_suggest,
 }
