@@ -186,3 +186,67 @@ def geo_distance_agg(
     return j.groupBy("key").agg(
         F.count("distance_km").cast("long").alias("doc_count")
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int) -> str:
+    """Generated SQL for a standard geohash (base32, bits alternate
+    lon-first) of `precision` chars. Pure arithmetic — floor/mod/least
+    only, no bit operators — so the SAME string runs in Spark
+    (whole-stage codegen) and DuckDB (the oracle), bit-identical. The
+    classic bisection loop closes to cell indexes: lon_idx =
+    floor((lon+180)/360 * 2^lon_bits) (clamped at the +180 edge), and
+    global bit g (MSB-first) alternates lon/lat bits of those indexes.
+    Catalyst/DuckDB CSE collapses the repeated index subexpressions."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_idx = (
+        f"cast(least(floor((({lon_expr}) + 180.0) / 360.0 * {1 << lon_bits}),"
+        f" {(1 << lon_bits) - 1}) as bigint)"
+    )
+    lat_idx = (
+        f"cast(least(floor((({lat_expr}) + 90.0) / 180.0 * {1 << lat_bits}),"
+        f" {(1 << lat_bits) - 1}) as bigint)"
+    )
+
+    def bit(g: int) -> str:
+        if g % 2 == 0:
+            j = g // 2
+            return f"mod(floor({lon_idx} / {1 << (lon_bits - 1 - j)}), 2)"
+        j = (g - 1) // 2
+        return f"mod(floor({lat_idx} / {1 << (lat_bits - 1 - j)}), 2)"
+
+    chars = []
+    for c in range(precision):
+        val = " + ".join(
+            f"{1 << (4 - k)} * {bit(5 * c + k)}" for k in range(5)
+        )
+        chars.append(
+            f"substr('{GEOHASH_ALPHABET}', cast({val} as int) + 1, 1)"
+        )
+    return "concat(" + ", ".join(chars) + ")"
+
+
+def geohash_grid_agg(
+    df: DataFrame,
+    geopoint_col: str,
+    precision: int = 4,
+    size: int = 10,
+) -> DataFrame:
+    """ES geohash_grid aggregation: top-`size` geohash cells by
+    doc_count (key asc tiebreak). The cell key is pure JVM arithmetic
+    (geohash_sql — no UDF), so this is one projection + hash agg +
+    TakeOrderedAndProject, the same shape as geotile_grid_agg."""
+    g = F.col(geopoint_col)
+    d = df.select(
+        g.getItem(0).cast("double").alias("_lon"),
+        g.getItem(1).cast("double").alias("_lat"),
+    )
+    key = F.expr(geohash_sql("_lon", "_lat", precision))
+    out = d.groupBy(key.alias("key")).agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)

@@ -2178,6 +2178,23 @@ GROUP BY 1, 2
 """
 
 
+
+def _geohash_grid_sql() -> str:
+    from mario_spark.ops.geo import geohash_sql
+
+    gh = geohash_sql("lon", "lat", 4)
+    return f"""
+WITH g AS (
+  SELECT (doc_id % 360 - 180 + 0.5)::FLOAT::DOUBLE AS lon,
+         ((doc_id * 7) % 170 - 85 + 0.5)::FLOAT::DOUBLE AS lat
+  FROM documents
+)
+SELECT {gh} AS key, count(*)::BIGINT AS doc_count
+FROM g GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2286,6 +2303,7 @@ ORACLES: dict[str, str] = {
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,
     "agg_weighted_avg": AGG_WEIGHTED_AVG,
+    "agg_geohash_grid": _geohash_grid_sql(),
     "agg_sampler_terms": _sampler_sql(False),
     "agg_diversified_sampler": _sampler_sql(True),
     "terms_lookup_topk": bm25_topk_sql(

@@ -1506,6 +1506,23 @@ def agg_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("long").alias("doc_count"))
 
 
+def agg_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohash_grid agg (precision 4) over the synthesized
+    geopoints: cell key from the shared arithmetic-only geohash_sql
+    generator (bit-identical in DuckDB), hash agg +
+    TakeOrderedAndProject."""
+    from mario_spark.ops import geo
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            (F.col("doc_id") % 360 - 180 + 0.5).cast("float"),
+            ((F.col("doc_id") * 7) % 170 - 85 + 0.5).cast("float"),
+        ).alias("geopoint"),
+    )
+    return geo.geohash_grid_agg(d, "geopoint", precision=4, size=10)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1607,5 +1624,6 @@ SUITE = {
     "terms_lookup_topk": terms_lookup_topk,
     "agg_sampler_terms": agg_sampler_terms,
     "agg_diversified_sampler": agg_diversified_sampler,
+    "agg_geohash_grid": agg_geohash_grid,
     "completion_suggest": completion_suggest,
 }
