@@ -176,3 +176,54 @@ def winnow_fingerprints(documents: DataFrame) -> DataFrame:
         F.countDistinct("wm").cast("long").alias("n_fp"),
         F.min("wm").alias("fp_min"),
     )
+
+
+def importance_scores(tf: DataFrame, target_ids: DataFrame) -> DataFrame:
+    """Data-selection importance score (the DSIR / Moore-Lewis family):
+    per-doc length-normalized log-likelihood ratio between a unigram LM
+    of a TARGET slice and the corpus LM —
+    score(d) = Σ_t tf_d(t)·[ln p_target(t) − ln p_corpus(t)] / len(d),
+    add-one smoothing over the corpus vocabulary. Docs scoring high
+    look like the target domain; a training pipeline resamples by this
+    weight (Xie et al. 2023; Moore & Lewis 2010).
+
+    `tf` = (doc_id, term, tf, len) (query.term_frequencies output),
+    `target_ids` = (doc_id) rows defining the target slice.
+
+    Scale shape: both LMs are term-keyed aggs (vocab-sized, carries
+    counts only); the log-ratio dim joins back term-keyed onto the tf
+    stream, then ONE doc_id agg. Three bounded hash shuffles, text
+    never moves; the only collects are three 1-row scalar aggs.
+    """
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    target_tf = (
+        tf.join(F.broadcast(target_ids.select("doc_id")), "doc_id", "leftsemi")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ttf"))
+    )
+    row = corpus.agg(
+        F.sum("ctf").alias("nc"), F.count("*").alias("v")
+    ).collect()[0]
+    nc, v = float(row["nc"]), float(row["v"])
+    nt = float(
+        target_tf.agg(F.sum("ttf").alias("nt")).collect()[0]["nt"] or 0.0
+    )
+    lr = (
+        corpus.join(target_tf, "term", "left")
+        .select(
+            "term",
+            (
+                F.log((F.coalesce(F.col("ttf"), F.lit(0.0)) + 1.0) / (nt + v))
+                - F.log((F.col("ctf") + 1.0) / (nc + v))
+            ).alias("lr"),
+        )
+    )
+    return (
+        tf.join(lr, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.col("lr")) / F.first("len"), 4
+            ).alias("imp_score")
+        )
+    )

@@ -2195,6 +2195,32 @@ ORDER BY doc_count DESC, key ASC LIMIT 10
 """
 
 
+
+IMPORTANCE_SCORE = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY 1),
+corpus AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+tot AS (SELECT sum(ctf) AS nc, count(*)::DOUBLE AS v FROM corpus),
+tgt AS (SELECT doc_id FROM documents WHERE source = 'src1'),
+ttf AS (
+  SELECT term, sum(tf) AS ttf FROM tf SEMI JOIN tgt USING (doc_id) GROUP BY 1
+),
+ntot AS (SELECT coalesce(sum(ttf), 0.0) AS nt FROM ttf),
+lr AS (
+  SELECT c.term,
+         ln((coalesce(t.ttf, 0.0) + 1.0) / (ntot.nt + tot.v))
+       - ln((c.ctf + 1.0) / (tot.nc + tot.v)) AS lr
+  FROM corpus c LEFT JOIN ttf t USING (term)
+  CROSS JOIN tot CROSS JOIN ntot
+)
+SELECT tf.doc_id,
+       round(sum(tf.tf * lr.lr) / any_value(dl.len), 4) AS imp_score
+FROM tf JOIN lr USING (term) JOIN dl USING (doc_id)
+GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2304,6 +2330,7 @@ ORACLES: dict[str, str] = {
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,
     "agg_weighted_avg": AGG_WEIGHTED_AVG,
     "agg_geohash_grid": _geohash_grid_sql(),
+    "importance_score": IMPORTANCE_SCORE,
     "agg_sampler_terms": _sampler_sql(False),
     "agg_diversified_sampler": _sampler_sql(True),
     "terms_lookup_topk": bm25_topk_sql(

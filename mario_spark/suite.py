@@ -1523,6 +1523,22 @@ def agg_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.geohash_grid_agg(d, "geopoint", precision=4, size=10)
 
 
+def importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR/Moore-Lewis importance score per doc vs a target slice
+    (source = src1 as the deterministic target-domain stand-in) —
+    ops/textstats.importance_scores."""
+    from mario_spark.ops import textstats
+
+    d = _doc_table(spark, sf_dir)
+    tf = query.term_frequencies(d)
+    target = (
+        _documents(spark, sf_dir)
+        .filter(F.col("source") == "src1")
+        .select("doc_id")
+    )
+    return textstats.importance_scores(tf, target)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1625,5 +1641,6 @@ SUITE = {
     "agg_sampler_terms": agg_sampler_terms,
     "agg_diversified_sampler": agg_diversified_sampler,
     "agg_geohash_grid": agg_geohash_grid,
+    "importance_score": importance_score,
     "completion_suggest": completion_suggest,
 }
