@@ -262,3 +262,53 @@ def compact_segments(
     if deleted is not None:
         index.clear_deletes()
     return new_id
+
+
+def select_tiered_merge(
+    index: Index,
+    max_per_tier: int = 4,
+    tier_factor: float = 10.0,
+) -> list[int] | None:
+    """Lucene-TieredMergePolicy-shaped merge selection: segments are
+    binned into size tiers by floor(log_{tier_factor}(n_docs)); when a
+    tier accumulates >= max_per_tier segments, the max_per_tier
+    SMALLEST of that tier (doc-count asc, seg-id asc — deterministic)
+    are selected for one merge. Lowest tier wins first, so write
+    amplification stays O(log N) per doc over the index's lifetime —
+    the reason Lucene merges tier-by-tier instead of always-everything.
+    Reads only the segment commit markers (no data scan). Returns the
+    seg-id list or None when no tier is over-full."""
+    import math
+
+    p = index.paths
+    sizes: list[tuple[int, int]] = []
+    for s in p.committed_segments():
+        m = _read_json(p.seg_meta(s)) or {}
+        sizes.append((s, int(m.get("n_docs", 0))))
+    tiers: dict[int, list[tuple[int, int]]] = {}
+    for s, n in sizes:
+        t = int(math.floor(math.log(max(n, 1)) / math.log(tier_factor)))
+        tiers.setdefault(t, []).append((s, n))
+    for t in sorted(tiers):
+        if len(tiers[t]) >= max_per_tier:
+            chosen = sorted(tiers[t], key=lambda sn: (sn[1], sn[0]))
+            return sorted(s for s, _ in chosen[:max_per_tier])
+    return None
+
+
+def maybe_merge(
+    index: Index,
+    max_per_tier: int = 4,
+    tier_factor: float = 10.0,
+) -> int | None:
+    """Run one tiered-policy merge round if a tier is over-full:
+    compacts the selected segments into one new segment and returns its
+    id (None = nothing to do). Tombstones are purged only when the
+    selection happens to cover every committed segment (the
+    compact_segments safety rule); partial merges keep them masked."""
+    sel = select_tiered_merge(index, max_per_tier, tier_factor)
+    if sel is None:
+        return None
+    full = set(sel) == set(index.paths.committed_segments())
+    purge = full and index.deleted_ids() is not None
+    return compact_segments(index, sel, purge_deletes=purge)

@@ -89,3 +89,43 @@ def test_ingest_from_html_extraction_matches_text(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(pa, pb)
     pages.unpersist()
+
+
+def test_tiered_merge_policy(spark, tmp_path):
+    """Tiered merge selection: four small appended segments in the same
+    size tier merge into one (the big base segment stays untouched);
+    results are rank-identical before/after; a second round is a no-op."""
+    from mario_spark.merge import maybe_merge, select_tiered_merge
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    pages = pages_df(spark, 680, seed=27, partitions=4).persist()
+    doc_num = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+
+    idx = cat.create("tier-2026-01-01t00-00-00z")
+    idx.ingest(pages.filter(doc_num < 600), segment_docs=1024)
+    for i in range(4):  # four ~20-doc appends -> same low tier
+        idx.append(
+            pages.filter((doc_num >= 600 + 20 * i) & (doc_num < 620 + 20 * i))
+        )
+    segs_before = idx.paths.committed_segments()
+    assert len(segs_before) == 5
+
+    sel = select_tiered_merge(idx, max_per_tier=4, tier_factor=10.0)
+    assert sel is not None and len(sel) == 4
+    big = segs_before[0]
+    assert big not in sel  # the 600-doc segment is in a higher tier
+
+    q = query_terms_df(spark, make_pages_query_set(seed=27, n=10))
+    before = _canon(idx.search(q, k=10))
+
+    new_id = maybe_merge(idx, max_per_tier=4, tier_factor=10.0)
+    assert new_id is not None
+    segs_after = idx.paths.committed_segments()
+    assert len(segs_after) == 2 and big in segs_after
+
+    idx2 = cat.open("tier-2026-01-01t00-00-00z")
+    after = _canon(idx2.search(q, k=10))
+    pd.testing.assert_frame_equal(before, after)
+
+    # no tier is over-full any more
+    assert select_tiered_merge(idx2, max_per_tier=4, tier_factor=10.0) is None
