@@ -2221,6 +2221,27 @@ GROUP BY 1
 """
 
 
+
+ANALYZE_TEXT = f"""
+WITH arrs AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents WHERE doc_id < 5
+)
+SELECT doc_id, p::BIGINT AS pos, arr[p] AS token
+FROM arrs, unnest(generate_series(1, len(arr))) AS u(p)
+"""
+
+DOMAIN_MIXTURE_WEIGHTS = """
+WITH g AS (
+  SELECT source AS key, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+),
+z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM g)
+SELECT key, n_docs, round(pow(n_docs, 0.7) / z.z, 6) AS weight
+FROM g CROSS JOIN z
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2331,6 +2352,8 @@ ORACLES: dict[str, str] = {
     "agg_weighted_avg": AGG_WEIGHTED_AVG,
     "agg_geohash_grid": _geohash_grid_sql(),
     "importance_score": IMPORTANCE_SCORE,
+    "analyze_text": ANALYZE_TEXT,
+    "domain_mixture_weights": DOMAIN_MIXTURE_WEIGHTS,
     "agg_sampler_terms": _sampler_sql(False),
     "agg_diversified_sampler": _sampler_sql(True),
     "terms_lookup_topk": bm25_topk_sql(

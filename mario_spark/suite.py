@@ -1539,6 +1539,39 @@ def importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.importance_scores(tf, target)
 
 
+def analyze_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze API: the standard-analyzer token stream WITH
+    positions for a handful of docs (doc_id < 5) — (doc_id, pos,
+    token), 1-based positions. posexplode keeps it one JVM-side
+    projection; the doc_id filter pushes to the parquet scan."""
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < 5)
+    toks = d.select("doc_id", analyze.tokenize_udf("text").alias("arr"))
+    return toks.select(
+        "doc_id", F.posexplode("arr").alias("p", "token")
+    ).select(
+        "doc_id", (F.col("p") + 1).cast("long").alias("pos"), "token"
+    )
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix domain weights (DoReMi-lite / alpha-smoothed
+    sampling, alpha=0.7): per source, weight ∝ n_docs^0.7 normalized to
+    sum 1 — the standard recipe for flattening a long-tailed domain
+    distribution before sampling. One hash agg + a broadcast 1-row
+    total; O(#domains) rows."""
+    g = (
+        _documents(spark, sf_dir)
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = g.agg(F.sum(F.pow("n_docs", 0.7)).alias("z"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_docs",
+        F.round(F.pow("n_docs", 0.7) / F.col("z"), 6).alias("weight"),
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1642,5 +1675,7 @@ SUITE = {
     "agg_diversified_sampler": agg_diversified_sampler,
     "agg_geohash_grid": agg_geohash_grid,
     "importance_score": importance_score,
+    "analyze_text": analyze_text,
+    "domain_mixture_weights": domain_mixture_weights,
     "completion_suggest": completion_suggest,
 }
