@@ -272,3 +272,84 @@ def search_field(
         conjunctive=conjunctive,
         deleted_docs=deleted_docs,
     )
+
+
+def search_cross_fields(
+    fdocs: DataFrame,
+    query_terms: DataFrame,
+    boosts: dict[str, float],
+    k: int = 10,
+    k1: float = None,
+    b: float = None,
+) -> DataFrame:
+    """ES multi_match type=cross_fields (term-centric, Lucene
+    BlendedTermQuery): the searched fields act as ONE field per term —
+    df is blended to the MAX df across fields (capped at each field's
+    docCount, as BlendedTermQuery caps at maxDoc), each (term, field)
+    scores BM25 with the blended idf but the FIELD's own length
+    normalization and boost, the best field wins per (query, term, doc)
+    (per-term dis_max, tie_breaker=0), and the doc score is the sum
+    over query terms. This fixes most_fields' failure mode where a term
+    rare in one field gets an inflated idf there ("albino elephant").
+
+    Plan shape: per-field tf frames are term-pruned by the broadcast
+    (query ⋈ blended-df) dim; the per-term max and per-doc sum are two
+    hash aggs over candidates only."""
+    from mario_spark.query import B, K1, topk
+
+    k1 = K1 if k1 is None else k1
+    b = B if b is None else b
+    per_field, df_frames = [], []
+    for field, boost in boosts.items():
+        fd = fdocs.filter(F.col("field") == field).filter(F.col("len") > 0)
+        tf = fd.select(
+            "doc_id", "len", F.explode("tf_map").alias("term", "raw_tf")
+        ).select(
+            "doc_id", "term", F.col("raw_tf").cast("double").alias("tf"), "len"
+        )
+        dfreq = tf.groupBy("term").agg(
+            F.count("*").cast("double").alias("df")
+        )
+        st = fd.agg(
+            F.count("*").cast("double").alias("n"), F.avg("len").alias("a")
+        ).collect()[0]
+        per_field.append((field, float(boost), tf, float(st["n"]), float(st["a"])))
+        df_frames.append(dfreq)
+    bdf = df_frames[0]
+    for d in df_frames[1:]:
+        bdf = bdf.unionByName(d)
+    bdf = bdf.groupBy("term").agg(F.max("df").alias("bdf"))
+    parts = []
+    for field, boost, tf, n_docs, avgdl in per_field:
+        qd = (
+            query_terms.join(bdf, "term")
+            .withColumn("dfc", F.least(F.col("bdf"), F.lit(n_docs)))
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5)
+                ),
+            )
+            .select("query_id", "term", "idf")
+        )
+        scored = tf.join(F.broadcast(qd), "term").select(
+            "query_id",
+            "term",
+            "doc_id",
+            (
+                F.lit(boost)
+                * F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("len") / avgdl))
+            ).alias("c"),
+        )
+        parts.append(scored)
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    best = allf.groupBy("query_id", "term", "doc_id").agg(
+        F.max("c").alias("c")
+    )
+    total = best.groupBy("query_id", "doc_id").agg(F.sum("c").alias("score"))
+    return topk(total, k=k)

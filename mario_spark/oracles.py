@@ -2242,6 +2242,63 @@ FROM g CROSS JOIN z
 """
 
 
+
+def cross_fields_sql(
+    fields: list[tuple[str, str, float]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """cross_fields oracle: blended df = max across fields (capped at
+    the field's docCount), per-(query, term, doc) best field, per-doc
+    sum — mirrors fields.search_cross_fields exactly."""
+    ctes, df_unions, contribs = [], [], []
+    for name, expr, boost in fields:
+        ctes.append(f"""
+toks_{name} AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(nfc_normalize({expr})), '{_TOK}')) AS term
+  FROM documents
+),
+tf_{name} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks_{name} GROUP BY 1, 2),
+dl_{name} AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks_{name} GROUP BY 1),
+st_{name} AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl_{name}),
+dfr_{name} AS (SELECT term, count(*)::DOUBLE AS df FROM tf_{name} GROUP BY 1)""")
+        df_unions.append(f"SELECT term, df FROM dfr_{name}")
+        contribs.append(f"""
+SELECT q.query_id::BIGINT AS query_id, tf.term, tf.doc_id,
+       {boost} * ln(1.0 + (st.n_docs - least(bdf.bdf, st.n_docs) + 0.5)
+                        / (least(bdf.bdf, st.n_docs) + 0.5))
+       * (tf.tf * ({k1} + 1.0))
+       / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) AS c
+FROM q
+JOIN tf_{name} tf USING (term)
+JOIN bdf USING (term)
+JOIN dl_{name} dl ON tf.doc_id = dl.doc_id
+CROSS JOIN st_{name} st""")
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{", ".join(ctes)},
+bdf AS (
+  SELECT term, max(df) AS bdf
+  FROM ({" UNION ALL ".join(df_unions)}) GROUP BY 1
+),
+contrib AS ({" UNION ALL ".join(contribs)}),
+best AS (
+  SELECT query_id, term, doc_id, max(c) AS c
+  FROM contrib GROUP BY 1, 2, 3
+),
+comb AS (SELECT query_id, doc_id, sum(c) AS raw FROM best GROUP BY 1, 2),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2287,6 +2344,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk_title": bm25_field_sql("substr(text, 1, 64)"),
     "multifield_most_topk": multifield_topk_sql(_MF_FIELDS, "sum"),
     "multifield_best_topk": multifield_topk_sql(_MF_FIELDS, "max"),
+    "multifield_cross_topk": cross_fields_sql(_MF_FIELDS),
     "dismax_topk": multifield_topk_sql(_MF_FIELDS, "dismax", tie_breaker=0.3),
     "boosting_topk": _boosting_oracle(),
     "explain_scores": _explain_oracle(),

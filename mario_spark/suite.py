@@ -1572,6 +1572,18 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multifield_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=cross_fields (title^2, contents^1):
+    term-centric blended-df scoring — fields.search_cross_fields."""
+    from mario_spark import fields as fieldsmod
+
+    fdocs = _field_docs(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return fieldsmod.search_cross_fields(
+        fdocs, q, {"title": 2.0, "contents": 1.0}, k=10
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1677,5 +1689,6 @@ SUITE = {
     "importance_score": importance_score,
     "analyze_text": analyze_text,
     "domain_mixture_weights": domain_mixture_weights,
+    "multifield_cross_topk": multifield_cross_topk,
     "completion_suggest": completion_suggest,
 }
