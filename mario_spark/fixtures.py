@@ -364,6 +364,17 @@ DOCUMENTS_SPAN_NOT_SET: list[tuple[int, str, str]] = [
 ]
 
 
+# Phrase-suggester inputs: bigrams with dist-1 misspellings; query 2 is
+# already correct (dist-0 candidates included), query 3's first term is
+# unsuggestable (no dictionary term within 1 edit).
+DOCUMENTS_PHRASE_SUGGEST_SET: list[tuple[int, str]] = [
+    (0, "tble hash"),
+    (1, "customr join"),
+    (2, "merge group"),
+    (3, "zzzqq hash"),
+]
+
+
 def make_pages_query_set(seed: int = 42, n: int = 50) -> list[tuple[int, str]]:
     """F3 query set over the synthetic pages corpus: 20 single-term
     (3 head, 3 rare, 2 OOV), 20 two-term, 10 three/four-term."""

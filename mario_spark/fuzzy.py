@@ -294,3 +294,101 @@ def search_wildcard(
     return _search_expansion(
         postings, exp, n_docs, avgdl, k, k1, b, deleted=deleted
     )
+
+
+def phrase_suggest(
+    documents_tokens: DataFrame,
+    dictionary: DataFrame,
+    inputs: list[tuple[int, list[str]]],
+    max_edits: int = 1,
+    per_position: int = 3,
+    size: int = 2,
+) -> DataFrame:
+    """ES phrase suggester (direct-generator + collate, bigram form):
+    per input position, candidate corrections = dictionary terms within
+    `max_edits` CLASSIC Levenshtein edits INCLUDING the term itself
+    (dist 0), top-`per_position` by (dist asc, df desc, term asc); the
+    per-input cross product forms candidate phrases, each COLLATED
+    against the corpus (real bigram chain frequency — ES collate
+    prune=true drops candidates that never occur) and ranked by
+    (freq desc, total edit distance asc, phrase asc), top-`size`.
+    -> (input_id, rank, suggestion, freq, tot_dist).
+
+    Distribution: the candidate generation is one banded dictionary
+    pass (broadcast inputs, JVM levenshtein); the collate is ONE corpus
+    scan aggregating every candidate phrase's chain count as parallel
+    codegen sums. The <= inputs*per_position^2 candidate rows in
+    between live on the driver — exactly the ES coordinating-node role.
+
+    `documents_tokens` = (doc_id, arr) analyzed token arrays;
+    `inputs` = [(input_id, [terms])] (bigrams)."""
+    from pyspark.sql import Window
+
+    from mario_spark.qs import _chain_ctf_expr
+
+    spark = dictionary.sparkSession
+    rows = [
+        (iid, pos, t)
+        for iid, terms in inputs
+        for pos, t in enumerate(terms)
+    ]
+    inp = spark.createDataFrame(
+        rows, "input_id long, pos int, input string"
+    )
+    cand = (
+        dictionary.join(
+            F.broadcast(inp),
+            F.abs(F.length("term") - F.length("input")) <= max_edits,
+        )
+        .withColumn("dist", F.levenshtein("input", "term").cast("long"))
+        .filter(F.col("dist") <= max_edits)
+    )
+    w = Window.partitionBy("input_id", "pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_position)
+        .select("input_id", "pos", "term", "dist")
+        .collect()
+    )
+    by_pos: dict[tuple[int, int], list] = {}
+    for r in picked:
+        by_pos.setdefault((r["input_id"], r["pos"]), []).append(
+            (r["term"], int(r["dist"]))
+        )
+    phrases: list[tuple[int, str, str, int]] = []
+    for iid, terms in inputs:
+        for t0, d0 in by_pos.get((iid, 0), []):
+            for t1, d1 in by_pos.get((iid, 1), []):
+                phrases.append((iid, t0, t1, d0 + d1))
+    if not phrases:
+        return spark.createDataFrame(
+            [],
+            "input_id long, rank long, suggestion string, "
+            "freq long, tot_dist long",
+        )
+    aggs = [
+        F.coalesce(
+            F.sum(_chain_ctf_expr(F.col("arr"), [t0, t1])), F.lit(0)
+        ).cast("long").alias(f"_p{i}")
+        for i, (_, t0, t1, _) in enumerate(phrases)
+    ]
+    row = documents_tokens.agg(*aggs).collect()[0]
+    out = []
+    for i, (iid, t0, t1, td) in enumerate(phrases):
+        freq = int(row[f"_p{i}"])
+        if freq > 0:  # collate prune
+            out.append((iid, f"{t0} {t1}", freq, td))
+    out.sort(key=lambda r: (r[0], -r[2], r[3], r[1]))
+    ranked, last_iid, rk = [], None, 0
+    for iid, sug, freq, td in out:
+        rk = rk + 1 if iid == last_iid else 1
+        last_iid = iid
+        if rk <= size:
+            ranked.append((iid, rk, sug, freq, td))
+    return spark.createDataFrame(
+        ranked,
+        "input_id long, rank long, suggestion string, "
+        "freq long, tot_dist long",
+    )

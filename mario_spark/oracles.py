@@ -2299,6 +2299,68 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+
+def _phrase_suggest_oracle(
+    max_edits: int = 1, per_position: int = 3, size: int = 2
+) -> str:
+    """Phrase-suggester oracle: identical candidate rule (dist <=
+    max_edits incl. 0, top per (dist, df desc, term)), identical
+    collate (bigram chain count over token arrays), identical ranking."""
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SUGGEST_SET
+
+    rows = []
+    for iid, t in DOCUMENTS_PHRASE_SUGGEST_SET:
+        for pos, term in enumerate(py_tokenize(t)):
+            rows.append(f"({iid}, {pos}, '{term}')")
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM docs_t),
+tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+inputs(input_id, pos, input) AS (VALUES {", ".join(rows)}),
+cand AS (
+  SELECT input_id, pos, term, dist FROM (
+    SELECT i.input_id, i.pos, d.term,
+           levenshtein(i.input, d.term)::BIGINT AS dist, d.df,
+           row_number() OVER (
+             PARTITION BY i.input_id, i.pos
+             ORDER BY levenshtein(i.input, d.term) ASC, d.df DESC,
+                      d.term ASC) AS rn
+    FROM inputs i JOIN dfr d
+      ON levenshtein(i.input, d.term) <= {max_edits}
+  ) WHERE rn <= {per_position}
+),
+phrases AS (
+  SELECT a.input_id, a.term AS t0, b.term AS t1,
+         (a.dist + b.dist) AS tot_dist
+  FROM cand a JOIN cand b
+    ON a.input_id = b.input_id AND a.pos = 0 AND b.pos = 1
+),
+freq AS (
+  SELECT p.input_id, p.t0, p.t1, p.tot_dist,
+         coalesce(sum(len(list_filter(
+           generate_series(1, greatest(len(arr) - 1, 0)),
+           q -> arr[q] = p.t0 AND arr[q + 1] = p.t1))), 0)::BIGINT AS freq
+  FROM phrases p CROSS JOIN docs_t
+  GROUP BY 1, 2, 3, 4
+),
+rk AS (
+  SELECT input_id, t0 || ' ' || t1 AS suggestion, freq, tot_dist,
+         row_number() OVER (
+           PARTITION BY input_id
+           ORDER BY freq DESC, tot_dist ASC, t0 || ' ' || t1 ASC
+         )::BIGINT AS rank
+  FROM freq WHERE freq > 0
+)
+SELECT input_id::BIGINT AS input_id, rank, suggestion, freq, tot_dist
+FROM rk WHERE rank <= {size}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2345,6 +2407,7 @@ ORACLES: dict[str, str] = {
     "multifield_most_topk": multifield_topk_sql(_MF_FIELDS, "sum"),
     "multifield_best_topk": multifield_topk_sql(_MF_FIELDS, "max"),
     "multifield_cross_topk": cross_fields_sql(_MF_FIELDS),
+    "phrase_suggest": _phrase_suggest_oracle(),
     "dismax_topk": multifield_topk_sql(_MF_FIELDS, "dismax", tie_breaker=0.3),
     "boosting_topk": _boosting_oracle(),
     "explain_scores": _explain_oracle(),

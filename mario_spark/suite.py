@@ -1584,6 +1584,26 @@ def multifield_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester over bigram inputs: per-position dist<=1
+    dictionary candidates (incl. dist 0), cross product collated
+    against real corpus bigram frequency — fuzzy.phrase_suggest."""
+    from mario_spark import fuzzy
+    from mario_spark.analyze import py_tokenize, tokenize_udf
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SUGGEST_SET
+
+    d = _doc_table(spark, sf_dir)
+    tf = query.term_frequencies(d)
+    dic = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", tokenize_udf("text").alias("arr")
+    )
+    inputs = [
+        (iid, py_tokenize(t)) for iid, t in DOCUMENTS_PHRASE_SUGGEST_SET
+    ]
+    return fuzzy.phrase_suggest(toks, dic, inputs)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -1690,5 +1710,6 @@ SUITE = {
     "analyze_text": analyze_text,
     "domain_mixture_weights": domain_mixture_weights,
     "multifield_cross_topk": multifield_cross_topk,
+    "phrase_suggest": phrase_suggest,
     "completion_suggest": completion_suggest,
 }
