@@ -364,6 +364,27 @@ DOCUMENTS_SPAN_NOT_SET: list[tuple[int, str, str]] = [
 ]
 
 
+# span_first: (phrase, end) — a chain match counts only if its span
+# lies entirely within the first `end` token positions (Lucene
+# SpanFirstQuery). Query 1 is a single-term span; query 3 is OOV.
+DOCUMENTS_SPAN_FIRST_SET: list[tuple[int, str, int]] = [
+    (0, "table hash", 8),
+    (1, "customer", 4),
+    (2, "merge group", 50),
+    (3, "zzz", 5),
+]
+
+
+# pinned query: per-query promoted doc ids (rank first, in this order,
+# ahead of every organic match; pins count toward size). Ids stay < 100
+# so they exist at every sf; query 3 (OOV) shows pins surfacing even
+# with zero organic matches.
+DOCUMENTS_PINNED_SET: list[tuple[int, list[int]]] = [
+    (qid, [(3 * qid + 1) % 100, (5 * qid + 2) % 100])
+    for qid, _ in DOCUMENTS_QUERY_SET
+]
+
+
 # Phrase-suggester inputs: bigrams with dist-1 misspellings; query 2 is
 # already correct (dist-0 candidates included), query 3's first term is
 # unsuggestable (no dictionary term within 1 edit).

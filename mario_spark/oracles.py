@@ -2080,6 +2080,130 @@ def span_not_sql(k: int = 10, pre: int = 1, post: int = 1) -> str:
 
 
 
+def span_first_sql(k: int = 10) -> str:
+    """SpanFirstQuery oracle: chain starts p (1-based) qualify iff
+    p + m <= end (exclusive 0-based span end = (p-1) + n = p + m)."""
+    from mario_spark.fixtures import DOCUMENTS_SPAN_FIRST_SET
+
+    q_rows, ph_selects = [], []
+    for qid, phrase_text, end in DOCUMENTS_SPAN_FIRST_SET:
+        terms = py_tokenize(phrase_text)
+        for t in dict.fromkeys(terms):
+            q_rows.append(f"({qid}, '{t}')")
+        m = len(terms) - 1
+        conds = " AND ".join(
+            f"arr[p + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        ptf = (
+            f"len(list_filter(generate_series(1, greatest(len(arr) - {m}, 0)), "
+            f"p -> {conds} AND p + {m} <= {end}))::DOUBLE"
+        )
+        ph_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, {ptf} AS ptf FROM docs_t"
+        )
+    return _span_scaffold_sql(q_rows, ph_selects, k)
+
+
+def pinned_topk_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Pinned-query oracle: same BM25 CTEs as bm25_topk_sql; pinned
+    rows take ranks 1..|pins| in pin order with their (rounded) organic
+    score or 0.0, organic rows are anti-joined and offset by the pin
+    count."""
+    from mario_spark.fixtures import DOCUMENTS_PINNED_SET
+
+    pin_rows = ", ".join(
+        f"({qid}, {did}, {i + 1})"
+        for qid, ids in DOCUMENTS_PINNED_SET
+        for i, did in enumerate(ids)
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         round(sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ), 4)
+           AS score
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+pins(query_id, doc_id, pin_ord) AS (VALUES {pin_rows}),
+np AS (SELECT query_id, count(*)::BIGINT AS n FROM pins GROUP BY 1),
+pinned AS (
+  SELECT p.query_id::BIGINT AS query_id, p.pin_ord::BIGINT AS rank,
+         p.doc_id::BIGINT AS doc_id, coalesce(s.score, 0.0) AS score
+  FROM pins p LEFT JOIN sc s
+    ON s.query_id = p.query_id AND s.doc_id = p.doc_id
+),
+org AS (
+  SELECT s.query_id,
+         (np.n + row_number() OVER (PARTITION BY s.query_id
+             ORDER BY s.score DESC, s.doc_id ASC))::BIGINT AS rank,
+         s.doc_id, s.score
+  FROM sc s
+  ANTI JOIN pins p
+    ON p.query_id = s.query_id AND p.doc_id = s.doc_id
+  JOIN np ON np.query_id = s.query_id
+)
+SELECT * FROM (SELECT * FROM pinned UNION ALL SELECT * FROM org)
+WHERE rank <= {k}
+"""
+
+
+def rank_feature_sql(
+    k: int = 10,
+    boost: float = 2.0,
+    pivot: float = 200.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """rank_feature saturation oracle: BM25 raw + boost*f/(f+pivot),
+    f = character length of the doc text, rounded once at rank time
+    (identical to Spark's topk() rounding of the composed score)."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+ft AS (SELECT doc_id, length(text)::DOUBLE AS feat FROM documents),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT sc.query_id, sc.doc_id,
+         round(sc.raw + {boost} * ft.feat / (ft.feat + {pivot}), 4) AS score
+  FROM sc JOIN ft USING (doc_id)
+),
+rr AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rk
+)
+SELECT query_id, rank, doc_id, score FROM rr WHERE rank <= {k}
+"""
+
+
 DUP_NGRAM_FRAC = r"""
 WITH arrs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS arr
@@ -2467,6 +2591,9 @@ ORACLES: dict[str, str] = {
     "constant_score_topk": constant_score_sql(),
     "near_dedup_survivors": NEAR_DEDUP_SURVIVORS,
     "span_or_topk": span_or_sql(),
+    "span_first_topk": span_first_sql(),
+    "pinned_topk": pinned_topk_sql(),
+    "rank_feature_topk": rank_feature_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -695,3 +695,91 @@ def search_span_not(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def search_span_first(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    span_queries: list[tuple[int, list[str], int]],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    deleted_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene SpanFirstQuery(SpanNearQuery(chain, slop=0), end) over
+    positional postings: a chain match counts only if its span lies
+    entirely within the first `end` token positions — i.e. its
+    EXCLUSIVE end (0-based start + chain length) is <= `end`. freq =
+    qualifying span count; weight idf = Σ idf over the chain terms
+    (SpanWeight), scored as one saturated pseudo-term like every
+    span/phrase query here ("title-like prominence without a separate
+    field" is the classic use).
+
+    `span_queries` = [(query_id, [chain terms], end)]. Plan shape =
+    search_phrase's: term-pruned scan -> per-dbucket kernel -> tiny
+    per-query rank window.
+    """
+    all_terms = sorted({t for _, ts, _ in span_queries for t in ts})
+    df_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
+    idf_map = {r["term"]: _idf(float(n_docs), float(r["df"])) for r in df_rows}
+    queries = [
+        (qid, ts, int(end), sum(idf_map[t] for t in ts))
+        for qid, ts, end in span_queries
+        if all(t in idf_map for t in ts)
+    ]
+    cand = postings.filter(F.col("term").isin(all_terms))
+    ad = float(avgdl)
+    deleted = _collect_deleted(deleted_docs)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tds = {
+            t: _PosTermData(g.sort_values("block_id"))
+            for t, g in pdf.groupby("term", sort=False)
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms, end, sidf in queries:
+            ids, _, lens, rows_per_term = _chain_doc_ptfs(
+                tds, qterms, deleted
+            )
+            if ids.size == 0:
+                continue
+            term_tds = [tds[t] for t in qterms]
+            n_terms = len(qterms)
+            ptf = np.zeros(ids.size, dtype=np.float64)
+            for ci in range(ids.size):
+                term_pos = [
+                    td.positions_of(int(rows_per_term[j][ci]))
+                    for j, td in enumerate(term_tds)
+                ]
+                _, ends = _chain_match_spans(term_pos, n_terms)
+                # ends are inclusive last positions; exclusive = +1
+                ptf[ci] = float(np.count_nonzero(ends + 1 <= end))
+            r = _score_and_topk(qid, ids, ptf, lens, sidf, ad, k, k1, b)
+            if r:
+                out_q.append(r[0]); out_d.append(r[1]); out_s.append(r[2])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

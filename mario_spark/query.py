@@ -498,3 +498,121 @@ def search_exhaustive(
         .select("query_id", "doc_id", "score")
     )
     return topk(scored, k)
+
+
+def search_pinned(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    pins: list[tuple[int, list[int]]],
+    k: int = 10,
+) -> DataFrame:
+    """ES pinned query: per-query promoted doc ids rank FIRST, in the
+    order given, ahead of every organic match; organic results follow
+    with the pinned ids excluded, and pins count toward `k` (ES
+    `size`). Pinned docs surface even when they don't match the text
+    query at all, exactly as in ES. ES implements the promotion with
+    synthetic float scores above any achievable BM25 score; here the
+    rank is assigned structurally and the reported score is the doc's
+    organic (rounded) BM25 score, 0.0 for a non-matching pin —
+    deterministic and more informative than ES's sentinels.
+
+    `pins` = [(query_id, [doc_id, ...])] — a tiny literal dim.
+    Plan shape: pins broadcast into one left-semi (pin score lookup,
+    prunes the scored frame to <= |pins| rows before the tiny driver
+    join) and one left-anti (organic exclusion); organic ranks from a
+    per-query window, never a global sort.
+    """
+    from mario_spark.docs import corpus_stats
+
+    spark = docs.sparkSession
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    scored = bm25_scores(tf, dfreq, stats, query_terms).withColumn(
+        "score", F.round("score", SCORE_DECIMALS)
+    )
+    pin_df = spark.createDataFrame(
+        [
+            (qid, int(did), i + 1)
+            for qid, ids in pins
+            for i, did in enumerate(ids)
+        ],
+        "query_id long, doc_id long, pin_ord long",
+    )
+    offs = spark.createDataFrame(
+        [(qid, len(ids)) for qid, ids in pins], "query_id long, n_pins long"
+    )
+    # pin score lookup: semi-prune the big scored frame to pinned rows
+    # (broadcast-able), then left-join the tiny pin dim onto the result
+    pin_scores = scored.join(
+        F.broadcast(pin_df.select("query_id", "doc_id")),
+        ["query_id", "doc_id"],
+        "leftsemi",
+    )
+    pinned = (
+        pin_df.join(pin_scores, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            F.col("pin_ord").alias("rank"),
+            "doc_id",
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    organic = (
+        scored.join(F.broadcast(pin_df), ["query_id", "doc_id"], "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(offs), "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("n_pins", F.lit(0)) + F.col("rn"))
+            .cast("long")
+            .alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+    return pinned.unionByName(organic).filter(F.col("rank") <= k)
+
+
+def search_rank_feature(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    features: DataFrame,
+    k: int = 10,
+    boost: float = 2.0,
+    pivot: float = 200.0,
+) -> DataFrame:
+    """ES bool {must: match, should: rank_feature}: final score =
+    BM25 + boost * f / (f + pivot) — the rank_feature saturation
+    function (log/sigmoid are trivial variants of the same join).
+    `features` is (doc_id, feature double): pagerank, url_length,
+    recency-derived numbers — any static per-doc signal. The clause
+    is a should: it boosts matching docs, never selects new ones; a
+    doc with no feature row contributes 0 (ES skips the clause).
+
+    Join shape = function_score's: one doc_id hash join AFTER the
+    per-(query, doc) aggregation, broadcast-able when the feature
+    table is a dim; never touches scoring stats.
+    """
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    scored = (
+        bm25_scores(tf, dfreq, stats, query_terms)
+        .join(features, "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("score")
+            + F.when(
+                F.col("feature").isNotNull(),
+                boost * F.col("feature") / (F.col("feature") + F.lit(pivot)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(scored, k)

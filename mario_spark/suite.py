@@ -1584,6 +1584,49 @@ def multifield_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanFirstQuery: chain matches count only if the span lies
+    entirely within the first `end` token positions
+    (phrase.search_span_first)."""
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_SPAN_FIRST_SET
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    queries = [
+        (qid, py_tokenize(p), end)
+        for qid, p, end in DOCUMENTS_SPAN_FIRST_SET
+    ]
+    return ph.search_span_first(
+        post, dic, queries, st["n_docs"], st["avgdl"], k=10
+    )
+
+
+def pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: promoted doc ids rank first in pin order (even
+    with no text match — see query 3, OOV), organic BM25 after, pins
+    excluded from organic and counted toward size
+    (query.search_pinned)."""
+    from mario_spark.fixtures import DOCUMENTS_PINNED_SET
+
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return query.search_pinned(d, q, DOCUMENTS_PINNED_SET, k=10)
+
+
+def rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool {must: match, should: rank_feature saturation}: score =
+    BM25 + 2.0 * n_chars / (n_chars + 200) — a static per-doc signal
+    (here text length standing in for pagerank) boosting matching docs
+    (query.search_rank_feature)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    feats = _documents(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("double").alias("feature")
+    )
+    return query.search_rank_feature(d, q, feats, k=10)
+
+
 def phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES phrase suggester over bigram inputs: per-position dist<=1
     dictionary candidates (incl. dist 0), cross product collated
@@ -1711,5 +1754,8 @@ SUITE = {
     "domain_mixture_weights": domain_mixture_weights,
     "multifield_cross_topk": multifield_cross_topk,
     "phrase_suggest": phrase_suggest,
+    "span_first_topk": span_first_topk,
+    "pinned_topk": pinned_topk,
+    "rank_feature_topk": rank_feature_topk,
     "completion_suggest": completion_suggest,
 }
