@@ -620,3 +620,125 @@ def weighted_avg_agg(
             F.sum(v * w) / F.sum(F.when(v.isNotNull(), w)), 4
         ).alias("weighted_avg")
     )
+
+
+def stats_bucket_daily(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """ES stats_bucket + percentiles_bucket sibling aggregations over a
+    daily date_histogram's sum_value metric: ONE row with bucket count,
+    min/max/avg/sum, and exact interpolated p50/p90 of the per-bucket
+    sums. The parent histogram is a distributed hash agg; the sibling
+    reduce then runs over the REDUCED bucket table (rows = #days) —
+    ES computes sibling aggs on the coordinating node after the shard
+    reduce for the same reason, so the final single-partition agg is
+    O(#buckets), not a data-scale collapse."""
+    b = F.date_format(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.round(F.sum(value_col), 2).alias("sum_value")
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.round(F.min("sum_value"), 4).alias("min_v"),
+        F.round(F.max("sum_value"), 4).alias("max_v"),
+        F.round(F.avg("sum_value"), 4).alias("avg_v"),
+        F.round(F.sum("sum_value"), 4).alias("sum_v"),
+        F.round(F.percentile(F.col("sum_value"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("sum_value"), F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def bucket_sort_daily(
+    df: DataFrame, ts_col: str, value_col: str, size: int = 5
+) -> DataFrame:
+    """ES bucket_sort pipeline agg: the daily buckets re-sorted by
+    their sum_value metric DESC (bucket ASC tie-break) and truncated to
+    `size`. orderBy().limit() over the reduced bucket table plans as
+    TakeOrderedAndProject; the rank is then assigned on the <= size
+    surviving rows (tiny)."""
+    from pyspark.sql import Window
+
+    b = F.date_format(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = (
+        df.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .orderBy(F.desc("sum_value"), F.asc("bucket"))
+        .limit(size)
+    )
+    w = Window.orderBy(F.desc("sum_value"), F.asc("bucket"))
+    return g.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def serial_diff_daily(
+    df: DataFrame, ts_col: str, lag: int = 7
+) -> DataFrame:
+    """ES serial_diff pipeline agg: doc_count minus the doc_count `lag`
+    buckets earlier (lag=7 = week-over-week seasonality removal on a
+    daily histogram). ES emits no value for the first `lag` buckets; a
+    NULL float/int is engine-hash-hazardous, so those are pinned to 0
+    on both engines (same convention as pipeline_date_histogram's
+    derivative). Window over the reduced bucket table — O(#days)."""
+    from pyspark.sql import Window
+
+    b = F.date_format(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+    w = Window.orderBy("bucket")
+    return g.select(
+        "bucket",
+        "doc_count",
+        F.coalesce(
+            F.col("doc_count") - F.lag("doc_count", lag).over(w), F.lit(0)
+        ).cast("long").alias("sdiff"),
+    )
+
+
+def cumulative_cardinality_daily(
+    df: DataFrame, ts_col: str, id_col: str
+) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg: per daily bucket, the
+    number of DISTINCT ids seen in the stream up to and including that
+    bucket (plus new_users, the per-bucket increment ES derives from
+    it). Computed exactly and distributively via first-seen reduction:
+    min(day) per id is one id-keyed hash agg (each id's rows combine
+    map-side), the daily counts of first appearances are a second tiny
+    agg, and the running sum over the reduced day spine IS the
+    cumulative distinct count — no per-bucket HLL union, no rescan.
+    Days with no NEW ids still emit (left join onto the day spine)."""
+    from pyspark.sql import Window
+
+    day = F.date_format(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    first_seen = (
+        df.select(day.alias("day"), F.col(id_col).alias("u"))
+        .groupBy("u")
+        .agg(F.min("day").alias("day"))
+    )
+    new_per_day = first_seen.groupBy("day").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    days = df.select(day.alias("day")).distinct()
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        days.join(new_per_day, "day", "left")
+        .select(
+            F.col("day").alias("bucket"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn(
+            "cum_users", F.sum("new_users").over(w).cast("long")
+        )
+    )

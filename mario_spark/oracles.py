@@ -1928,6 +1928,70 @@ SELECT bucket, doc_count, sum_value,
 FROM b WHERE round(sum_value / doc_count, 4) > 50.0
 """
 
+AGG_STATS_BUCKET = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       round(min(sum_value), 4) AS min_v,
+       round(max(sum_value), 4) AS max_v,
+       round(avg(sum_value), 4) AS avg_v,
+       round(sum(sum_value), 4) AS sum_v,
+       round(quantile_cont(sum_value, 0.5), 4) AS p50,
+       round(quantile_cont(sum_value, 0.9), 4) AS p90
+FROM b
+"""
+
+AGG_BUCKET_SORT = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         count(*)::BIGINT AS doc_count,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT bucket, doc_count, sum_value,
+         row_number() OVER (ORDER BY sum_value DESC, bucket ASC)::BIGINT
+           AS rank
+  FROM b
+)
+SELECT bucket, doc_count, sum_value, rank FROM r WHERE rank <= 5
+"""
+
+AGG_SERIAL_DIFF = """
+WITH b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count,
+       coalesce(doc_count - lag(doc_count, 7) OVER (ORDER BY bucket),
+                0)::BIGINT AS sdiff
+FROM b
+"""
+
+AGG_CUMULATIVE_CARDINALITY = """
+WITH fs AS (
+  SELECT user_id,
+         min(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS day
+  FROM events GROUP BY 1
+),
+np AS (SELECT day, count(*)::BIGINT AS new_users FROM fs GROUP BY 1),
+days AS (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events
+),
+j AS (
+  SELECT d.day AS bucket, coalesce(np.new_users, 0)::BIGINT AS new_users
+  FROM days d LEFT JOIN np ON np.day = d.day
+)
+SELECT bucket, new_users,
+       (sum(new_users) OVER (ORDER BY bucket))::BIGINT AS cum_users
+FROM j
+"""
+
 AGG_MAX_BUCKET = """
 WITH b AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
@@ -2592,6 +2656,10 @@ ORACLES: dict[str, str] = {
     "near_dedup_survivors": NEAR_DEDUP_SURVIVORS,
     "span_or_topk": span_or_sql(),
     "span_first_topk": span_first_sql(),
+    "agg_stats_bucket": AGG_STATS_BUCKET,
+    "agg_bucket_sort": AGG_BUCKET_SORT,
+    "agg_serial_diff": AGG_SERIAL_DIFF,
+    "agg_cumulative_cardinality": AGG_CUMULATIVE_CARDINALITY,
     "pinned_topk": pinned_topk_sql(),
     "rank_feature_topk": rank_feature_sql(),
     "span_not_topk": span_not_sql(),

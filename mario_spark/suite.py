@@ -1584,6 +1584,45 @@ def multifield_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket + percentiles_bucket siblings over daily
+    sum_value buckets: one coordinating-node row
+    (ops/aggs.stats_bucket_daily)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.stats_bucket_daily(e, "ts", "value")
+
+
+def agg_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_sort pipeline agg: daily buckets re-sorted by
+    sum_value desc, top-5 (ops/aggs.bucket_sort_daily)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.bucket_sort_daily(e, "ts", "value", size=5)
+
+
+def agg_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff pipeline agg: week-over-week (lag=7) doc_count
+    difference on the daily histogram, first 7 buckets pinned to 0
+    (ops/aggs.serial_diff_daily)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.serial_diff_daily(e, "ts", lag=7)
+
+
+def agg_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg: exact running distinct
+    user count per day via first-seen reduction
+    (ops/aggs.cumulative_cardinality_daily)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.cumulative_cardinality_daily(e, "ts", "user_id")
+
+
 def span_first_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene SpanFirstQuery: chain matches count only if the span lies
     entirely within the first `end` token positions
@@ -1755,6 +1794,10 @@ SUITE = {
     "multifield_cross_topk": multifield_cross_topk,
     "phrase_suggest": phrase_suggest,
     "span_first_topk": span_first_topk,
+    "agg_stats_bucket": agg_stats_bucket,
+    "agg_bucket_sort": agg_bucket_sort,
+    "agg_serial_diff": agg_serial_diff,
+    "agg_cumulative_cardinality": agg_cumulative_cardinality,
     "pinned_topk": pinned_topk,
     "rank_feature_topk": rank_feature_topk,
     "completion_suggest": completion_suggest,
