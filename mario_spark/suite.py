@@ -1584,6 +1584,56 @@ def multifield_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span dedup over non-overlapping 20-token
+    chunks: per-doc count of chunk occurrences dropped by the global
+    first-occurrence rule (ops/dedup.chunk_dedup_stats)."""
+    from mario_spark.ops import dedup as dd
+
+    return dd.chunk_dedup_stats(_documents(spark, sf_dir), window=20)
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning over embeddings: nearest
+    sampled centroid clustering, then drop any vector with a lower-id
+    cluster-mate at cosine >= 0.35 (ops/ann.semdedup)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return ann.semdedup(e)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline PII scrub (ops/textstats.redact_pii) over a
+    deterministically PII-augmented corpus (the synthetic docs carry no
+    PII, so each doc gets one email, one IPv4, one phone appended —
+    built from doc_id identically in both engines). Returns per-doc
+    match counts + md5 of the redacted text."""
+    from mario_spark.ops import textstats
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@example.com from 10.0.%d.%d"
+                " call +1 555 %03d 1234",
+                F.col("doc_id"),
+                F.col("doc_id") % 256,
+                (F.col("doc_id") * 3) % 256,
+                F.col("doc_id") % 1000,
+            ),
+        ).alias("text"),
+    )
+    r = textstats.redact_pii(d, "text")
+    return r.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def agg_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats_bucket + percentiles_bucket siblings over daily
     sum_value buckets: one coordinating-node row
@@ -1794,6 +1844,9 @@ SUITE = {
     "multifield_cross_topk": multifield_cross_topk,
     "phrase_suggest": phrase_suggest,
     "span_first_topk": span_first_topk,
+    "pii_redact": pii_redact,
+    "semdedup_keep": semdedup_keep,
+    "chunk_dedup": chunk_dedup,
     "agg_stats_bucket": agg_stats_bucket,
     "agg_bucket_sort": agg_bucket_sort,
     "agg_serial_diff": agg_serial_diff,
