@@ -1928,6 +1928,35 @@ SELECT bucket, doc_count, sum_value,
 FROM b WHERE round(sum_value / doc_count, 4) > 50.0
 """
 
+TERMVECTORS = f"""
+WITH arrs AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+tv AS (
+  SELECT doc_id, arr[p] AS term, count(*)::BIGINT AS term_freq,
+         string_agg(p::VARCHAR, ',' ORDER BY p) AS positions
+  FROM arrs, unnest(generate_series(1, len(arr))) AS u(p)
+  WHERE doc_id < 3
+  GROUP BY 1, 2
+),
+dfr AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq
+  FROM (SELECT doc_id, unnest(arr) AS term FROM arrs) GROUP BY 1
+)
+SELECT tv.doc_id, tv.term, tv.term_freq, tv.positions, dfr.doc_freq
+FROM tv JOIN dfr USING (term)
+"""
+
+SLICED_SCAN = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 = 1
+"""
+
+SCRIPTED_METRIC_MAD = """
+SELECT lang, round(mad(n_chars), 4) AS mad FROM documents GROUP BY 1
+"""
+
 CHUNK_DEDUP = r"""
 WITH base AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS arr
@@ -2773,6 +2802,9 @@ ORACLES: dict[str, str] = {
     "pii_redact": PII_REDACT,
     "semdedup_keep": _semdedup_oracle(),
     "chunk_dedup": CHUNK_DEDUP,
+    "termvectors": TERMVECTORS,
+    "sliced_scan": SLICED_SCAN,
+    "scripted_metric_mad": SCRIPTED_METRIC_MAD,
     "agg_stats_bucket": AGG_STATS_BUCKET,
     "agg_bucket_sort": AGG_BUCKET_SORT,
     "agg_serial_diff": AGG_SERIAL_DIFF,

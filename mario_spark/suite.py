@@ -1584,6 +1584,75 @@ def multifield_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors API (term_statistics=true): per (doc, term) rows
+    with term_freq, 1-based positions (comma-joined for cross-engine
+    value identity), and corpus doc_freq, for doc_id < 3. The df side
+    is the corpus-wide dictionary (one hash agg); the per-doc side is a
+    scan-pushed filter + posexplode — joined on term with the doc side
+    broadcast (3 docs vs the dictionary)."""
+    d = _documents(spark, sf_dir)
+    toks = d.select("doc_id", analyze.tokenize_udf("text").alias("arr"))
+    tv = (
+        toks.filter(F.col("doc_id") < 3)
+        .select("doc_id", F.posexplode("arr").alias("p", "term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count("*").cast("long").alias("term_freq"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list((F.col("p") + 1)))
+            ).alias("positions"),
+        )
+    )
+    dfreq = (
+        toks.select("doc_id", F.explode("arr").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+    )
+    return dfreq.join(F.broadcast(tv), "term").select(
+        "doc_id", "term", "term_freq", "positions", "doc_freq"
+    )
+
+
+def sliced_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sliced scroll (slice id=1, max=4): deterministic horizontal
+    partition of a full scan for parallel export clients. ES slices on
+    a hash of _id; here slice = doc_id % max — a pure scan-side filter
+    (no shuffle), each slice independently consumable."""
+    return (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def scripted_metric_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric agg (map/combine/reduce user script): per
+    lang, the median absolute deviation of n_chars — a metric no
+    built-in ES agg provides. The script body runs as one
+    applyInPandas kernel per lang group (Arrow-vectorized, the
+    documented custom-stateful escape hatch); a grouped pandas kernel
+    is exactly ES's per-shard map + coordinating reduce collapsed into
+    Spark's partial/final group model."""
+    import pandas as pd
+
+    d = _documents(spark, sf_dir).select("lang", "n_chars")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["n_chars"].median()
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "mad": [
+                    round(float((pdf["n_chars"] - med).abs().median()), 4)
+                ],
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(mad, "lang string, mad double")
+
+
 def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span dedup over non-overlapping 20-token
     chunks: per-doc count of chunk occurrences dropped by the global
@@ -1847,6 +1916,9 @@ SUITE = {
     "pii_redact": pii_redact,
     "semdedup_keep": semdedup_keep,
     "chunk_dedup": chunk_dedup,
+    "termvectors": termvectors,
+    "sliced_scan": sliced_scan,
+    "scripted_metric_mad": scripted_metric_mad,
     "agg_stats_bucket": agg_stats_bucket,
     "agg_bucket_sort": agg_bucket_sort,
     "agg_serial_diff": agg_serial_diff,

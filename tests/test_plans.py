@@ -334,3 +334,52 @@ def test_bucket_pipeline_aggs_single_scan(spark):
     plan = _plan(agg_bucket_selector(spark, SF_DIR))
     assert plan.count("Scan parquet  (") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_pinned_broadcasts_pins_no_cartesian(spark):
+    """Pin dim joins must broadcast (pins are a literal list) and the
+    union of pinned + organic must not introduce a cartesian or a
+    global (unpartitioned) sort."""
+    from mario_spark.suite import pinned_topk
+
+    plan = _plan(pinned_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucket_sort_take_ordered(spark):
+    """ES bucket_sort = orderBy().limit() over the reduced bucket
+    table -> TakeOrderedAndProject, not a global Sort+Exchange."""
+    from mario_spark.suite import agg_bucket_sort
+
+    plan = _plan(agg_bucket_sort(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_broadcasts_centroids(spark):
+    """Centroid assignment must broadcast the (tiny) centroid set; the
+    only nested-loop is that explicit broadcast crossJoin."""
+    from mario_spark.suite import semdedup_keep
+
+    plan = _plan(semdedup_keep(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_shuffles_digests_not_text(spark):
+    """chunk_dedup's exchanges must carry md5 digests and packed order
+    keys only — the text/token-array column never crosses a shuffle."""
+    from mario_spark.suite import chunk_dedup
+
+    plan = _plan(chunk_dedup(spark, SF_DIR))
+    import re
+
+    lines = plan.splitlines()
+    inputs = [
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if re.fullmatch(r"\(\d+\) Exchange", l.strip())
+    ]
+    assert inputs, "expected hash exchanges in the chunk_dedup plan"
+    for l in inputs:
+        assert "text" not in l and "arr" not in l, l
