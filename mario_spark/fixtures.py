@@ -364,6 +364,17 @@ DOCUMENTS_SPAN_NOT_SET: list[tuple[int, str, str]] = [
 ]
 
 
+# Damerau-fuzzy set: transpositions are ONE edit (classic fuzzy would
+# miss queries 0-1 entirely — lev 2); query 2 exercises the classic
+# branch too, query 3 is OOV.
+DOCUMENTS_FUZZY_DAMERAU_SET: list[tuple[int, str]] = [
+    (0, "tabel"),        # -> table via transposition (lev 2, OSA 1)
+    (1, "hsah join"),    # -> hash (transposition) + join (exact)
+    (2, "mergee"),       # -> merge (classic delete)
+    (3, "zzz"),          # OOV -> empty
+]
+
+
 # span_first: (phrase, end) — a chain match counts only if its span
 # lies entirely within the first `end` token positions (Lucene
 # SpanFirstQuery). Query 1 is a single-term span; query 3 is OOV.

@@ -392,3 +392,79 @@ def phrase_suggest(
         "input_id long, rank long, suggestion string, "
         "freq long, tot_dist long",
     )
+
+
+# OSA-distance-1 "extra" predicate: the pairs Damerau admits at one
+# edit that classic Levenshtein prices at 2 — exactly the adjacent
+# transpositions. Same length, EXACTLY two mismatch positions, adjacent,
+# crosswise-equal. Pure Spark codegen (no Python, no UDF); DuckDB's
+# builtin damerau_levenshtein plays oracle.
+_TRANSPOSITION_EXPR = (
+    "(length(term) = length(qterm) AND ("
+    "  size(filter(sequence(1, length(term)),"
+    "       i -> substring(term, i, 1) != substring(qterm, i, 1))) = 2"
+    ") AND ("
+    "  try_element_at(filter(sequence(1, length(term)),"
+    "       i -> substring(term, i, 1) != substring(qterm, i, 1)), 1) + 1 ="
+    "  try_element_at(filter(sequence(1, length(term)),"
+    "       i -> substring(term, i, 1) != substring(qterm, i, 1)), 2)"
+    ") AND ("
+    "  substring(term, try_element_at(filter(sequence(1, length(term)),"
+    "       i -> substring(term, i, 1) != substring(qterm, i, 1)), 1), 2) ="
+    "  reverse(substring(qterm, try_element_at(filter(sequence(1, length(term)),"
+    "       i -> substring(term, i, 1) != substring(qterm, i, 1)), 1), 2))"
+    "))"
+)
+
+
+def expand_terms_damerau(
+    dictionary: DataFrame,
+    query_terms: DataFrame,
+    prefix_length: int = 1,
+) -> DataFrame:
+    """Fuzzy expansion with LUCENE'S ACTUAL default edit metric:
+    transpositions count as ONE edit (Damerau / OSA — Lucene
+    FuzzyQuery transpositions=true, what ES `fuzziness` really means).
+    Fixed at max_edits=1 (OSA == full Damerau-Levenshtein at distance
+    1, so DuckDB's damerau_levenshtein oracle agrees exactly; at
+    distance >= 2 the variants diverge).
+
+    OSA<=1 decomposes as: classic levenshtein <= 1, OR the
+    adjacent-transposition structure (same length, exactly two
+    mismatches, adjacent, crosswise-equal) — both pure codegen, so the
+    dictionary pass stays JVM-side like expand_terms."""
+    pfx = lambda c: F.substring(c, 1, prefix_length)  # noqa: E731
+    q = query_terms.select(
+        "query_id", F.col("term").alias("qterm"), pfx("term").alias("pfx")
+    )
+    d = dictionary.withColumn("pfx", pfx("term"))
+    return (
+        d.join(F.broadcast(q), "pfx")
+        .filter(
+            (F.levenshtein("term", "qterm") <= 1)
+            | F.expr(_TRANSPOSITION_EXPR)
+        )
+        .select("query_id", "term", "df")
+        .dropDuplicates(["query_id", "term"])
+    )
+
+
+def search_fuzzy_damerau(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    query_terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    prefix_length: int = 1,
+    k1: float = K1,
+    b: float = B,
+    deleted=None,
+) -> DataFrame:
+    """Fuzzy BM25 top-k under fuzziness=1 with transpositions=true
+    (the ES default) — expansion via expand_terms_damerau, scored by
+    the standard WAND kernel."""
+    exp = expand_terms_damerau(dictionary, query_terms, prefix_length)
+    return _search_expansion(
+        postings, exp, n_docs, avgdl, k, k1, b, deleted=deleted
+    )

@@ -742,3 +742,88 @@ def cumulative_cardinality_daily(
             "cum_users", F.sum("new_users").over(w).cast("long")
         )
     )
+
+
+def matrix_stats_agg(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """ES matrix_stats aggregation over a two-field matrix: per-field
+    mean + population variance, covariance, and Pearson correlation —
+    all algebraic moments (one distributed hash agg, partial+final;
+    ES's own implementation streams the same running moments per
+    shard). Skewness/kurtosis omitted: higher moments are the same
+    call shape and nothing downstream here consumes them."""
+    a, b = F.col(col_a).cast("double"), F.col(col_b).cast("double")
+    return df.agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(F.avg(a), 4).alias("mean_a"),
+        F.round(F.avg(b), 4).alias("mean_b"),
+        F.round(F.var_pop(a), 4).alias("variance_a"),
+        F.round(F.var_pop(b), 4).alias("variance_b"),
+        F.round(F.covar_pop(a, b), 4).alias("covariance"),
+        F.round(F.corr(a, b), 4).alias("correlation"),
+    )
+
+
+def t_test_agg(
+    df: DataFrame, value_col: str, group_col, metric_alias: str = "t_value"
+) -> DataFrame:
+    """ES t_test aggregation (type=heteroscedastic, i.e. Welch's):
+    t = (m1 - m2) / sqrt(s1^2/n1 + s2^2/n2) with SAMPLE variances,
+    between the rows where `group_col` (boolean Column) is true vs
+    false. Both branches reduce in ONE conditional hash agg (no second
+    scan, no join): conditional sums give n/mean/var per side."""
+    v = F.col(value_col).cast("double")
+    g = group_col
+    agg = df.agg(
+        F.sum(F.when(g, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(~g, 1).otherwise(0)).cast("double").alias("n2"),
+        F.avg(F.when(g, v)).alias("m1"),
+        F.avg(F.when(~g, v)).alias("m2"),
+        F.var_samp(F.when(g, v)).alias("v1"),
+        F.var_samp(F.when(~g, v)).alias("v2"),
+    )
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(t, 4).alias(metric_alias),
+    )
+
+
+def boxplot_agg(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """ES boxplot aggregation: per bucket min, q1, q2, q3, max of the
+    metric (exact interpolated quantiles — same contract as
+    percentiles_agg; ES serves TDigest approximations of the same
+    definition). One hash agg, no sort."""
+    v = F.col(value_col).cast("double")
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.round(F.min(v), 4).alias("min_v"),
+        F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("q2"),
+        F.round(F.percentile(v, F.lit(0.75)), 4).alias("q3"),
+        F.round(F.max(v), 4).alias("max_v"),
+    )
+
+
+def top_metrics_agg(
+    df: DataFrame, key_col: str, sort_col: str, metric_col: str
+) -> DataFrame:
+    """ES top_metrics aggregation: per bucket, the metric value taken
+    from the row that sorts FIRST (sort_col desc, metric_col asc
+    tie-break — deterministic where ES leaves ties to shard order).
+    Per-key rank window (parallel across keys), rn=1 projection."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(sort_col), F.asc(metric_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(sort_col).alias("top_sort"),
+            F.col(metric_col).alias("metric"),
+        )
+    )

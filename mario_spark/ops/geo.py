@@ -250,3 +250,29 @@ def geohash_grid_agg(
         F.count("*").cast("long").alias("doc_count")
     )
     return out.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+
+
+def geo_centroid_agg(df: DataFrame, key_col: str, lon, lat) -> DataFrame:
+    """ES geo_centroid aggregation: per bucket, the arithmetic mean of
+    the member points' (lon, lat) — ES computes exactly this (simple
+    per-dimension average, no spherical correction). One distributed
+    hash agg; rounded 4dp for cross-engine identity."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(F.avg(lon), 4).alias("centroid_lon"),
+        F.round(F.avg(lat), 4).alias("centroid_lat"),
+    )
+
+
+def geo_bounds_agg(df: DataFrame, key_col: str, lon, lat) -> DataFrame:
+    """ES geo_bounds aggregation: per bucket, the smallest box covering
+    the member points — top_left = (min lon, max lat), bottom_right =
+    (max lon, min lat); wrap_longitude=false (no antimeridian
+    splitting, matching ES's default output shape for non-wrapped
+    data). Four algebraic min/max in one hash agg."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.round(F.min(lon), 4).alias("left_lon"),
+        F.round(F.max(lat), 4).alias("top_lat"),
+        F.round(F.max(lon), 4).alias("right_lon"),
+        F.round(F.min(lat), 4).alias("bottom_lat"),
+    )

@@ -402,6 +402,24 @@ def fuzzy_topk_sql(max_edits: int = 1, prefix_length: int = 1) -> str:
     return multiterm_topk_sql(qrows, cond)
 
 
+def fuzzy_damerau_topk_sql(prefix_length: int = 1) -> str:
+    """Damerau-fuzzy oracle: DuckDB's builtin damerau_levenshtein (== OSA
+    at distance 1) against the same prefix-pruned dictionary."""
+    from mario_spark.fixtures import DOCUMENTS_FUZZY_DAMERAU_SET
+
+    qrows = [
+        (qid, t)
+        for qid, qtext in DOCUMENTS_FUZZY_DAMERAU_SET
+        for t in dict.fromkeys(py_tokenize(qtext))
+    ]
+    cond = (
+        f"substr(dfr.term, 1, {prefix_length}) = "
+        f"substr(fq.qterm, 1, {prefix_length}) "
+        f"AND damerau_levenshtein(dfr.term, fq.qterm) <= 1"
+    )
+    return multiterm_topk_sql(qrows, cond)
+
+
 def prefix_topk_sql() -> str:
     from mario_spark.fixtures import DOCUMENTS_PREFIX_SET
 
@@ -1928,6 +1946,85 @@ SELECT bucket, doc_count, sum_value,
 FROM b WHERE round(sum_value / doc_count, 4) > 50.0
 """
 
+AGG_GEO_CENTROID = """
+WITH g AS (
+  SELECT lang,
+         (doc_id % 360 - 180 + 0.5)::FLOAT::DOUBLE AS lon,
+         ((doc_id * 7) % 170 - 85 + 0.5)::FLOAT::DOUBLE AS lat
+  FROM documents
+)
+SELECT lang AS key, count(*)::BIGINT AS doc_count,
+       round(avg(lon), 4) AS centroid_lon,
+       round(avg(lat), 4) AS centroid_lat
+FROM g GROUP BY 1
+"""
+
+AGG_GEO_BOUNDS = """
+WITH g AS (
+  SELECT lang,
+         (doc_id % 360 - 180 + 0.5)::FLOAT::DOUBLE AS lon,
+         ((doc_id * 7) % 170 - 85 + 0.5)::FLOAT::DOUBLE AS lat
+  FROM documents
+)
+SELECT lang AS key,
+       round(min(lon), 4) AS left_lon,
+       round(max(lat), 4) AS top_lat,
+       round(max(lon), 4) AS right_lon,
+       round(min(lat), 4) AS bottom_lat
+FROM g GROUP BY 1
+"""
+
+AGG_MATRIX_STATS = """
+WITH d AS (
+  SELECT n_chars::DOUBLE AS a,
+         len(string_split(text, ' '))::DOUBLE AS b
+  FROM documents
+)
+SELECT count(*)::BIGINT AS doc_count,
+       round(avg(a), 4) AS mean_a,
+       round(avg(b), 4) AS mean_b,
+       round(var_pop(a), 4) AS variance_a,
+       round(var_pop(b), 4) AS variance_b,
+       round(covar_pop(a, b), 4) AS covariance,
+       round(corr(a, b), 4) AS correlation
+FROM d
+"""
+
+AGG_T_TEST = """
+WITH s AS (
+  SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS n1,
+         sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)::DOUBLE AS n2,
+         avg(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+         avg(CASE WHEN event_type <> 'purchase' THEN value END) AS m2,
+         var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+         var_samp(CASE WHEN event_type <> 'purchase' THEN value END) AS v2
+  FROM events
+)
+SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_value
+FROM s
+"""
+
+AGG_BOXPLOT = """
+SELECT lang AS key,
+       round(min(n_chars::DOUBLE), 4) AS min_v,
+       round(quantile_cont(n_chars::DOUBLE, 0.25), 4) AS q1,
+       round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS q2,
+       round(quantile_cont(n_chars::DOUBLE, 0.75), 4) AS q3,
+       round(max(n_chars::DOUBLE), 4) AS max_v
+FROM documents GROUP BY 1
+"""
+
+AGG_TOP_METRICS = """
+SELECT lang AS key, n_chars AS top_sort, doc_id AS metric
+FROM (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
 TERMVECTORS = f"""
 WITH arrs AS (
   SELECT doc_id,
@@ -2715,6 +2812,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk_not": bm25_topk_sql(must_not=_mustnot_set()),
     "bm25_topk_msm": bm25_topk_sql(msm=2),
     "fuzzy_topk": fuzzy_topk_sql(),
+    "fuzzy_damerau_topk": fuzzy_damerau_topk_sql(),
     "prefix_topk": prefix_topk_sql(),
     "wildcard_topk": wildcard_topk_sql(),
     "regexp_topk": regexp_topk_sql(),
@@ -2803,6 +2901,12 @@ ORACLES: dict[str, str] = {
     "semdedup_keep": _semdedup_oracle(),
     "chunk_dedup": CHUNK_DEDUP,
     "termvectors": TERMVECTORS,
+    "agg_geo_centroid": AGG_GEO_CENTROID,
+    "agg_geo_bounds": AGG_GEO_BOUNDS,
+    "agg_matrix_stats": AGG_MATRIX_STATS,
+    "agg_t_test": AGG_T_TEST,
+    "agg_boxplot": AGG_BOXPLOT,
+    "agg_top_metrics": AGG_TOP_METRICS,
     "sliced_scan": SLICED_SCAN,
     "scripted_metric_mad": SCRIPTED_METRIC_MAD,
     "agg_stats_bucket": AGG_STATS_BUCKET,

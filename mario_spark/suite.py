@@ -149,6 +149,22 @@ def fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_damerau_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match + fuzziness=1 with transpositions=true — Lucene's
+    ACTUAL default edit metric (adjacent transposition = 1 edit); the
+    transposition branch is a pure-codegen structure predicate
+    (fuzzy.expand_terms_damerau), so the dictionary pass stays
+    JVM-side. Classic fuzzy would miss queries 0-1 entirely."""
+    from mario_spark.fixtures import DOCUMENTS_FUZZY_DAMERAU_SET
+    from mario_spark.fuzzy import search_fuzzy_damerau
+
+    post, dic, st = _wand_index(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_FUZZY_DAMERAU_SET)
+    return search_fuzzy_damerau(
+        post, dic, q, st["n_docs"], st["avgdl"], k=10, prefix_length=1
+    )
+
+
 def prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES prefix query (rewrite=scoring_boolean): one dictionary pass
     finds terms starting with the prefix; the expansion is scored as a
@@ -1584,6 +1600,76 @@ def multifield_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthesized (lon, lat) per doc — same arithmetic as the
+    geo_distance/geohash fixtures and their oracles."""
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 360 - 180 + 0.5).cast("float").cast("double")
+        .alias("lon"),
+        ((F.col("doc_id") * 7) % 170 - 85 + 0.5).cast("float").cast("double")
+        .alias("lat"),
+    )
+
+
+def agg_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_centroid per lang bucket over the synthesized points
+    (ops/geo.geo_centroid_agg)."""
+    from mario_spark.ops import geo
+
+    d = _geo_points(spark, sf_dir)
+    return geo.geo_centroid_agg(d, "lang", F.col("lon"), F.col("lat"))
+
+
+def agg_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds per lang bucket over the synthesized points
+    (ops/geo.geo_bounds_agg)."""
+    from mario_spark.ops import geo
+
+    d = _geo_points(spark, sf_dir)
+    return geo.geo_bounds_agg(d, "lang", F.col("lon"), F.col("lat"))
+
+
+def agg_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats over [n_chars, n_words] (words = space-split
+    count): means, population variances, covariance, correlation in one
+    hash agg (ops/aggs.matrix_stats_agg)."""
+    from mario_spark.ops import aggs
+
+    d = _documents(spark, sf_dir).select(
+        F.col("n_chars").alias("a"),
+        F.size(F.split("text", " ")).cast("long").alias("b"),
+    )
+    return aggs.matrix_stats_agg(d, "a", "b")
+
+
+def agg_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test (heteroscedastic / Welch) on events.value between
+    event_type='purchase' and the rest (ops/aggs.t_test_agg)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.t_test_agg(e, "value", F.col("event_type") == "purchase")
+
+
+def agg_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot agg per lang over n_chars: min/q1/q2/q3/max, exact
+    interpolated quantiles (ops/aggs.boxplot_agg)."""
+    from mario_spark.ops import aggs
+
+    return aggs.boxplot_agg(_documents(spark, sf_dir), "lang", "n_chars")
+
+
+def agg_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics per lang: doc_id metric from the row with max
+    n_chars (doc_id asc tie-break) (ops/aggs.top_metrics_agg)."""
+    from mario_spark.ops import aggs
+
+    d = _documents(spark, sf_dir).select("lang", "n_chars", "doc_id")
+    return aggs.top_metrics_agg(d, "lang", "n_chars", "doc_id")
+
+
 def termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _termvectors API (term_statistics=true): per (doc, term) rows
     with term_freq, 1-based positions (comma-joined for cross-engine
@@ -1828,6 +1914,7 @@ SUITE = {
     "bm25_topk_not": bm25_topk_not,
     "bm25_topk_msm": bm25_topk_msm,
     "fuzzy_topk": fuzzy_topk,
+    "fuzzy_damerau_topk": fuzzy_damerau_topk,
     "prefix_topk": prefix_topk,
     "wildcard_topk": wildcard_topk,
     "regexp_topk": regexp_topk,
@@ -1917,6 +2004,12 @@ SUITE = {
     "semdedup_keep": semdedup_keep,
     "chunk_dedup": chunk_dedup,
     "termvectors": termvectors,
+    "agg_geo_centroid": agg_geo_centroid,
+    "agg_geo_bounds": agg_geo_bounds,
+    "agg_matrix_stats": agg_matrix_stats,
+    "agg_t_test": agg_t_test,
+    "agg_boxplot": agg_boxplot,
+    "agg_top_metrics": agg_top_metrics,
     "sliced_scan": sliced_scan,
     "scripted_metric_mad": scripted_metric_mad,
     "agg_stats_bucket": agg_stats_bucket,
