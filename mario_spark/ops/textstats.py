@@ -264,3 +264,37 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select(
         *others, *counts, redacted.alias(text_col)
     )
+
+
+def bpe_pair_counts(documents: DataFrame, k: int = 20) -> DataFrame:
+    """ONE merge-step of BPE tokenizer training (Sennrich et al. 2016):
+    corpus-wide frequency of every ADJACENT CHARACTER PAIR inside
+    words, top-k by count — the argmax of this table is the pair a BPE
+    trainer would merge next. The real trainer loops this; one step is
+    the distributed primitive (each subsequent step re-runs it over the
+    re-segmented corpus).
+
+    Shape: word tokenization + per-word pair explosion are pure codegen
+    (transform over a guarded sequence — Spark's sequence(1, 0) is
+    descending, not empty, so 1-char words are filtered before the
+    gram expr); ONE (pair)-keyed hash agg with map-side combine; top-k
+    via orderBy().limit() = TakeOrderedAndProject. Shuffle rows are
+    bounded by the pair alphabet (<= |charset|^2), not the corpus.
+    """
+    pair_expr = F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+    )
+    words = documents.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+            )
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    return (
+        words.select(F.explode(pair_expr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("count"))
+        .orderBy(F.desc("count"), F.asc("pair"))
+        .limit(k)
+    )

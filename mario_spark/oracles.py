@@ -2025,6 +2025,20 @@ FROM (
 ) WHERE rn = 1
 """
 
+BPE_PAIR_COUNTS = r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                i -> substring(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+),
+g AS (SELECT pair, count(*)::BIGINT AS count FROM pairs GROUP BY 1)
+SELECT pair, count FROM g ORDER BY count DESC, pair ASC LIMIT 20
+"""
+
 TERMVECTORS = f"""
 WITH arrs AS (
   SELECT doc_id,
@@ -2901,6 +2915,7 @@ ORACLES: dict[str, str] = {
     "semdedup_keep": _semdedup_oracle(),
     "chunk_dedup": CHUNK_DEDUP,
     "termvectors": TERMVECTORS,
+    "bpe_pair_counts": BPE_PAIR_COUNTS,
     "agg_geo_centroid": AGG_GEO_CENTROID,
     "agg_geo_bounds": AGG_GEO_BOUNDS,
     "agg_matrix_stats": AGG_MATRIX_STATS,

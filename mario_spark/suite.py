@@ -1670,6 +1670,14 @@ def agg_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.top_metrics_agg(d, "lang", "n_chars", "doc_id")
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge step: corpus-wide top-20
+    adjacent char-pair frequencies (ops/textstats.bpe_pair_counts)."""
+    from mario_spark.ops import textstats
+
+    return textstats.bpe_pair_counts(_documents(spark, sf_dir), k=20)
+
+
 def termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _termvectors API (term_statistics=true): per (doc, term) rows
     with term_freq, 1-based positions (comma-joined for cross-engine
@@ -2004,6 +2012,7 @@ SUITE = {
     "semdedup_keep": semdedup_keep,
     "chunk_dedup": chunk_dedup,
     "termvectors": termvectors,
+    "bpe_pair_counts": bpe_pair_counts,
     "agg_geo_centroid": agg_geo_centroid,
     "agg_geo_bounds": agg_geo_bounds,
     "agg_matrix_stats": agg_matrix_stats,
