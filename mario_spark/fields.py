@@ -353,3 +353,100 @@ def search_cross_fields(
     )
     total = best.groupBy("query_id", "doc_id").agg(F.sum("c").alias("score"))
     return topk(total, k=k)
+
+
+def search_combined_fields(
+    fdocs: DataFrame,
+    query_terms: DataFrame,
+    weights: dict[str, float],
+    k: int = 10,
+    k1: float = None,
+    b: float = None,
+) -> DataFrame:
+    """ES combined_fields query (Lucene CombinedFieldQuery — the
+    principled BM25F successor to cross_fields): the fields are merged
+    into ONE pseudo-field BEFORE scoring, per Robertson et al.'s simple
+    BM25F:
+
+        tf_c(t, d)  = sum_f w_f * tf_f(t, d)
+        len_c(d)    = sum_f w_f * len_f(d)
+        df_c(t)     = |{d : t in ANY field of d}|
+        n/avgdl     = over docs with len_c > 0
+        score       = sum_t idf(df_c) * sat(tf_c, len_c)
+
+    One idf per term (no per-field idf inflation — the same
+    albino-elephant fix as cross_fields but statistically sound), one
+    saturation over the weighted tf, so k occurrences split across
+    fields score like k occurrences in one field. Lucene requires all
+    combined fields to share one analyzer; fdocs guarantees that by
+    construction.
+
+    Plan shape: per-field tf explodes union into ONE (doc, term) hash
+    agg (map-side combinable), the combined doc-length dim joins on
+    doc_id, and the tiny (query, term, idf) dim broadcasts onto the
+    combined tf — the same single-shuffle-then-broadcast skeleton as
+    plain BM25; field count multiplies only the pre-agg map side.
+    """
+    from mario_spark.query import B, K1, topk
+
+    k1 = K1 if k1 is None else k1
+    b = B if b is None else b
+    tf_parts, len_parts = [], []
+    for field, w in weights.items():
+        fd = fdocs.filter(F.col("field") == field)
+        tf_parts.append(
+            fd.select(
+                "doc_id", F.explode("tf_map").alias("term", "raw_tf")
+            ).select(
+                "doc_id",
+                "term",
+                (F.lit(float(w)) * F.col("raw_tf")).alias("wtf"),
+            )
+        )
+        len_parts.append(
+            fd.select(
+                "doc_id", (F.lit(float(w)) * F.col("len")).alias("wlen")
+            )
+        )
+    tfu = tf_parts[0]
+    for p in tf_parts[1:]:
+        tfu = tfu.unionByName(p)
+    ctf = tfu.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tf"))
+    lnu = len_parts[0]
+    for p in len_parts[1:]:
+        lnu = lnu.unionByName(p)
+    clen = (
+        lnu.groupBy("doc_id")
+        .agg(F.sum("wlen").alias("len"))
+        .filter(F.col("len") > 0)
+    )
+    stats = clen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    dfreq = ctf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q_idf = (
+        query_terms.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .select("query_id", "term", "idf", "avgdl")
+    )
+    scored = (
+        ctf.join(F.broadcast(q_idf), "term")
+        .join(clen, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return topk(scored, k=k)

@@ -445,3 +445,27 @@ def query_terms_df(spark: SparkSession, query_set: list[tuple[int, str]]) -> Dat
         for t in dict.fromkeys(py_tokenize(q))  # distinct, order-stable
     ]
     return spark.createDataFrame(rows, "query_id long, term string")
+
+
+# ES terms_set query set: (query_id, terms, minimum_should_match).
+# Query 2's min of 2 is unsatisfiable (zzz is OOV) -> empty result;
+# query 4 requires all four terms (conjunctive degenerate case).
+DOCUMENTS_TERMS_SET_SET: list[tuple[int, list[str], int]] = [
+    (0, ["join", "hash", "merge"], 2),
+    (1, ["spark", "query", "window", "sort"], 3),
+    (2, ["zzz", "join"], 2),
+    (3, ["dup", "key"], 1),
+    (4, ["customer", "order", "line", "batch"], 4),
+]
+
+
+# ES percolate registry: stored queries (bool.must of their terms)
+# reverse-matched against an incoming doc batch. Query 3 is OOV and
+# can never fire; query 1 targets the rare 'dup' term.
+DOCUMENTS_PERCOLATE_SET: list[tuple[int, str]] = [
+    (0, "join hash merge"),
+    (1, "dup"),
+    (2, "query window sort spark"),
+    (3, "zzz"),
+    (4, "customer order"),
+]

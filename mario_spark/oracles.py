@@ -2803,6 +2803,181 @@ FROM rk WHERE rank <= {size}
 """
 
 
+def terms_set_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """terms_set oracle: BM25 sum over matched terms, HAVING
+    count(DISTINCT matched term) >= the query's minimum_should_match —
+    mirrors query.search_terms_set."""
+    from mario_spark.fixtures import DOCUMENTS_TERMS_SET_SET
+
+    qrows = [
+        f"({qid}, '{t}', {m})"
+        for qid, terms, m in DOCUMENTS_TERMS_SET_SET
+        for t in dict.fromkeys(terms)
+    ]
+    return f"""
+WITH q(query_id, term, min_match) AS (VALUES {", ".join(qrows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.term) >= max(q.min_match)
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def distance_feature_sql(
+    origin: float = 182.0,
+    pivot: float = 30.0,
+    boost: float = 2.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """distance_feature oracle: BM25 + boost*pivot/(pivot+|day-origin|),
+    day = doc_id % 365 — mirrors query.search_distance_feature."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+feat AS (
+  SELECT doc_id, (doc_id % 365)::DOUBLE AS value FROM documents
+),
+fin AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.raw + {boost} * {pivot} / ({pivot} + abs(feat.value - {origin})) AS raw
+  FROM sc LEFT JOIN feat USING (doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM fin
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def percolate_sql(n_docs: int = 20) -> str:
+    """percolate oracle: a stored query fires for a doc when the doc's
+    term set covers all the query's terms — mirrors query.percolate."""
+    from mario_spark.fixtures import DOCUMENTS_PERCOLATE_SET
+
+    qrows = [
+        f"({qid}, '{t}')"
+        for qid, qtext in DOCUMENTS_PERCOLATE_SET
+        for t in dict.fromkeys(py_tokenize(qtext))
+    ]
+    return f"""
+WITH q(query_id, term) AS (VALUES {", ".join(qrows)}),
+qn AS (SELECT query_id, count(DISTINCT term) AS qn FROM q GROUP BY 1),
+{_TOKS_CTE},
+pres AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE doc_id < {n_docs}
+)
+SELECT pres.doc_id, q.query_id::BIGINT AS query_id
+FROM pres
+JOIN q USING (term)
+JOIN qn ON q.query_id = qn.query_id
+GROUP BY pres.doc_id, q.query_id, qn.qn
+HAVING count(DISTINCT pres.term) = qn.qn
+"""
+
+
+def combined_fields_sql(
+    fields: list[tuple[str, str, float]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """combined_fields oracle: weighted tf and length merged across
+    fields into one pseudo-field, single df/idf over any-field
+    occurrence — mirrors fields.search_combined_fields."""
+    ctes, tf_unions, len_terms = [], [], []
+    for name, expr, w in fields:
+        ctes.append(f"""
+toks_{name} AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(nfc_normalize({expr})), '{_TOK}')) AS term
+  FROM documents
+),
+tf_{name} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks_{name} GROUP BY 1, 2)""")
+        tf_unions.append(
+            f"SELECT doc_id, term, {w} * tf AS wtf FROM tf_{name}"
+        )
+        len_terms.append(
+            f"{w} * coalesce(len(regexp_extract_all(lower(nfc_normalize({expr})), '{_TOK}')), 0)"
+        )
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{", ".join(ctes)},
+ctf AS (
+  SELECT doc_id, term, sum(wtf) AS tf
+  FROM ({" UNION ALL ".join(tf_unions)}) GROUP BY 1, 2
+),
+clen AS (
+  SELECT * FROM (
+    SELECT doc_id, ({" + ".join(len_terms)})::DOUBLE AS len
+    FROM documents
+  ) WHERE len > 0
+),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM clen),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, ctf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (ctf.tf * ({k1} + 1.0))
+              / (ctf.tf + {k1} * (1.0 - {b} + {b} * cl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN ctf USING (term)
+  JOIN dfr USING (term)
+  JOIN clen cl ON ctf.doc_id = cl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -2930,6 +3105,10 @@ ORACLES: dict[str, str] = {
     "agg_cumulative_cardinality": AGG_CUMULATIVE_CARDINALITY,
     "pinned_topk": pinned_topk_sql(),
     "rank_feature_topk": rank_feature_sql(),
+    "terms_set_topk": terms_set_sql(),
+    "distance_feature_topk": distance_feature_sql(),
+    "percolate_match": percolate_sql(),
+    "combined_fields_topk": combined_fields_sql(_MF_FIELDS),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

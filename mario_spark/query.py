@@ -616,3 +616,153 @@ def search_rank_feature(
         .select("query_id", "doc_id", "score")
     )
     return topk(scored, k)
+
+
+def search_terms_set(
+    docs: DataFrame,
+    qsets: list[tuple[int, list[str], int]],
+    k: int = 10,
+) -> DataFrame:
+    """ES terms_set query: a doc matches when it contains at least
+    `minimum_should_match` of the query's terms (ES drives the minimum
+    from a doc field or script; a per-query constant covers the API's
+    observable semantics), scored as the BM25 sum over the terms it
+    DOES contain — exactly a bool.should with min_should_match=m.
+
+    `qsets` = [(query_id, [terms], m)]. OOV terms can never count
+    toward m (they match no doc), so a query whose satisfiable term
+    count is below m returns empty — same as ES.
+
+    Plan shape = the conjunctive path of search_exhaustive with == m
+    relaxed to >= m: ONE broadcast of the tiny (query, term, idf, m)
+    dim onto tf, one (query, doc) hash agg carrying both the score sum
+    and the matched-term count, filter, per-query window top-k. The
+    min_match threshold rides the broadcast dim — no extra join or
+    shuffle versus plain BM25.
+    """
+    from mario_spark.docs import corpus_stats
+
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [
+            (qid, t, int(m))
+            for qid, terms, m in qsets
+            for t in dict.fromkeys(terms)
+        ],
+        "query_id long, term string, min_match long",
+    )
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    q_idf = (
+        q.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .select("query_id", "term", "idf", "avgdl", "min_match")
+    )
+    scored = (
+        tf.join(F.broadcast(q_idf), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("len") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.countDistinct("term").alias("nt"),
+            F.max("min_match").alias("m"),
+        )
+        .filter(F.col("nt") >= F.col("m"))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(scored, k)
+
+
+def search_distance_feature(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    values: DataFrame,
+    origin: float,
+    pivot: float,
+    k: int = 10,
+    boost: float = 2.0,
+) -> DataFrame:
+    """ES bool {must: match, should: distance_feature}: final score =
+    BM25 + boost * pivot / (pivot + |value - origin|) — the reciprocal
+    decay ES uses for both its date and geo variants (for geo, `value`
+    is a precomputed distance and origin=0; the kernel is identical).
+    `values` is (doc_id, value double) — a date epoch-day, recency
+    counter, or distance. Like rank_feature it is a should clause: it
+    reorders matching docs toward the origin, never selects new ones,
+    and a doc with no value row gets +0 (ES skips docs missing the
+    field).
+
+    Join shape: one doc_id hash join AFTER the per-(query, doc) BM25
+    aggregation — the decay math is pure codegen on the joined column.
+    """
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    scored = (
+        bm25_scores(tf, dfreq, stats, query_terms)
+        .join(values, "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("score")
+            + F.when(
+                F.col("value").isNotNull(),
+                F.lit(boost) * F.lit(pivot)
+                / (F.lit(pivot) + F.abs(F.col("value") - F.lit(origin))),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(scored, k)
+
+
+def percolate(
+    docs: DataFrame, stored: list[tuple[int, list[str]]]
+) -> DataFrame:
+    """ES percolate query: the registry of STORED queries is matched in
+    reverse against incoming documents — which saved searches / alerts
+    fire for this doc. Each stored query is a bool.must of its terms
+    (the registered-query shape mario's alerting tier would use); a doc
+    matches when it contains every term. Returns (doc_id, query_id)
+    match pairs.
+
+    Plan shape: the stored-query registry is by definition small next
+    to the document stream, so it broadcasts; matching is one hash agg
+    over (doc, query) candidate rows — rows exist only for terms the
+    doc actually contains, so the agg input is bounded by matched
+    postings, not |docs| x |queries|. At 100TB this runs as a map-side
+    join + partial agg over the incoming batch with zero shuffle of
+    the corpus itself.
+    """
+    from mario_spark.analyze import py_tokenize
+
+    spark = docs.sparkSession
+    q = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, qtext in stored
+            for t in dict.fromkeys(py_tokenize(qtext))
+        ],
+        "query_id long, term string",
+    )
+    qn = q.groupBy("query_id").agg(F.countDistinct("term").alias("qn"))
+    pres = term_frequencies(docs).select("doc_id", "term")
+    return (
+        pres.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("nt") == F.col("qn"))
+        .select("doc_id", "query_id")
+    )

@@ -1899,6 +1899,54 @@ def phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.phrase_suggest(toks, dic, inputs)
 
 
+def terms_set_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: docs containing >= minimum_should_match of
+    the query's terms, BM25-scored over the matched terms
+    (query.search_terms_set)."""
+    from mario_spark.fixtures import DOCUMENTS_TERMS_SET_SET
+
+    d = _doc_table(spark, sf_dir)
+    return query.search_terms_set(d, DOCUMENTS_TERMS_SET_SET, k=10)
+
+
+def distance_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool {must: match, should: distance_feature}: BM25 +
+    2.0 * 30/(30 + |day - 182|) reciprocal date decay, the per-doc day
+    synthesized as doc_id % 365 identically in both engines
+    (query.search_distance_feature)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    vals = _documents(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 365).cast("double").alias("value")
+    )
+    return query.search_distance_feature(
+        d, q, vals, origin=182.0, pivot=30.0, k=10, boost=2.0
+    )
+
+
+def percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate: which stored queries (bool.must registry) fire for
+    each doc of an incoming 20-doc batch (query.percolate)."""
+    from mario_spark.fixtures import DOCUMENTS_PERCOLATE_SET
+
+    d = _doc_table(spark, sf_dir).filter(F.col("doc_id") < 20)
+    return query.percolate(d, DOCUMENTS_PERCOLATE_SET)
+
+
+def combined_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES combined_fields query (Lucene CombinedFieldQuery / simple
+    BM25F) over (title^2, contents^1): weighted tf/length merged into
+    one pseudo-field before a single BM25
+    (fields.search_combined_fields)."""
+    from mario_spark import fields as fieldsmod
+
+    fdocs = _field_docs(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return fieldsmod.search_combined_fields(
+        fdocs, q, {"title": 2.0, "contents": 1.0}, k=10
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2027,5 +2075,9 @@ SUITE = {
     "agg_cumulative_cardinality": agg_cumulative_cardinality,
     "pinned_topk": pinned_topk,
     "rank_feature_topk": rank_feature_topk,
+    "terms_set_topk": terms_set_topk,
+    "distance_feature_topk": distance_feature_topk,
+    "percolate_match": percolate_match,
+    "combined_fields_topk": combined_fields_topk,
     "completion_suggest": completion_suggest,
 }

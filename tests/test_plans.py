@@ -383,3 +383,45 @@ def test_chunk_dedup_shuffles_digests_not_text(spark):
     assert inputs, "expected hash exchanges in the chunk_dedup plan"
     for l in inputs:
         assert "text" not in l and "arr" not in l, l
+
+
+def test_terms_set_broadcasts_query_dim_no_cartesian(spark):
+    """terms_set: the (query, term, idf, min_match) dim must broadcast
+    onto tf; the min_match filter rides the same agg — no extra join,
+    no cartesian."""
+    from mario_spark.suite import terms_set_topk
+
+    plan = _plan(terms_set_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_percolate_broadcasts_registry(spark):
+    """percolate: the stored-query registry is the dim — it must
+    broadcast; the corpus itself never becomes a join build side."""
+    from mario_spark.suite import percolate_match
+
+    plan = _plan(percolate_match(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_combined_fields_single_idf_no_cartesian(spark):
+    """combined_fields: per-field tf unions feed ONE (doc, term) agg;
+    the query/idf dim broadcasts; no cartesian anywhere."""
+    from mario_spark.suite import combined_fields_topk
+
+    plan = _plan(combined_fields_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_distance_feature_joins_after_agg(spark):
+    """distance_feature: the decay join is on doc_id AFTER the BM25
+    agg (HashAggregate appears before the value join in the plan tree),
+    and the plan stays cartesian-free."""
+    from mario_spark.suite import distance_feature_topk
+
+    plan = _plan(distance_feature_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan

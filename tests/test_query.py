@@ -85,3 +85,80 @@ def test_bm25_rank_identical_to_pandas_oracle(spark, corpus):
 def test_oov_query_empty(spark, corpus):
     q = query_terms_df(spark, [(0, "qqqxyz zzzoov")])
     assert query.search_exhaustive(corpus, q).count() == 0
+
+
+def test_terms_set_semantics(spark):
+    """min_should_match gates matches: an OOV member can never count,
+    and m == |terms| degenerates to conjunctive AND."""
+    from mario_spark import query as q
+    from mario_spark.docs import build_doc_table
+
+    pages = spark.createDataFrame(
+        [(0, "join hash merge sort"), (1, "join hash"), (2, "merge")],
+        "doc_id long, text string",
+    )
+    d = build_doc_table(pages)
+    out = q.search_terms_set(
+        d,
+        [
+            (0, ["join", "hash", "merge"], 2),   # docs 0, 1
+            (1, ["zzz", "join"], 2),             # unsatisfiable -> empty
+            (2, ["join", "hash"], 2),            # AND: docs 0, 1
+            (3, ["merge", "sort"], 1),           # docs 0, 2
+        ],
+        k=10,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_q[0] == {0, 1}
+    assert 1 not in by_q
+    assert by_q[2] == {0, 1}
+    assert by_q[3] == {0, 2}
+
+
+def test_percolate_must_semantics(spark):
+    """A stored query fires only when the doc covers ALL its terms."""
+    from mario_spark import query as q
+    from mario_spark.docs import build_doc_table
+
+    pages = spark.createDataFrame(
+        [(0, "join hash merge"), (1, "join"), (2, "hash join hash")],
+        "doc_id long, text string",
+    )
+    d = build_doc_table(pages)
+    out = q.percolate(d, [(0, "join hash"), (1, "merge"), (2, "zzz")])
+    got = {(r["doc_id"], r["query_id"]) for r in out.collect()}
+    assert got == {(0, 0), (2, 0), (0, 1)}
+
+
+def test_combined_fields_weighted_merge(spark):
+    """BM25F merge: a term split across fields scores as one combined
+    occurrence stream — combined tf = 2*tf_title + tf_contents and a
+    SINGLE idf (df over any-field occurrence)."""
+    from mario_spark import fields as fieldsmod
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [(0, "join hash"), (1, "join join merge"), (2, "merge sort")],
+        "doc_id long, text string",
+    )
+    fdocs = fieldsmod.build_field_doc_table(
+        pages,
+        {"title": F.substring("text", 1, 4), "contents": F.col("text")},
+    )
+    q = spark.createDataFrame(
+        [(0, "join"), (1, "merge")], "query_id long, term string"
+    )
+    out = fieldsmod.search_combined_fields(
+        fdocs, q, {"title": 2.0, "contents": 1.0}, k=10
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    # 'join' appears in title+contents of docs 0,1 -> both match; doc 1
+    # has higher combined tf (title 'join' w=2 + contents tf=2 -> 4 vs 3)
+    # but also a longer combined len; ranking must be deterministic.
+    assert {d for _, d in by_q[0]} == {0, 1}
+    # 'merge' is in contents of 1,2 and title of 2 only
+    assert {d for _, d in by_q[1]} == {1, 2}
