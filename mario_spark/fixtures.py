@@ -469,3 +469,15 @@ DOCUMENTS_PERCOLATE_SET: list[tuple[int, str]] = [
     (3, "zzz"),
     (4, "customer order"),
 ]
+
+
+# ES intervals query set (match, ordered:true, max_gaps):
+# (query_id, term1, term2, max_gaps). g=0 degenerates to an ordered
+# bigram; query 3 pairs two head terms with a wide gap; query 4 is OOV.
+DOCUMENTS_INTERVALS_SET: list[tuple[int, str, str, int]] = [
+    (0, "hash", "join", 2),
+    (1, "table", "hash", 0),
+    (2, "customer", "order", 4),
+    (3, "the", "value", 8),
+    (4, "zzz", "join", 3),
+]

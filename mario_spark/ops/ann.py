@@ -381,3 +381,62 @@ def semdedup(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+def rrf_hybrid(
+    doc_table: DataFrame,
+    query_terms: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    window: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """ES hybrid retrieval with Reciprocal Rank Fusion (the `rrf`
+    retriever): the SAME query runs as lexical BM25 and as dense cosine
+    kNN (query vector = the embedding whose vec_id equals the query_id,
+    doc embeddings keyed vec_id == doc_id), each producing a
+    rank-window of `window` candidates, fused as
+
+        rrf(d) = sum over retrievers ranking d:  1 / (rrf_k + rank_d)
+
+    (Cormack et al. 2009, the published constant rrf_k=60). A doc
+    ranked by only one retriever gets only that term — exactly ES's
+    rank_window_size semantics.
+
+    Plan shape: both inputs are already top-`window` per query (tiny),
+    so the fusion is a full-outer hash join of two k-row-per-query
+    frames + codegen arithmetic + per-query window top-k. The heavy
+    lifting stays in the two retrievers' scale-shaped plans.
+    """
+    from mario_spark.query import search_exhaustive
+
+    lex = (
+        search_exhaustive(doc_table, query_terms, k=window)
+        .select("query_id", "doc_id", F.col("rank").alias("lrank"))
+    )
+    den = (
+        brute_topk(embeddings, query_ids, k=window)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").alias("drank"),
+        )
+    )
+    fused = (
+        lex.join(den, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (F.lit(float(rrf_k)) + F.col("lrank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(float(rrf_k)) + F.col("drank")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf")
+    )

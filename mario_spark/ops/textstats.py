@@ -298,3 +298,57 @@ def bpe_pair_counts(documents: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("count"), F.asc("pair"))
         .limit(k)
     )
+
+
+def lm_cross_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020 use a KenLM
+    5-gram; the distributed primitive is the same at any order): score
+    every doc by its cross-entropy under an add-one-smoothed word
+    BIGRAM model trained on the corpus itself —
+
+        ce(d) = -(1/T) * sum_i ln( (c2(w_{i-1}, w_i) + 1)
+                                 / (c1(w_{i-1}) + V) )
+
+    Low ce = fluent/templated text, high ce = rare word sequences;
+    CCNet buckets docs into head/middle/tail on this signal. Docs with
+    fewer than 2 tokens emit no row (no bigram evidence).
+
+    Plan shape: tokenize once (JVM regexp), bigram expansion via a
+    guarded sequence transform (sequence(2, 1) is descending, not
+    empty — the ADVICE.md trap), TWO count aggs (bigram + unigram
+    tables, both map-side combinable), then one hash join of doc
+    bigrams against the count tables and a per-doc agg. The count
+    tables shuffle on their own keys — at web scale they are large but
+    flat (vocab^2-bounded), never skewed by document length; V rides
+    in as a broadcast 1-row frame, no collect.
+    """
+    arr = F.regexp_extract_all(
+        F.lower(text_col), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+    )
+    toks = documents.select("doc_id", arr.alias("arr"))
+    # NB: Spark's arr[i] is 0-based; i ranges over 1-based positions
+    bigram_expr = F.expr(
+        "transform(sequence(2, size(arr)), i -> struct(arr[i-2] AS prev, arr[i-1] AS w))"
+    )
+    bg = (
+        toks.filter(F.size("arr") >= 2)
+        .select("doc_id", F.explode(bigram_expr).alias("b"))
+        .select("doc_id", F.col("b.prev").alias("prev"), F.col("b.w").alias("w"))
+    )
+    uni = (
+        toks.select(F.explode("arr").alias("prev"))
+        .groupBy("prev")
+        .agg(F.count("*").cast("double").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    c2 = bg.groupBy("prev", "w").agg(F.count("*").cast("double").alias("c2"))
+    return (
+        bg.join(c2, ["prev", "w"])
+        .join(uni, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp", F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+        )
+        .groupBy("doc_id")
+        .agg(F.round(-F.avg("lp"), 4).alias("ce"))
+    )

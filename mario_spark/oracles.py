@@ -2978,6 +2978,142 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+def intervals_sql(k: int = 10) -> str:
+    """intervals oracle: identical nested list-lambda anchor count over
+    1-based position lists — mirrors phrase.search_intervals_match."""
+    from mario_spark.fixtures import DOCUMENTS_INTERVALS_SET
+
+    qrows = [
+        f"({qid}, '{t1}', '{t2}', {g})"
+        for qid, t1, t2, g in DOCUMENTS_INTERVALS_SET
+    ]
+    return f"""
+WITH q(query_id, t1, t2, g) AS (VALUES {", ".join(qrows)}),
+arrs AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, arr[p] AS term, p
+  FROM arrs, unnest(generate_series(1, len(arr))) AS u(p)
+),
+pl AS (SELECT doc_id, term, list(p ORDER BY p) AS ps FROM pos GROUP BY 1, 2),
+m AS (
+  SELECT q.query_id::BIGINT AS query_id, a.doc_id,
+         len(list_filter(a.ps, p1 ->
+             len(list_filter(b.ps, p2 ->
+                 p2 > p1 AND p2 - p1 - 1 <= q.g)) > 0))::BIGINT AS matches
+  FROM q
+  JOIN pl a ON a.term = q.t1
+  JOIN pl b ON b.term = q.t2 AND b.doc_id = a.doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, matches,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY matches DESC, doc_id ASC) AS rank
+  FROM m WHERE matches > 0
+)
+SELECT query_id, rank, doc_id, matches FROM rk WHERE rank <= {k}
+"""
+
+
+def rrf_hybrid_sql(
+    k: int = 10,
+    window: int = 20,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """RRF oracle: lexical BM25 rank window + dense cosine rank window,
+    full outer fusion, sum 1/(rrf_k + rank) — mirrors ops/ann.rrf_hybrid."""
+    qrows = [
+        f"({qid}, '{t}')"
+        for qid, qtext in DOCUMENTS_QUERY_SET
+        if qid in (0, 1, 2, 3, 4)
+        for t in dict.fromkeys(py_tokenize(qtext))
+    ]
+    cos = _COS64.format(A="qv.qe", B="e.embedding")
+    return f"""
+WITH q(query_id, term) AS (VALUES {", ".join(qrows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS lrank
+  FROM sc QUALIFY lrank <= {window}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0, 1, 2, 3, 4)),
+dcos AS (
+  SELECT qv.query_id, e.vec_id AS doc_id, round({cos}, 4) AS cos
+  FROM qv, embeddings e
+  WHERE e.vec_id <> qv.query_id
+),
+den AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id ASC) AS drank
+  FROM dcos QUALIFY drank <= {window}
+),
+fused AS (
+  SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+         coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({rrf_k} + lex.lrank), 0.0)
+             + coalesce(1.0 / ({rrf_k} + den.drank), 0.0), 6) AS rrf
+  FROM lex FULL OUTER JOIN den USING (query_id, doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, rrf FROM rk WHERE rank <= {k}
+"""
+
+
+LM_CROSS_ENTROPY = f"""
+WITH {_TOKS_CTE.replace("toks AS", "toks0 AS")},
+arrs AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, arr[p - 1] AS prev, arr[p] AS w
+  FROM arrs, unnest(generate_series(2, len(arr))) AS u(p)
+  WHERE len(arr) >= 2
+),
+uni AS (SELECT term AS prev, count(*)::DOUBLE AS c1 FROM toks0 GROUP BY 1),
+voc AS (SELECT count(*)::DOUBLE AS v FROM uni),
+c2 AS (SELECT prev, w, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1, 2)
+SELECT bg.doc_id,
+       round(-avg(ln((c2.c2 + 1.0) / (uni.c1 + voc.v))), 4) AS ce
+FROM bg
+JOIN c2 USING (prev, w)
+JOIN uni USING (prev)
+CROSS JOIN voc
+GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3109,6 +3245,9 @@ ORACLES: dict[str, str] = {
     "distance_feature_topk": distance_feature_sql(),
     "percolate_match": percolate_sql(),
     "combined_fields_topk": combined_fields_sql(_MF_FIELDS),
+    "intervals_topk": intervals_sql(),
+    "rrf_hybrid_topk": rrf_hybrid_sql(),
+    "lm_cross_entropy": LM_CROSS_ENTROPY,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -783,3 +783,62 @@ def search_span_first(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def search_intervals_match(
+    docs_pos: DataFrame,
+    queries: list[tuple[int, str, str, int]],
+    k: int = 10,
+) -> DataFrame:
+    """ES intervals query — `match` source with ordered:true and
+    max_gaps (the two-term form; longer chains nest the same rule):
+    doc matches when term1 is followed by term2 with at most max_gaps
+    intervening tokens. Returns per (query, doc) the number of valid
+    anchor positions (`matches`, ES's interval iterator count), top-k
+    by matches desc / doc_id asc.
+
+    Execution shape is deliberately DIFFERENT from the span_* kernels:
+    intervals are evaluated as pure Catalyst nested higher-order
+    functions over the pos_map arrays — zero Python, zero kernel, full
+    whole-stage codegen:
+
+        matches = size(filter(P1, p1 -> exists(P2, p2 ->
+                      p2 > p1 AND p2 - p1 - 1 <= g)))
+
+    Per-doc work is bounded by |P1|x|P2| of the two queried terms
+    (tiny), embarrassingly parallel, no shuffle before the final
+    per-query top-k window.
+    """
+    per_q = []
+    for qid, t1, t2, g in queries:
+        p1 = F.col("pos_map").getItem(t1)
+        p2 = F.col("pos_map").getItem(t2)
+        matches = F.size(
+            F.filter(
+                p1,
+                lambda a: F.exists(
+                    p2,
+                    lambda b: (b > a) & (b - a - 1 <= F.lit(int(g))),
+                ),
+            )
+        )
+        per_q.append(
+            docs_pos.filter(p1.isNotNull() & p2.isNotNull())
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "doc_id",
+                matches.cast("long").alias("matches"),
+            )
+            .filter(F.col("matches") > 0)
+        )
+    out = per_q[0]
+    for p in per_q[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("matches"), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "matches")
+    )

@@ -1947,6 +1947,44 @@ def combined_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def intervals_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query (match, ordered, max_gaps): valid-anchor
+    counts via pure Catalyst nested array HOFs over pos_map — no
+    kernel, no shuffle before the per-query top-k
+    (phrase.search_intervals_match)."""
+    from mario_spark import phrase as ph
+    from mario_spark.fixtures import DOCUMENTS_INTERVALS_SET
+
+    d = docs.build_doc_table(
+        documents_as_pages(spark, sf_dir), positions=True
+    )
+    return ph.search_intervals_match(d, DOCUMENTS_INTERVALS_SET, k=10)
+
+
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES hybrid retriever with Reciprocal Rank Fusion: BM25 (queries
+    0-4 of the fixed set) + cosine kNN (query vector = embedding of
+    vec_id == query_id), rank windows of 20 fused as
+    sum 1/(60 + rank) (ops/ann.rrf_hybrid)."""
+    from mario_spark.ops import ann
+
+    d = _doc_table(spark, sf_dir)
+    qids = [0, 1, 2, 3, 4]
+    q = query_terms_df(
+        spark, [(i, t) for i, t in DOCUMENTS_QUERY_SET if i in qids]
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.rrf_hybrid(d, q, e, qids, k=10, window=20)
+
+
+def lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc cross-entropy under an
+    add-one-smoothed corpus bigram LM (ops/textstats.lm_cross_entropy)."""
+    from mario_spark.ops import textstats
+
+    return textstats.lm_cross_entropy(_documents(spark, sf_dir))
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2079,5 +2117,8 @@ SUITE = {
     "distance_feature_topk": distance_feature_topk,
     "percolate_match": percolate_match,
     "combined_fields_topk": combined_fields_topk,
+    "intervals_topk": intervals_topk,
+    "rrf_hybrid_topk": rrf_hybrid_topk,
+    "lm_cross_entropy": lm_cross_entropy,
     "completion_suggest": completion_suggest,
 }

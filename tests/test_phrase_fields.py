@@ -260,3 +260,26 @@ def test_field_index_with_positions_phrase(spark, tmp_path):
         .sort_values(["query_id", "rank"], ignore_index=True)
     )
     pd.testing.assert_frame_equal(after, want, check_exact=False, atol=1e-9)
+
+
+def test_intervals_ordered_max_gaps_semantics(spark):
+    """ordered + max_gaps: t2 must FOLLOW t1 within g intervening
+    tokens; reversed order or wide gaps don't match; anchor count is
+    the number of valid t1 positions."""
+    from mario_spark import phrase as ph
+    from mario_spark.docs import build_doc_table
+
+    pages = spark.createDataFrame(
+        [
+            (0, "hash join"),                  # gap 0
+            (1, "hash a b join"),              # gap 2
+            (2, "hash a b c join"),            # gap 3 (> 2)
+            (3, "join hash"),                  # wrong order
+            (4, "hash join hash x join"),      # anchors: both hash positions
+        ],
+        "doc_id long, text string",
+    )
+    d = build_doc_table(pages, positions=True)
+    out = ph.search_intervals_match(d, [(0, "hash", "join", 2)], k=10)
+    got = {r["doc_id"]: r["matches"] for r in out.collect()}
+    assert got == {0: 1, 1: 1, 4: 2}

@@ -425,3 +425,32 @@ def test_distance_feature_joins_after_agg(spark):
     plan = _plan(distance_feature_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_intervals_pure_codegen_no_python(spark):
+    """intervals must run as Catalyst array HOFs — no Python eval node
+    (the span kernels are mapInPandas; this path must not be)."""
+    from mario_spark.suite import intervals_topk
+
+    plan = _plan(intervals_topk(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fuses_small_windows(spark):
+    """RRF fusion joins two already-top-k frames: no cartesian and no
+    global (unpartitioned) sort anywhere in the fused plan."""
+    from mario_spark.suite import rrf_hybrid_topk
+
+    plan = _plan(rrf_hybrid_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_cross_entropy_broadcasts_vocab_scalar(spark):
+    """The vocab-size frame is 1 row — it must broadcast; count tables
+    join hash-side; no cartesian beyond that broadcast."""
+    from mario_spark.suite import lm_cross_entropy
+
+    plan = _plan(lm_cross_entropy(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
