@@ -168,6 +168,9 @@ def main() -> None:
         "query_string_topk",
         "url_dedup",
         "repetition_stats",
+        "combined_fields_topk",
+        "rrf_hybrid_topk",
+        "lm_cross_entropy",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())

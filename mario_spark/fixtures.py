@@ -481,3 +481,15 @@ DOCUMENTS_INTERVALS_SET: list[tuple[int, str, str, int]] = [
     (3, "the", "value", 8),
     (4, "zzz", "join", 3),
 ]
+
+
+# match_bool_prefix (search_as_you_type) query set: the last token is
+# the partially-typed prefix. Query 2 is prefix-only (single token),
+# query 4's prefix matches nothing.
+DOCUMENTS_SAYT_SET: list[tuple[int, str]] = [
+    (0, "hash jo"),
+    (1, "customer ord"),
+    (2, "s"),
+    (3, "window agg qu"),
+    (4, "merge zzz"),
+]

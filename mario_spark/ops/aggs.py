@@ -19,7 +19,7 @@ from/size / search_after). Re-expressed Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -827,3 +827,74 @@ def top_metrics_agg(
             F.col(metric_col).alias("metric"),
         )
     )
+
+
+def moving_percentiles_daily(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: int = 7,
+    q: float = 0.5,
+) -> DataFrame:
+    """ES moving_percentiles pipeline agg: per daily bucket, the exact
+    interpolated q-percentile of sum_value over the trailing `window`
+    buckets (inclusive). ES wraps a percentiles agg in a moving window
+    on the coordinating node; here the window runs over the REDUCED
+    daily table — O(#days) rows, never the raw events.
+
+    Spark's `percentile` is usable as a window aggregate, so the whole
+    pipeline is two aggs and one window — no collect, no UDF.
+    """
+    daily = events.groupBy(
+        F.to_date(ts_col).alias("d")
+    ).agg(F.sum(value_col).alias("sum_value"))
+    w = (
+        Window.orderBy("d").rowsBetween(-(window - 1), 0)
+    )
+    return (
+        daily.withColumn(
+            "mp", F.round(F.percentile(F.col("sum_value"), F.lit(q)).over(w), 4)
+        )
+        .select(F.col("d").cast("string").alias("key"), "mp")
+    )
+
+
+def frequent_item_sets_pairs(
+    presence: DataFrame,
+    min_support: float = 0.1,
+    k: int = 10,
+) -> DataFrame:
+    """ES frequent_item_sets agg (8.4+), the size-2 level of its
+    Apriori/ECLAT mining: item pairs co-occurring in at least
+    `min_support` of the docs. `presence` is (doc_id, item) DISTINCT
+    rows (ES feeds keyword arrays; tokens work the same).
+
+    Classic Apriori pruning keeps this scale-safe: items below
+    min_support are eliminated BEFORE pair generation (a frequent pair
+    needs two frequent members), so the within-doc self-join fan-out is
+    bounded by each doc's count of FREQUENT items, not its vocabulary.
+    The pair table then hash-aggregates on the (a, b) key. Output:
+    top-k pairs by doc_count (ties: item names asc), with support.
+    """
+    n_docs = presence.select("doc_id").distinct().count()
+    thresh = float(min_support) * n_docs
+    item_df = presence.groupBy("item").agg(
+        F.countDistinct("doc_id").alias("idf")
+    )
+    frequent = item_df.filter(F.col("idf") >= thresh).select("item")
+    pruned = presence.join(F.broadcast(frequent), "item")
+    a = pruned.select("doc_id", F.col("item").alias("a"))
+    bcol = pruned.select("doc_id", F.col("item").alias("b"))
+    pairs = (
+        a.join(bcol, "doc_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.countDistinct("doc_id").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") >= thresh)
+        .withColumn(
+            "support", F.round(F.col("doc_count") / F.lit(float(n_docs)), 4)
+        )
+    )
+    return pairs.orderBy(
+        F.desc("doc_count"), F.asc("a"), F.asc("b")
+    ).limit(k)

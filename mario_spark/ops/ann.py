@@ -72,14 +72,25 @@ def cosine_expr(a: str, b: str):
 
 
 def brute_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 10
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    candidates: DataFrame = None,
 ) -> DataFrame:
     """-> (query_id, rank, vec_id, cos) exact cosine top-k per query.
 
     Self-matches are excluded. Scores rounded 4dp; rank ties break on
     vec_id asc (same determinism contract as BM25 top-k).
+
+    `candidates` (default: embeddings) is the searched set — pass a
+    FILTERED frame for ES kNN-with-filter semantics (pre-filtering: all
+    k results satisfy the filter; the filter prunes the scan BEFORE any
+    distance math, pushing down to parquet). Query vectors always
+    resolve from the full `embeddings` frame.
     """
     spark = embeddings.sparkSession
+    if candidates is None:
+        candidates = embeddings
     qrows = (
         embeddings.filter(F.col("vec_id").isin(query_ids))
         .select("vec_id", "embedding")
@@ -115,7 +126,7 @@ def brute_topk(
                 }
             )
 
-    local = embeddings.select("vec_id", "embedding").mapInPandas(
+    local = candidates.select("vec_id", "embedding").mapInPandas(
         kernel, "query_id long, vec_id long, cos double"
     )
     s = local.withColumn("cos", F.round("cos", 4))

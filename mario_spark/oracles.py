@@ -3114,6 +3114,172 @@ GROUP BY 1
 """
 
 
+def bool_prefix_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """match_bool_prefix oracle: BM25 over the full tokens + 1.0 for
+    any doc holding a term with the last token as prefix — mirrors
+    query.search_bool_prefix."""
+    from mario_spark.fixtures import DOCUMENTS_SAYT_SET
+
+    frows, prows = [], []
+    for qid, qtext in DOCUMENTS_SAYT_SET:
+        toks = py_tokenize(qtext)
+        if not toks:
+            continue
+        for t in dict.fromkeys(toks[:-1]):
+            frows.append(f"({qid}, '{t}')")
+        prows.append(f"({qid}, '{toks[-1]}')")
+    fvals = ", ".join(frows) if frows else "(NULL, NULL)"
+    return f"""
+WITH q(query_id, term) AS (VALUES {fvals}),
+p(query_id, prefix) AS (VALUES {", ".join(prows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+pm AS (
+  SELECT DISTINCT p.query_id::BIGINT AS query_id, tf.doc_id, 1.0 AS pscore
+  FROM p JOIN tf ON starts_with(tf.term, p.prefix)
+),
+fused AS (
+  SELECT coalesce(sc.query_id, pm.query_id) AS query_id,
+         coalesce(sc.doc_id, pm.doc_id) AS doc_id,
+         coalesce(sc.raw, 0.0) + coalesce(pm.pscore, 0.0) AS raw
+  FROM sc FULL OUTER JOIN pm USING (query_id, doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+IDS_QUERY = """
+SELECT doc_id, lang, 1.0 AS score
+FROM documents WHERE doc_id IN (3, 7, 11, 400, 9999)
+"""
+
+EXISTS_QUERY = """
+SELECT doc_id, nullif(lang, 'de') AS lang_opt
+FROM documents WHERE nullif(lang, 'de') IS NOT NULL
+"""
+
+AGG_MOVING_PERCENTILES = """
+WITH daily AS (
+  SELECT ts::DATE AS d, sum(value) AS sum_value FROM events GROUP BY 1
+)
+SELECT d::VARCHAR AS key,
+       round(quantile_cont(sum_value, 0.5) OVER (
+         ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mp
+FROM daily
+"""
+
+
+def ann_filtered_sql(k: int = 10) -> str:
+    """Filtered-kNN oracle: candidates restricted to label=3 before
+    ranking — mirrors ops/ann.brute_topk(candidates=...)."""
+    cos = _COS64.format(A="q.qe", B="e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+sc AS (
+  SELECT q.query_id, e.vec_id, round({cos}, 4) AS cos
+  FROM q, embeddings e
+  WHERE e.label = 3 AND e.vec_id <> q.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
+"""
+
+
+AGG_FREQUENT_ITEM_SETS = f"""
+WITH {_TOKS_CTE},
+pres AS (SELECT DISTINCT doc_id, term AS item FROM toks),
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM pres),
+freq AS (
+  SELECT item FROM pres CROSS JOIN nd
+  GROUP BY item, nd.n HAVING count(DISTINCT doc_id) >= 0.4 * any_value(nd.n)
+),
+pruned AS (SELECT pres.* FROM pres SEMI JOIN freq ON pres.item = freq.item),
+pairs AS (
+  SELECT a.item AS a, b.item AS b, count(DISTINCT a.doc_id)::BIGINT AS doc_count
+  FROM pruned a JOIN pruned b ON a.doc_id = b.doc_id AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT a, b, doc_count, round(doc_count / nd.n, 4) AS support
+FROM pairs CROSS JOIN nd
+WHERE doc_count >= 0.4 * nd.n
+ORDER BY doc_count DESC, a ASC, b ASC LIMIT 10
+"""
+
+
+def script_score_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """script_score oracle: raw BM25 * ln(2 + n_chars/100) — mirrors
+    suite.script_score_topk's Catalyst script."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.raw * ln(2.0 + d.n_chars::DOUBLE / 100.0) AS raw
+  FROM sc LEFT JOIN documents d USING (doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM fin
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+RUNTIME_FIELD_TERMS = """
+WITH r AS (
+  SELECT (floor(n_chars / 100) * 100)::BIGINT AS chars_bucket FROM documents
+)
+SELECT chars_bucket AS key, count(*)::BIGINT AS doc_count
+FROM r GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3248,6 +3414,14 @@ ORACLES: dict[str, str] = {
     "intervals_topk": intervals_sql(),
     "rrf_hybrid_topk": rrf_hybrid_sql(),
     "lm_cross_entropy": LM_CROSS_ENTROPY,
+    "bool_prefix_topk": bool_prefix_sql(),
+    "ids_query": IDS_QUERY,
+    "exists_query": EXISTS_QUERY,
+    "agg_moving_percentiles": AGG_MOVING_PERCENTILES,
+    "ann_filtered_topk": ann_filtered_sql(),
+    "agg_frequent_item_sets": AGG_FREQUENT_ITEM_SETS,
+    "script_score_topk": script_score_sql(),
+    "runtime_field_terms": RUNTIME_FIELD_TERMS,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

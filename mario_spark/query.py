@@ -766,3 +766,92 @@ def percolate(
         .filter(F.col("nt") == F.col("qn"))
         .select("doc_id", "query_id")
     )
+
+
+def search_bool_prefix(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """ES match_bool_prefix — the query the search_as_you_type field
+    serves: the LAST token of the (partially typed) query is a prefix
+    clause, everything before it is a regular BM25 term clause, all
+    combined as bool.should. Lucene rewrites the prefix clause with
+    CONSTANT_SCORE, so its contribution is +1.0 for any doc containing
+    at least one term with that prefix; the full-term clauses score
+    standard BM25. A doc matches if ANY clause matches.
+
+    Plan shape: the full-term side is the standard broadcast-idf BM25
+    agg; the prefix side is one startswith theta-join of the broadcast
+    (query, prefix) dim against tf followed by a distinct — then a
+    full-outer merge of the two tiny per-query frames. The startswith
+    join is a broadcast nested loop over the tf stream (the same
+    dictionary-walk shape as prefix expansion), never a cartesian of
+    docs x docs.
+    """
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.docs import corpus_stats
+
+    spark = docs.sparkSession
+    full_rows, pref_rows = [], []
+    for qid, qtext in queries:
+        toks = py_tokenize(qtext)
+        if not toks:
+            continue
+        for t in dict.fromkeys(toks[:-1]):
+            full_rows.append((qid, t))
+        pref_rows.append((qid, toks[-1]))
+    tf = term_frequencies(docs)
+    pref = spark.createDataFrame(pref_rows, "query_id long, prefix string")
+    pmatch = (
+        tf.join(F.broadcast(pref), F.col("term").startswith(F.col("prefix")))
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("pscore", F.lit(1.0))
+    )
+    if full_rows:
+        qterms = spark.createDataFrame(
+            full_rows, "query_id long, term string"
+        )
+        dfreq = doc_frequencies(tf)
+        stats = corpus_stats(docs)
+        lex = bm25_scores(tf, dfreq, stats, qterms)
+        fused = lex.join(pmatch, ["query_id", "doc_id"], "full_outer")
+    else:
+        fused = pmatch.withColumn("score", F.lit(None).cast("double"))
+    out = fused.withColumn(
+        "score",
+        F.coalesce("score", F.lit(0.0)) + F.coalesce("pscore", F.lit(0.0)),
+    ).select("query_id", "doc_id", "score")
+    return topk(out, k)
+
+
+def search_script_score(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    features: DataFrame,
+    script,
+    k: int = 10,
+) -> DataFrame:
+    """ES script_score query: the final score is an arbitrary
+    user expression over `_score` (the BM25 relevance) and per-doc
+    field values. `script` is a callable (score_col, feature_col) ->
+    Column — the Painless body re-expressed as a Catalyst expression,
+    which is exactly what a scripted score compiles down to (pure
+    codegen; no UDF). `features` is (doc_id, feature).
+
+    Same join shape as rank_feature/function_score: one doc_id hash
+    join AFTER the per-(query, doc) aggregation.
+    """
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    scored = (
+        bm25_scores(tf, dfreq, stats, query_terms)
+        .join(features, "doc_id", "left")
+        .withColumn("score", script(F.col("score"), F.col("feature")))
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(scored, k)

@@ -1985,6 +1985,108 @@ def lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lm_cross_entropy(_documents(spark, sf_dir))
 
 
+def bool_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (search_as_you_type): BM25 term clauses +
+    constant-score (+1.0) prefix clause on the last typed token
+    (query.search_bool_prefix)."""
+    from mario_spark.fixtures import DOCUMENTS_SAYT_SET
+
+    d = _doc_table(spark, sf_dir)
+    return query.search_bool_prefix(d, DOCUMENTS_SAYT_SET, k=10)
+
+
+def ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ids query: fetch by _id list in filter context (constant
+    score 1.0) — a pure pushed-down IN filter, no shuffle."""
+    wanted = [3, 7, 11, 400, 9999]
+    return (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id").isin(wanted))
+        .select("doc_id", "lang", F.lit(1.0).alias("score"))
+    )
+
+
+def exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES exists query: docs with a value for the field. The synthetic
+    corpus has no NULLs, so `lang` is nulled for 'de' docs identically
+    in both engines — exists = IS NOT NULL after that projection, a
+    scan-side filter."""
+    return (
+        _documents(spark, sf_dir)
+        .select(
+            "doc_id", F.nullif(F.col("lang"), F.lit("de")).alias("lang_opt")
+        )
+        .filter(F.col("lang_opt").isNotNull())
+        .select("doc_id", "lang_opt")
+    )
+
+
+def agg_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles pipeline agg: trailing-7-day exact median
+    of daily sum_value (ops/aggs.moving_percentiles_daily)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.moving_percentiles_daily(e, "ts", "value", window=7, q=0.5)
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN with filter (pre-filtering): exact cosine top-10 over
+    ONLY label=3 vectors — every result satisfies the filter, and the
+    filter prunes the candidate scan before any distance math
+    (ops/ann.brute_topk with candidates=)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.brute_topk(
+        e, [0, 1, 2, 3, 4], k=10, candidates=e.filter(F.col("label") == 3)
+    )
+
+
+def agg_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets agg (size-2 Apriori level): token pairs
+    co-occurring in >= 40% of docs, top-10 by doc_count
+    (ops/aggs.frequent_item_sets_pairs)."""
+    from mario_spark.ops import aggs
+
+    pres = (
+        _doc_table(spark, sf_dir)
+        .select("doc_id", F.explode(F.map_keys("tf_map")).alias("item"))
+    )
+    return aggs.frequent_item_sets_pairs(pres, min_support=0.4, k=10)
+
+
+def script_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score: score = _score * ln(2 + n_chars/100) — a
+    Painless body re-expressed as a Catalyst expression
+    (query.search_script_score)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    feats = _documents(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("double").alias("feature")
+    )
+    return query.search_script_score(
+        d, q, feats,
+        lambda score, feat: score * F.log(F.lit(2.0) + feat / 100.0),
+        k=10,
+    )
+
+
+def runtime_field_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime field: a query-time scripted field (here
+    chars_bucket = floor(n_chars/100)*100) aggregated like any mapped
+    field — pure projection, no reindex, Catalyst folds it into the
+    scan."""
+    from mario_spark.ops import aggs
+
+    d = _documents(spark, sf_dir).select(
+        (F.floor(F.col("n_chars") / 100) * 100)
+        .cast("long")
+        .alias("chars_bucket")
+    )
+    return aggs.terms_agg(d, "chars_bucket", size=10)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2120,5 +2222,13 @@ SUITE = {
     "intervals_topk": intervals_topk,
     "rrf_hybrid_topk": rrf_hybrid_topk,
     "lm_cross_entropy": lm_cross_entropy,
+    "bool_prefix_topk": bool_prefix_topk,
+    "ids_query": ids_query,
+    "exists_query": exists_query,
+    "agg_moving_percentiles": agg_moving_percentiles,
+    "ann_filtered_topk": ann_filtered_topk,
+    "agg_frequent_item_sets": agg_frequent_item_sets,
+    "script_score_topk": script_score_topk,
+    "runtime_field_terms": runtime_field_terms,
     "completion_suggest": completion_suggest,
 }

@@ -454,3 +454,51 @@ def test_lm_cross_entropy_broadcasts_vocab_scalar(spark):
     plan = _plan(lm_cross_entropy(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ids_query_pushes_in_filter_to_scan(spark):
+    """ids query must be a pushed-down In filter on the parquet scan."""
+    from mario_spark.suite import ids_query
+
+    plan = _plan(ids_query(spark, SF_DIR))
+    assert "PushedFilters" in plan and "In(doc_id" in plan.replace(" ", "")
+
+
+def test_ann_filtered_pushes_label_filter(spark):
+    """kNN pre-filtering: the label predicate must reach the candidate
+    parquet scan, pruning before any distance math."""
+    from mario_spark.suite import ann_filtered_topk
+
+    plan = _plan(ann_filtered_topk(spark, SF_DIR))
+    assert "EqualTo(label,3)" in plan.replace(" ", "")
+
+
+def test_bool_prefix_broadcasts_prefix_dim(spark):
+    """match_bool_prefix: the startswith theta-join must be a broadcast
+    nested loop of the tiny prefix dim — never a CartesianProduct."""
+    from mario_spark.suite import bool_prefix_topk
+
+    plan = _plan(bool_prefix_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frequent_item_sets_apriori_prune_broadcast(spark):
+    """frequent_item_sets: the frequent-item dim (post-support-prune)
+    must broadcast into the presence frame before pair generation."""
+    from mario_spark.suite import agg_frequent_item_sets
+
+    plan = _plan(agg_frequent_item_sets(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_runtime_field_folds_into_scan(spark):
+    """A runtime field is a projection — the terms agg over it must
+    stay one scan + hash agg + TakeOrderedAndProject (no join, no
+    window)."""
+    from mario_spark.suite import runtime_field_terms
+
+    plan = _plan(runtime_field_terms(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
