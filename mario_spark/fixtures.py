@@ -493,3 +493,15 @@ DOCUMENTS_SAYT_SET: list[tuple[int, str]] = [
     (3, "window agg qu"),
     (4, "merge zzz"),
 ]
+
+
+# SpanContaining/SpanWithin query set: big = ordered (t1, t2) span_near
+# pair with max_gaps, little = single term to find inside the span.
+# (query_id, t1, t2, max_gaps, little). Query 3's little is OOV.
+DOCUMENTS_SPAN_CONTAIN_SET: list[tuple[int, str, str, int, str]] = [
+    (0, "table", "hash", 3, "value"),
+    (1, "customer", "join", 4, "the"),
+    (2, "hash", "join", 2, "a"),
+    (3, "window", "agg", 5, "zzz"),
+    (4, "the", "value", 6, "fast"),
+]

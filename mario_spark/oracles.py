@@ -3280,6 +3280,59 @@ ORDER BY doc_count DESC, key ASC LIMIT 10
 """
 
 
+def _first_t2_expr(t2: str, g: int, var: str = "p") -> str:
+    """First t2 position strictly after `var` within the gap budget
+    (the greedy-minimal ordered span end), NULL if none."""
+    return (
+        f"list_filter(generate_series({var} + 1, least({var} + {g} + 1, len(arr))), "
+        f"j -> arr[j] = '{t2}')[1]"
+    )
+
+
+def span_containing_sql(k: int = 10) -> str:
+    """SpanContainingQuery oracle: big spans [p, e] (ordered near pair,
+    greedy-minimal e) holding a little occurrence; sidf = t1 + t2."""
+    from mario_spark.fixtures import DOCUMENTS_SPAN_CONTAIN_SET
+
+    q_rows, ph_selects = [], []
+    for qid, t1, t2, g, lit in DOCUMENTS_SPAN_CONTAIN_SET:
+        for t in dict.fromkeys((t1, t2)):
+            q_rows.append(f"({qid}, '{t}')")
+        e = _first_t2_expr(t2, g)
+        ptf = (
+            f"len(list_filter(generate_series(1, len(arr)), p -> "
+            f"arr[p] = '{t1}' AND {e} IS NOT NULL AND "
+            f"len(list_filter(generate_series(p, coalesce({e}, p)), "
+            f"z -> arr[z] = '{lit}')) > 0))::DOUBLE"
+        )
+        ph_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, {ptf} AS ptf FROM docs_t"
+        )
+    return _span_scaffold_sql(q_rows, ph_selects, k)
+
+
+def span_within_sql(k: int = 10) -> str:
+    """SpanWithinQuery oracle: little positions z covered by some big
+    span (exists t1 at p in [z-g-1, z] whose greedy end e >= z);
+    sidf = little only."""
+    from mario_spark.fixtures import DOCUMENTS_SPAN_CONTAIN_SET
+
+    q_rows, ph_selects = [], []
+    for qid, t1, t2, g, lit in DOCUMENTS_SPAN_CONTAIN_SET:
+        q_rows.append(f"({qid}, '{lit}')")
+        e = _first_t2_expr(t2, g, var="q")
+        ptf = (
+            f"len(list_filter(generate_series(1, len(arr)), z -> "
+            f"arr[z] = '{lit}' AND len(list_filter("
+            f"generate_series(greatest(z - {g} - 1, 1), z), q -> "
+            f"arr[q] = '{t1}' AND coalesce({e} >= z, false))) > 0))::DOUBLE"
+        )
+        ph_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, {ptf} AS ptf FROM docs_t"
+        )
+    return _span_scaffold_sql(q_rows, ph_selects, k)
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3422,6 +3475,8 @@ ORACLES: dict[str, str] = {
     "agg_frequent_item_sets": AGG_FREQUENT_ITEM_SETS,
     "script_score_topk": script_score_sql(),
     "runtime_field_terms": RUNTIME_FIELD_TERMS,
+    "span_containing_topk": span_containing_sql(),
+    "span_within_topk": span_within_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

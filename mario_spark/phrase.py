@@ -842,3 +842,131 @@ def search_intervals_match(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "matches")
     )
+
+def search_span_contain(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    span_queries: list[tuple[int, str, str, int, str]],
+    n_docs: int,
+    avgdl: float,
+    mode: str = "containing",
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    deleted_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene SpanContainingQuery / SpanWithinQuery over positional
+    postings. big = an ORDERED span_near pair (t1 then t2 within
+    max_gaps intervening tokens, greedy-minimal end per start — the
+    SpanNearQuery ordered iterator), little = a single term.
+
+    mode="containing": matches are BIG spans [s, e] holding a little
+    occurrence (s <= z <= e); freq = surviving big spans, weight idf =
+    t1 + t2 (Lucene scores the big side).
+    mode="within": matches are LITTLE occurrences inside some big
+    span; freq = surviving little positions, weight idf = little.
+
+    `span_queries` = [(query_id, t1, t2, max_gaps, little)]. Same
+    term-pruned scan -> per-dbucket kernel plan as every span query.
+    """
+    if mode not in ("containing", "within"):
+        raise ValueError(f"mode must be containing|within, got {mode!r}")
+    big_terms = sorted({t for _, t1, t2, _, _ in span_queries for t in (t1, t2)})
+    lit_terms = sorted({x for *_, x in span_queries})
+    scan_terms = sorted(set(big_terms) | set(lit_terms))
+    need = big_terms if mode == "containing" else lit_terms
+    df_rows = dictionary.filter(F.col("term").isin(need)).collect()
+    idf_map = {r["term"]: _idf(float(n_docs), float(r["df"])) for r in df_rows}
+    queries = []
+    for qid, t1, t2, g, x in span_queries:
+        sidf = (
+            idf_map.get(t1, 0.0) + idf_map.get(t2, 0.0)
+            if mode == "containing"
+            else idf_map.get(x, 0.0)
+        )
+        queries.append((qid, t1, t2, int(g), x, sidf))
+    cand = postings.filter(F.col("term").isin(scan_terms))
+    ad = float(avgdl)
+    deleted = _collect_deleted(deleted_docs)
+    containing = mode == "containing"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tds = {
+            t: _PosTermData(g.sort_values("block_id"))
+            for t, g in pdf.groupby("term", sort=False)
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, t1, t2, g, xterm, sidf in queries:
+            if any(t not in tds for t in (t1, t2, xterm)):
+                continue
+            td1, td2, xtd = tds[t1], tds[t2], tds[xterm]
+            cand_ids = td1.ids
+            for other in (td2.ids, xtd.ids):
+                cand_ids = cand_ids[
+                    np.isin(cand_ids, other, assume_unique=True)
+                ]
+            if deleted is not None and cand_ids.size:
+                cand_ids = cand_ids[
+                    ~np.isin(cand_ids, deleted, assume_unique=True)
+                ]
+            if cand_ids.size == 0:
+                continue
+            r1 = np.searchsorted(td1.ids, cand_ids)
+            r2 = np.searchsorted(td2.ids, cand_ids)
+            rx = np.searchsorted(xtd.ids, cand_ids)
+            ptf = np.zeros(cand_ids.size, dtype=np.float64)
+            lens = np.zeros(cand_ids.size, dtype=np.float64)
+            for ci in range(cand_ids.size):
+                p1 = td1.positions_of(int(r1[ci]))
+                p2 = td2.positions_of(int(r2[ci]))
+                xpos = xtd.positions_of(int(rx[ci]))
+                lens[ci] = float(td1.lens[int(r1[ci])])
+                # greedy-minimal ordered pair spans: for each start,
+                # the first t2 strictly after it within the gap budget
+                idx = np.searchsorted(p2, p1 + 1, "left")
+                ok = idx < p2.size
+                idxc = np.minimum(idx, p2.size - 1)
+                ok &= p2[idxc] <= p1 + g + 1
+                starts, ends = p1[ok], p2[idxc[ok]]
+                if starts.size == 0:
+                    continue
+                if containing:
+                    lo = np.searchsorted(xpos, starts, "left")
+                    hi = np.searchsorted(xpos, ends, "right")
+                    ptf[ci] = float(np.count_nonzero(hi > lo))
+                else:
+                    # ends are non-decreasing with starts (greedy
+                    # minimal), so z is covered iff the LAST span
+                    # starting at or before z ends at or after z
+                    i1 = np.searchsorted(starts, xpos, "right") - 1
+                    cov = i1 >= 0
+                    i1c = np.maximum(i1, 0)
+                    cov &= ends[i1c] >= xpos
+                    ptf[ci] = float(np.count_nonzero(cov))
+            r = _score_and_topk(qid, cand_ids, ptf, lens, sidf, ad, k, k1, b)
+            if r:
+                out_q.append(r[0]); out_d.append(r[1]); out_s.append(r[2])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

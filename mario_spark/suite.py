@@ -2087,6 +2087,34 @@ def runtime_field_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.terms_agg(d, "chars_bucket", size=10)
 
 
+def span_containing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanContainingQuery: ordered (t1, t2) span_near pairs
+    that hold a little-term occurrence inside the span; freq =
+    surviving big spans (phrase.search_span_contain)."""
+    from mario_spark import phrase as ph
+    from mario_spark.fixtures import DOCUMENTS_SPAN_CONTAIN_SET
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    return ph.search_span_contain(
+        post, dic, DOCUMENTS_SPAN_CONTAIN_SET,
+        st["n_docs"], st["avgdl"], mode="containing", k=10,
+    )
+
+
+def span_within_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanWithinQuery: little-term occurrences lying inside an
+    ordered (t1, t2) span_near pair; freq = covered little positions
+    (phrase.search_span_contain)."""
+    from mario_spark import phrase as ph
+    from mario_spark.fixtures import DOCUMENTS_SPAN_CONTAIN_SET
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    return ph.search_span_contain(
+        post, dic, DOCUMENTS_SPAN_CONTAIN_SET,
+        st["n_docs"], st["avgdl"], mode="within", k=10,
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2230,5 +2258,7 @@ SUITE = {
     "agg_frequent_item_sets": agg_frequent_item_sets,
     "script_score_topk": script_score_topk,
     "runtime_field_terms": runtime_field_terms,
+    "span_containing_topk": span_containing_topk,
+    "span_within_topk": span_within_topk,
     "completion_suggest": completion_suggest,
 }

@@ -283,3 +283,38 @@ def test_intervals_ordered_max_gaps_semantics(spark):
     out = ph.search_intervals_match(d, [(0, "hash", "join", 2)], k=10)
     got = {r["doc_id"]: r["matches"] for r in out.collect()}
     assert got == {0: 1, 1: 1, 4: 2}
+
+
+def test_span_containing_within_semantics(spark):
+    """containing counts surviving BIG spans; within counts covered
+    LITTLE occurrences — verified on a hand-built doc."""
+    from mario_spark import docs as docsmod
+    from mario_spark import phrase as ph
+    from mario_spark.postings import (
+        dictionary_from_postings, encode_tf_rows,
+    )
+
+    # doc 0: spans of (a .. b, g=2): [1,3] and [5,6]; 'x' at 2 (inside
+    # span 1) and at 8 (outside). doc 1: a..b too far apart (gap 3).
+    pages = spark.createDataFrame(
+        [
+            (0, "a x b q a b w x"),
+            (1, "a q q q b x"),
+        ],
+        "doc_id long, text string",
+    )
+    tfpos = ph.positional_tf(pages)
+    st = docsmod.corpus_stats(
+        tfpos.select("doc_id", "len").distinct()
+    ).collect()[0]
+    post = encode_tf_rows(tfpos, 1024)
+    dic = dictionary_from_postings(post)
+    qs = [(0, "a", "b", 2, "x")]
+    cont = ph.search_span_contain(
+        post, dic, qs, st["n_docs"], st["avgdl"], mode="containing"
+    ).collect()
+    assert [(r["doc_id"]) for r in cont] == [0]  # only doc 0, 1 span
+    wth = ph.search_span_contain(
+        post, dic, qs, st["n_docs"], st["avgdl"], mode="within"
+    ).collect()
+    assert [(r["doc_id"]) for r in wth] == [0]  # x@2 covered, x@8 not
