@@ -505,3 +505,16 @@ DOCUMENTS_SPAN_CONTAIN_SET: list[tuple[int, str, str, int, str]] = [
     (3, "window", "agg", 5, "zzz"),
     (4, "the", "value", 6, "fast"),
 ]
+
+
+# simple_query_string set (default_operator=AND): whitespace = AND,
+# '|' = OR between groups, '-' negates, quotes = phrase, trailing '*'
+# = prefix. Query 3's first alternative is OOV; query 4's negation
+# never fires.
+DOCUMENTS_SQS_SET: list[tuple[int, str]] = [
+    (0, "hash join | merge sort"),
+    (1, 'table -merge | "customer join"'),
+    (2, "quer* window"),
+    (3, "zzz | dup"),
+    (4, '"the fast" -zzz'),
+]

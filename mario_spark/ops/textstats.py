@@ -352,3 +352,33 @@ def lm_cross_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.avg("lp"), 4).alias("ce"))
     )
+
+
+def ccnet_buckets(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): docs are
+    bucketed by corpus-level terciles of the LM cross-entropy signal —
+    head = most fluent third, tail = least. Downstream pipelines keep
+    head+middle for pretraining and route tail to re-filtering.
+
+    Plan shape: lm_cross_entropy (two count aggs + one join), then ONE
+    1-row exact-percentile agg for the two cut points (algebraic
+    partial agg — value->count map state, bounded because ce is rounded
+    4dp), broadcast back onto the per-doc frame as a codegen CASE. No
+    sort, no collect of doc rows.
+    """
+    ce = lm_cross_entropy(documents, text_col)
+    cuts = ce.agg(
+        F.percentile("ce", F.lit(1.0 / 3.0)).alias("c1"),
+        F.percentile("ce", F.lit(2.0 / 3.0)).alias("c2"),
+    )
+    return (
+        ce.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "ce",
+            F.when(F.col("ce") <= F.col("c1"), F.lit("head"))
+            .when(F.col("ce") <= F.col("c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

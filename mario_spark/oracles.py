@@ -3333,6 +3333,117 @@ def span_within_sql(k: int = 10) -> str:
     return _span_scaffold_sql(q_rows, ph_selects, k)
 
 
+CCNET_BUCKETS = f"""
+WITH arrs AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+toks0 AS (SELECT doc_id, unnest(arr) AS term FROM arrs),
+bg AS (
+  SELECT doc_id, arr[p - 1] AS prev, arr[p] AS w
+  FROM arrs, unnest(generate_series(2, len(arr))) AS u(p)
+  WHERE len(arr) >= 2
+),
+uni AS (SELECT term AS prev, count(*)::DOUBLE AS c1 FROM toks0 GROUP BY 1),
+voc AS (SELECT count(*)::DOUBLE AS v FROM uni),
+c2 AS (SELECT prev, w, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1, 2),
+ce AS (
+  SELECT bg.doc_id,
+         round(-avg(ln((c2.c2 + 1.0) / (uni.c1 + voc.v))), 4) AS ce
+  FROM bg
+  JOIN c2 USING (prev, w)
+  JOIN uni USING (prev)
+  CROSS JOIN voc
+  GROUP BY 1
+),
+cuts AS (
+  SELECT quantile_cont(ce, 1.0/3.0) AS c1q, quantile_cont(ce, 2.0/3.0) AS c2q
+  FROM ce
+)
+SELECT doc_id, ce,
+       CASE WHEN ce <= c1q THEN 'head'
+            WHEN ce <= c2q THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ce CROSS JOIN cuts
+"""
+
+
+def simple_qs_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """simple_query_string oracle: one SELECT per disjunct computing
+    clause chain/prefix counts inline over the token array; a doc's
+    score is the sum over MATCHING disjuncts — mirrors
+    qs.search_simple_query_string exactly (same parser)."""
+    from mario_spark.fixtures import DOCUMENTS_SQS_SET
+    from mario_spark.qs import parse_simple_query_string
+
+    def idf_sub(terms: list[str]) -> str:
+        inl = ", ".join(f"'{t}'" for t in terms)
+        return (
+            "(SELECT coalesce(sum(ln(1.0 + (st2.n_docs - d2.df + 0.5)"
+            " / (d2.df + 0.5))), 0.0)"
+            f" FROM dfr d2 CROSS JOIN st st2 WHERE d2.term IN ({inl}))"
+        )
+
+    selects = []
+    for qid, qtext in DOCUMENTS_SQS_SET:
+        for clauses in parse_simple_query_string(qtext):
+            conds, contribs = [], []
+            for typ, neg, terms in clauses:
+                if typ == "prefix":
+                    ctf = (
+                        f"len(list_filter(arr, t -> "
+                        f"starts_with(t, '{terms[0]}')))"
+                    )
+                    pos_contrib = f"CASE WHEN {ctf} > 0 THEN 1.0 ELSE 0.0 END"
+                else:
+                    ctf = _chain_count_expr(terms)
+                    sat = (
+                        f"({ctf} * ({k1} + 1.0)) / ({ctf} + {k1} * "
+                        f"(1.0 - {b} + {b} * dl.len / st.avgdl))"
+                    )
+                    pos_contrib = (
+                        f"CASE WHEN {ctf} > 0 THEN {idf_sub(terms)} * {sat} "
+                        f"ELSE 0.0 END"
+                    )
+                if neg:
+                    conds.append(f"({ctf} = 0)")
+                else:
+                    conds.append(f"({ctf} > 0)")
+                    contribs.append(pos_contrib)
+            match = " AND ".join(conds)
+            total = " + ".join(contribs)
+            selects.append(
+                f"SELECT {qid} AS query_id, d.doc_id, "
+                f"CASE WHEN {match} THEN ({total}) END AS c "
+                f"FROM docs_t d JOIN dl USING (doc_id) CROSS JOIN st"
+            )
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM docs_t),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::DOUBLE AS len FROM docs_t WHERE len(arr) > 0),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+per AS ({" UNION ALL ".join(selects)}),
+agg AS (
+  SELECT query_id::BIGINT AS query_id, doc_id, sum(c) AS raw
+  FROM per WHERE c IS NOT NULL GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3477,6 +3588,8 @@ ORACLES: dict[str, str] = {
     "runtime_field_terms": RUNTIME_FIELD_TERMS,
     "span_containing_topk": span_containing_sql(),
     "span_within_topk": span_within_sql(),
+    "ccnet_buckets": CCNET_BUCKETS,
+    "simple_qs_topk": simple_qs_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

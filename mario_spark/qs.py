@@ -505,3 +505,211 @@ def search_query_string_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def parse_simple_query_string(
+    s: str,
+) -> list[list[tuple[str, bool, list[str]]]]:
+    """ES simple_query_string grammar (the subset with distinct
+    semantics from query_string), default_operator=AND:
+
+        query    := disjunct ('|' disjunct)*
+        disjunct := clause+                  (whitespace = AND)
+        clause   := '-'? atom
+        atom     := '"' word+ '"' | word '*' | word
+
+    -> [[(type, negated, terms)]] — one list per disjunct; type is
+    'chain' (term/phrase) or 'prefix'. Like Lucene's SimpleQueryParser
+    the grammar NEVER raises: malformed input degrades to terms.
+    Pure-negative disjuncts are dropped (no positive clause to anchor
+    the iterator), '+' signs are absorbed (AND is already the default),
+    and '*' on a token that analyzes to multiple terms degrades to a
+    phrase."""
+    out = []
+    for part in s.split("|"):
+        clauses: list[tuple[str, bool, list[str]]] = []
+        for sign, quoted, bare in _ATOM_RE.findall(part):
+            neg = sign == "-"
+            if quoted:
+                terms = py_tokenize(quoted)
+                if terms:
+                    clauses.append(("chain", neg, terms))
+                continue
+            if bare.endswith("*"):
+                toks = py_tokenize(bare[:-1])
+                if len(toks) == 1:
+                    clauses.append(("prefix", neg, toks))
+                    continue
+                terms = toks
+            else:
+                terms = py_tokenize(bare)
+            if terms:
+                clauses.append(("chain", neg, terms))
+        if any(not neg for _, neg, _ in clauses):
+            out.append(clauses)
+    return out
+
+
+def search_simple_query_string(
+    documents: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """ES simple_query_string over documents(doc_id, text), Lucene
+    BooleanQuery semantics for the ((a AND b) OR c) shape the grammar
+    parses to: a doc matches iff at least one disjunct matches (all its
+    positive clauses match, no negated clause does); score = sum over
+    MATCHING disjuncts of their positive clause scores. Chain clauses
+    score as PhraseWeight (single term = plain BM25); prefix clauses
+    are CONSTANT_SCORE +1.0 (Lucene's multi-term rewrite in this
+    parser). Returns (query_id, rank, doc_id, score).
+
+    Distributed shape follows search_query_string: one shared tf agg
+    serves every single-term clause via a broadcast clause dim; each
+    phrase is one codegen projection; prefixes are one startswith
+    theta-join of a broadcast dim; then TWO hash aggs (disjunct-level
+    match, query-level sum) — no per-clause scans of the corpus.
+    """
+    spark = documents.sparkSession
+    parsed = [(qid, parse_simple_query_string(s)) for qid, s in queries]
+
+    docs_t = documents.select(
+        "doc_id", tokenize_udf(F.col("text")).alias("arr")
+    ).filter(F.size("arr") > 0)
+    dl = docs_t.select("doc_id", F.size("arr").cast("double").alias("len"))
+    st = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    tf = (
+        docs_t.select("doc_id", F.explode("arr").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    cl_rows, term_rows, pref_rows, disj_rows = [], [], [], []
+    chains = []  # (qid, did, cid, neg, terms) with len > 1
+    for qid, disjuncts in parsed:
+        for did, clauses in enumerate(disjuncts):
+            n_pos = sum(1 for _, neg, _ in clauses if not neg)
+            disj_rows.append((qid, did, n_pos))
+            for cid, (typ, neg, terms) in enumerate(clauses):
+                if typ == "prefix":
+                    pref_rows.append((qid, did, cid, neg, terms[0]))
+                    continue
+                for t in terms:
+                    cl_rows.append((qid, did, cid, t))
+                if len(terms) == 1:
+                    term_rows.append((qid, did, cid, neg, terms[0]))
+                else:
+                    chains.append((qid, did, cid, neg, terms))
+
+    cl = spark.createDataFrame(
+        cl_rows, "query_id long, did int, cid int, term string"
+    )
+    sidf = (
+        cl.join(dfreq, "term", "left")
+        .crossJoin(F.broadcast(st))
+        .groupBy("query_id", "did", "cid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("df").isNotNull(),
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).alias("sidf")
+        )
+    )
+
+    parts = []
+    if term_rows:
+        tdim = spark.createDataFrame(
+            term_rows,
+            "query_id long, did int, cid int, neg boolean, term string",
+        )
+        parts.append(
+            tf.join(F.broadcast(tdim), "term").select(
+                "query_id", "did", "cid", "neg", "doc_id",
+                F.col("tf").alias("ctf"),
+                F.lit(False).alias("is_prefix"),
+            )
+        )
+    if pref_rows:
+        pdim = spark.createDataFrame(
+            pref_rows,
+            "query_id long, did int, cid int, neg boolean, prefix string",
+        )
+        parts.append(
+            tf.join(
+                F.broadcast(pdim),
+                F.col("term").startswith(F.col("prefix")),
+            )
+            .select("query_id", "did", "cid", "neg", "doc_id")
+            .distinct()
+            .select(
+                "query_id", "did", "cid", "neg", "doc_id",
+                F.lit(1.0).alias("ctf"),
+                F.lit(True).alias("is_prefix"),
+            )
+        )
+    for qid, did, cid, neg, terms in chains:
+        ctf = _chain_ctf_expr(F.col("arr"), terms)
+        parts.append(
+            docs_t.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(did).cast("int").alias("did"),
+                F.lit(cid).cast("int").alias("cid"),
+                F.lit(bool(neg)).alias("neg"),
+                "doc_id",
+                ctf.cast("double").alias("ctf"),
+                F.lit(False).alias("is_prefix"),
+            ).filter(F.col("ctf") > 0)
+        )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+
+    per_disj = (
+        hits.join(F.broadcast(sidf), ["query_id", "did", "cid"], "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .withColumn(
+            "contrib",
+            F.when(F.col("neg"), F.lit(0.0))
+            .when(F.col("is_prefix"), F.lit(1.0))
+            .otherwise(
+                F.coalesce("sidf", F.lit(0.0))
+                * (F.col("ctf") * (K1 + 1.0))
+                / (
+                    F.col("ctf")
+                    + K1 * (1.0 - B + B * F.col("len") / F.col("avgdl"))
+                )
+            ),
+        )
+        .groupBy("query_id", "did", "doc_id")
+        .agg(
+            F.sum("contrib").alias("dscore"),
+            F.countDistinct(
+                F.when(~F.col("neg"), F.col("cid"))
+            ).alias("n_pos_hit"),
+            F.max(F.when(F.col("neg"), 1).otherwise(0)).alias("any_neg"),
+        )
+    )
+    ddim = spark.createDataFrame(
+        disj_rows, "query_id long, did int, n_pos int"
+    )
+    matched = (
+        per_disj.join(F.broadcast(ddim), ["query_id", "did"])
+        .filter(
+            (F.col("any_neg") == 0)
+            & (F.col("n_pos_hit") == F.col("n_pos"))
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("dscore").alias("score"))
+    )
+    return topk(matched, k)

@@ -2115,6 +2115,25 @@ def span_within_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: corpus-tercile bucketing of the
+    bigram-LM cross-entropy signal (ops/textstats.ccnet_buckets)."""
+    from mario_spark.ops import textstats
+
+    return textstats.ccnet_buckets(_documents(spark, sf_dir))
+
+
+def simple_qs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string (default_operator=AND): '|' OR-groups of
+    AND'd clauses with negation, phrases, and constant-score prefixes
+    (qs.search_simple_query_string)."""
+    from mario_spark import qs as qsmod
+    from mario_spark.fixtures import DOCUMENTS_SQS_SET
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    return qsmod.search_simple_query_string(d, DOCUMENTS_SQS_SET, k=10)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2260,5 +2279,7 @@ SUITE = {
     "runtime_field_terms": runtime_field_terms,
     "span_containing_topk": span_containing_topk,
     "span_within_topk": span_within_topk,
+    "ccnet_buckets": ccnet_buckets,
+    "simple_qs_topk": simple_qs_topk,
     "completion_suggest": completion_suggest,
 }

@@ -49,3 +49,19 @@ def test_query_string_indexed_matches_composition(spark, root):
     after = idx.search_query_string(QUERIES, k=10).toPandas()
     dele = {r["doc_id"] for r in idx.deleted_ids().collect()}
     assert not set(after["doc_id"]).intersection(dele)
+
+
+def test_simple_qs_parser_degrades_never_raises():
+    """Lucene SimpleQueryParser contract: malformed input parses to
+    SOMETHING — unbalanced quotes, dangling operators, empty groups."""
+    from mario_spark.qs import parse_simple_query_string as p
+
+    assert p("") == []
+    assert p("| | |") == []
+    assert p("-only -negs") == []           # pure-negative dropped
+    assert p('"unbalanced') != None  # noqa: E711 — must not raise
+    d = p("a -b | c*")
+    assert d[0] == [("chain", False, ["a"]), ("chain", True, ["b"])]
+    assert d[1] == [("prefix", False, ["c"])]
+    # '*' on a multi-token atom degrades to a phrase chain
+    assert p("x-y*") == [[("chain", False, ["x", "y"])]]
