@@ -930,6 +930,102 @@ class Catalog:
     def ping(self) -> dict:
         return {"engine": "mario_spark", "spark": self.spark.version}
 
+    def rollover(
+        self,
+        source: str,
+        max_docs: int,
+        alias: str = DEFAULT_ALIAS,
+        new_name: str | None = None,
+    ) -> str | None:
+        """ES ILM rollover: when the alias's current index for `source`
+        reaches `max_docs`, mint a fresh `<source>-<ts>` index and
+        atomically swap the alias to it — the write alias then points
+        at exactly one index per source (ES's is_write_index contract;
+        ilm rollover conditions reduce to the doc-count one here since
+        segment size tracks doc count). Returns the new index name, or
+        None when the condition isn't met. `new_name` pins the minted
+        name (tests; the default timestamp name has 1s resolution)."""
+        cur = self.current(source, alias)
+        if cur is None:
+            return None
+        if self.open(cur).stats()["n_docs"] < max_docs:
+            return None
+        name = new_name or self.index_name(source)
+        self.create(name)
+        self.promote(name, alias)  # drops cur (same source), ONE commit
+        return name
+
+    def snapshot(self, name: str, snap_dir: str) -> dict:
+        """Point-in-time snapshot of an index: committed segments'
+        payloads + markers are copied under `snap_dir` and pinned by a
+        snapshot manifest written LAST (atomic rename) — readers of the
+        snapshot trust only the manifest, so a crashed snapshot is
+        invisible, same contract as ES's snapshot API. On an object
+        store this degrades to a manifest pin over immutable segment
+        files (Iceberg-style, no byte copy); the local-FS copy is the
+        sandbox stand-in."""
+        idx = self.open(name)
+        segs = idx.paths.committed_segments()
+        os.makedirs(snap_dir, exist_ok=True)
+        for seg in segs:
+            dst = os.path.join(snap_dir, f"segment-{seg:05d}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(idx.paths.seg(seg), dst)
+            shutil.copy(
+                idx.paths.seg_meta(seg),
+                os.path.join(snap_dir, f"segment-{seg:05d}_seg.json"),
+            )
+            man_src = idx.paths.manifest(seg)
+            if os.path.isdir(man_src):
+                shutil.copytree(
+                    man_src,
+                    os.path.join(snap_dir, f"manifest-{seg:05d}"),
+                )
+        meta = _read_json(idx.paths.meta) or {}
+        manifest = {
+            "index": name,
+            "segments": segs,
+            "n_docs": idx.stats()["n_docs"],
+            "meta": meta,
+        }
+        _atomic_write_json(
+            os.path.join(snap_dir, "_snapshot.json"), manifest
+        )
+        return manifest
+
+    def restore(self, snap_dir: str, new_name: str) -> Index:
+        """Restore a snapshot into a fresh index name. Segments become
+        visible only as their _seg.json markers land (after payloads),
+        so a crashed restore re-runs cleanly — identical commit
+        protocol to ingest/reindex."""
+        manifest = _read_json(os.path.join(snap_dir, "_snapshot.json"))
+        if manifest is None:
+            raise ValueError(f"no snapshot manifest in {snap_dir}")
+        d = self.create(new_name)
+        meta = dict(manifest.get("meta") or {})
+        if meta:
+            meta["name"] = new_name
+            _atomic_write_json(d.paths.meta, meta)
+        os.makedirs(os.path.join(d.paths.base, "manifest"), exist_ok=True)
+        for seg in manifest["segments"]:
+            src = os.path.join(snap_dir, f"segment-{seg:05d}")
+            dst = d.paths.seg(seg)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+            msrc = os.path.join(snap_dir, f"manifest-{seg:05d}")
+            if os.path.isdir(msrc):
+                mdst = d.paths.manifest(seg)
+                if os.path.isdir(mdst):
+                    shutil.rmtree(mdst)
+                shutil.copytree(msrc, mdst)
+            shutil.copy(
+                os.path.join(snap_dir, f"segment-{seg:05d}_seg.json"),
+                d.paths.seg_meta(seg),
+            )
+        return d
+
     def resolve(self, name_or_alias: str) -> Index:
         """Open by index name or alias (search goes through the alias)."""
         aliases = self._read_aliases()

@@ -898,3 +898,100 @@ def frequent_item_sets_pairs(
     return pairs.orderBy(
         F.desc("doc_count"), F.asc("a"), F.asc("b")
     ).limit(k)
+
+
+def normalize_daily(
+    events: DataFrame, ts_col: str, value_col: str, method: str = "percent_of_sum"
+) -> DataFrame:
+    """ES normalize pipeline agg: rescale a metric across the daily
+    bucket table. method = percent_of_sum (value / Σ values) or mean
+    (z-score-free (v - min) / (max - min), ES's 'range' normalizer is
+    rescale_0_1). Runs over the REDUCED bucket table with ONE window
+    (no partition key — O(#days) rows, coordinating-node semantics like
+    every pipeline agg here).
+    """
+    daily = events.groupBy(F.to_date(ts_col).alias("d")).agg(
+        F.sum(value_col).alias("sum_value")
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if method == "percent_of_sum":
+        norm = F.col("sum_value") / F.sum("sum_value").over(w)
+    elif method == "rescale_0_1":
+        lo = F.min("sum_value").over(w)
+        hi = F.max("sum_value").over(w)
+        norm = (F.col("sum_value") - lo) / (hi - lo)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return daily.select(
+        F.col("d").cast("string").alias("key"),
+        F.round(norm, 6).alias("norm"),
+    )
+
+
+def rate_weekly(events: DataFrame, ts_col: str) -> DataFrame:
+    """ES rate agg (unit=day) inside a weekly date_histogram: events
+    per DAY within each ISO-week bucket — doc_count / 7 (ES divides by
+    the bucket's span in the rate unit; calendar weeks are always 7
+    days). One hash agg, divisor is pure codegen, no join.
+    """
+    b = F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+    return (
+        events.groupBy(F.date_format(b, "yyyy-MM-dd").alias("key"))
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .withColumn("rate", F.round(F.col("doc_count") / 7.0, 4))
+    )
+
+
+def eql_sequence(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    first_type: str,
+    second_type: str,
+    maxspan_sec: int,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES EQL `sequence by <key> with maxspan=Ns [t1] [t2]` — the
+    overlap-permitting variant: every t1 event anchors its NEAREST
+    following t2 event of the same key within maxspan. (Full EQL also
+    consumes matched events; the anchor rule is the deterministic,
+    engine-comparable core both share.) Returns one row per matched
+    anchor: (key, first_id, second_id); ties on the follower timestamp
+    break on the lower event id.
+
+    Plan shape: both sides are scan-side filtered to their event type
+    (pushed to parquet), hash-joined on the key, range predicate as a
+    post-join filter, then min_by picks the nearest follower per
+    anchor in ONE hash agg — no window over the raw stream, no sort.
+    At scale, key+coarse-time-bucket salting bounds join fan-out for
+    hot keys exactly like the dedup band joins.
+    """
+    a = events.filter(F.col(type_col) == first_type).select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("first_id"),
+        F.col(ts_col).cast("timestamp").alias("a_ts"),
+    )
+    bs = events.filter(F.col(type_col) == second_type).select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("second_id"),
+        F.col(ts_col).cast("timestamp").alias("b_ts"),
+    )
+    gap = F.col("b_ts").cast("double") - F.col("a_ts").cast("double")
+    return (
+        a.join(bs, "k")
+        .filter((F.col("b_ts") > F.col("a_ts")) & (gap <= maxspan_sec))
+        .groupBy("k", "first_id")
+        .agg(
+            F.min_by(
+                F.struct("b_ts", "second_id"), F.struct("b_ts", "second_id")
+            ).alias("m")
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "first_id",
+            F.col("m.second_id").alias("second_id"),
+        )
+    )

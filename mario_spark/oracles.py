@@ -3444,6 +3444,50 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+AGG_NORMALIZE = """
+WITH daily AS (
+  SELECT ts::DATE AS d, sum(value) AS sum_value FROM events GROUP BY 1
+),
+tot AS (SELECT sum(sum_value) AS t FROM daily)
+SELECT d::VARCHAR AS key, round(sum_value / tot.t, 6) AS norm
+FROM daily CROSS JOIN tot
+"""
+
+AGG_RATE = """
+WITH m AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS key,
+         count(*)::BIGINT AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT key, doc_count, round(doc_count / 7.0, 4) AS rate
+FROM m
+"""
+
+
+EQL_SEQUENCE_VP = """
+WITH a AS (
+  SELECT user_id AS k, event_id AS first_id, ts AS a_ts
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id AS k, event_id AS second_id, ts AS b_ts
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT a.k, a.first_id, b.second_id, b.b_ts
+  FROM a JOIN b USING (k)
+  WHERE b.b_ts > a.a_ts AND epoch(b.b_ts) - epoch(a.a_ts) <= 21600
+),
+rk AS (
+  SELECT k, first_id, second_id,
+         row_number() OVER (PARTITION BY k, first_id
+                            ORDER BY b_ts, second_id) AS rn
+  FROM j
+)
+SELECT k AS user_id, first_id, second_id FROM rk WHERE rn = 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3590,6 +3634,9 @@ ORACLES: dict[str, str] = {
     "span_within_topk": span_within_sql(),
     "ccnet_buckets": CCNET_BUCKETS,
     "simple_qs_topk": simple_qs_sql(),
+    "agg_normalize": AGG_NORMALIZE,
+    "agg_rate": AGG_RATE,
+    "eql_sequence_vp": EQL_SEQUENCE_VP,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

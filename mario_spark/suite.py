@@ -2134,6 +2134,36 @@ def simple_qs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsmod.search_simple_query_string(d, DOCUMENTS_SQS_SET, k=10)
 
 
+def agg_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline agg (percent_of_sum) over daily sum_value
+    buckets (ops/aggs.normalize_daily)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.normalize_daily(e, "ts", "value", method="percent_of_sum")
+
+
+def agg_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate agg (unit=day) inside a weekly date_histogram: events
+    per day within each ISO-week bucket (ops/aggs.rate_weekly)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.rate_weekly(e, "ts")
+
+
+def eql_sequence_vp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL sequence by user_id with maxspan=6h [view] [purchase]:
+    each view anchors its nearest following purchase
+    (ops/aggs.eql_sequence)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.eql_sequence(
+        e, "user_id", "ts", "view", "purchase", maxspan_sec=21600
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2281,5 +2311,8 @@ SUITE = {
     "span_within_topk": span_within_topk,
     "ccnet_buckets": ccnet_buckets,
     "simple_qs_topk": simple_qs_topk,
+    "agg_normalize": agg_normalize,
+    "agg_rate": agg_rate,
+    "eql_sequence_vp": eql_sequence_vp,
     "completion_suggest": completion_suggest,
 }

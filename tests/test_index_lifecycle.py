@@ -334,3 +334,39 @@ def test_cli_roundtrip(spark, root, capsys):
     assert any("art of indexing" not in ln for ln in lines)  # urls are record ids
     top = json.loads(lines[0])
     assert top["rank"] == 1 and top["url"].startswith("alma:")
+
+
+def test_rollover_and_snapshot_restore(spark, root):
+    """ILM rollover mints + promotes a fresh index once the doc-count
+    condition fires; snapshot/restore round-trips a queryable index
+    through the manifest-pinned copy."""
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 300, seed=1, partitions=2)
+    name1 = "srcx-2026-01-01t00-00-00z"
+    cat.create(name1).ingest(pages)
+    cat.promote(name1)
+
+    # below the condition: no rollover
+    assert cat.rollover("srcx", max_docs=1000) is None
+    assert cat.current("srcx") == name1
+
+    # at/above: new index minted and swapped in, old one off the alias
+    name2 = "srcx-2026-02-02t00-00-00z"
+    got = cat.rollover("srcx", max_docs=300, new_name=name2)
+    assert got == name2
+    assert cat.current("srcx") == name2
+    assert name1 not in cat.aliases()[Catalog.DEFAULT_ALIAS]
+
+    # snapshot the full index, restore under a new name, query parity
+    snap = os.path.join(root, "snaps", "s1")
+    man = cat.snapshot(name1, snap)
+    assert man["n_docs"] == 300 and man["segments"]
+    restored = cat.restore(snap, "resto-2026-03-03t00-00-00z")
+    assert restored.stats()["n_docs"] == 300
+    q = query_terms_df(spark, make_pages_query_set(seed=1, n=6))
+    pd.testing.assert_frame_equal(
+        _canon(restored.search(q)),
+        _canon(cat.open(name1).search(q)),
+        check_exact=False,
+        atol=1e-9,
+    )
