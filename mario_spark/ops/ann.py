@@ -451,3 +451,40 @@ def rrf_hybrid(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "rrf")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    window: int = 50,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor
+    vector, the nearest neighbors whose LABEL differs from the
+    anchor's — the negatives that look most like positives, which is
+    what an embedding-model trainer wants in the batch (e.g. DPR,
+    Karpukhin et al. 2020). Returns (query_id, rank, vec_id, cos) with
+    rank over the filtered (different-label) candidates.
+
+    Plan shape: one brute cosine pass over a rank window of `window`
+    (so the label filter can't starve k), then a broadcast join of the
+    tiny anchor-label dim and a per-anchor re-rank window. At scale the
+    window pass is the same BLAS-batched kernel as brute_topk; the
+    label join touches only window x |anchors| rows.
+    """
+    spark = embeddings.sparkSession
+    anchors = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    )
+    near = brute_topk(embeddings, query_ids, k=window)
+    labeled = near.join(
+        embeddings.select("vec_id", "label"), "vec_id"
+    ).join(F.broadcast(anchors), "query_id")
+    negs = labeled.filter(F.col("label") != F.col("qlabel"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        negs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )

@@ -3488,6 +3488,35 @@ SELECT k AS user_id, first_id, second_id FROM rk WHERE rn = 1
 """
 
 
+def hard_negatives_sql(k: int = 10, window: int = 50) -> str:
+    """Hard-negative oracle: cosine rank window of `window`, then the
+    different-label re-rank — mirrors ops/ann.hard_negatives."""
+    cos = _COS64.format(A="q.qe", B="e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+sc AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label, round({cos}, 4) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+win AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS wrank
+  FROM sc QUALIFY wrank <= {window}
+),
+negs AS (SELECT * FROM win WHERE label <> qlabel),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM negs
+)
+SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3637,6 +3666,7 @@ ORACLES: dict[str, str] = {
     "agg_normalize": AGG_NORMALIZE,
     "agg_rate": AGG_RATE,
     "eql_sequence_vp": EQL_SEQUENCE_VP,
+    "ann_hard_negatives": hard_negatives_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

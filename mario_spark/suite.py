@@ -2164,6 +2164,16 @@ def eql_sequence_vp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: nearest different-label
+    vectors per anchor, re-ranked from a 50-deep cosine window
+    (ops/ann.hard_negatives)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.hard_negatives(e, [0, 1, 2, 3, 4], k=10, window=50)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2314,5 +2324,6 @@ SUITE = {
     "agg_normalize": agg_normalize,
     "agg_rate": agg_rate,
     "eql_sequence_vp": eql_sequence_vp,
+    "ann_hard_negatives": ann_hard_negatives,
     "completion_suggest": completion_suggest,
 }
