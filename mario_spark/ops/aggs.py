@@ -995,3 +995,21 @@ def eql_sequence(
             F.col("m.second_id").alias("second_id"),
         )
     )
+
+
+def transform_pivot(
+    events: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """ES Transform API (pivot): continuously materialize an
+    ENTITY-CENTRIC table from an event stream — per key: event count,
+    value sum/avg, and the latest event's timestamp (ES `latest` is
+    the sibling transform; max(ts) is its batch expression). One hash
+    agg, all metrics algebraic, so the transform checkpoint at scale
+    is an incremental partial-agg merge, exactly ES's continuous mode.
+    """
+    return events.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+        F.round(F.avg(value_col), 4).alias("avg_value"),
+        F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )

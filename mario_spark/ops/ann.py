@@ -488,3 +488,72 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
     )
+
+
+def linear_hybrid(
+    doc_table: DataFrame,
+    query_terms: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    w_lex: float = 0.7,
+    w_dense: float = 0.3,
+    k: int = 10,
+    window: int = 20,
+) -> DataFrame:
+    """ES `linear` retriever (8.16+): weighted sum of PER-QUERY min-max
+    normalized retriever scores over rank windows —
+
+        score(d) = w_lex * norm(bm25) + w_dense * norm(cos)
+
+    where norm(x) = (x - min) / (max - min) within the query's window
+    (ES's `minmax` normalizer; a single-hit window or constant scores
+    normalize to 1.0 by convention, both engines pinned). A doc absent
+    from one retriever's window contributes 0 from that side.
+
+    Same fusion plan shape as rrf_hybrid: two already-top-k frames,
+    per-query 1-row min/max dims broadcast back, full-outer join,
+    codegen arithmetic, per-query top-k window.
+    """
+    from mario_spark.query import search_exhaustive
+
+    def _norm(df: DataFrame, score_col: str) -> DataFrame:
+        mm = df.groupBy("query_id").agg(
+            F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+        )
+        return (
+            df.join(F.broadcast(mm), "query_id")
+            .withColumn(
+                "nscore",
+                F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+                    (F.col(score_col) - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                ),
+            )
+            .select("query_id", "doc_id", "nscore")
+        )
+
+    lex = _norm(
+        search_exhaustive(doc_table, query_terms, k=window), "score"
+    ).withColumnRenamed("nscore", "ln")
+    den = _norm(
+        brute_topk(embeddings, query_ids, k=window)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "cos"),
+        "cos",
+    ).withColumnRenamed("nscore", "dn")
+    fused = (
+        lex.join(den, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(float(w_lex)) * F.coalesce("ln", F.lit(0.0))
+                + F.lit(float(w_dense)) * F.coalesce("dn", F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -3517,6 +3517,105 @@ SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
 """
 
 
+def linear_hybrid_sql(
+    k: int = 10,
+    window: int = 20,
+    w_lex: float = 0.7,
+    w_dense: float = 0.3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """linear-retriever oracle: per-query min-max normalization of both
+    rank windows, weighted sum — mirrors ops/ann.linear_hybrid."""
+    qrows = [
+        f"({qid}, '{t}')"
+        for qid, qtext in DOCUMENTS_QUERY_SET
+        if qid in (0, 1, 2, 3, 4)
+        for t in dict.fromkeys(py_tokenize(qtext))
+    ]
+    cos = _COS64.format(A="qv.qe", B="e.embedding")
+    return f"""
+WITH q(query_id, term) AS (VALUES {", ".join(qrows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+lexw AS (
+  SELECT query_id, doc_id, round(raw, 4) AS s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS r
+  FROM sc QUALIFY r <= {window}
+),
+lex AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(s) OVER (PARTITION BY query_id)
+                 = min(s) OVER (PARTITION BY query_id) THEN 1.0
+              ELSE (s - min(s) OVER (PARTITION BY query_id))
+                 / (max(s) OVER (PARTITION BY query_id)
+                  - min(s) OVER (PARTITION BY query_id)) END AS ln
+  FROM lexw
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0, 1, 2, 3, 4)),
+dcos AS (
+  SELECT qv.query_id, e.vec_id AS doc_id, round({cos}, 4) AS s
+  FROM qv, embeddings e WHERE e.vec_id <> qv.query_id
+),
+denw AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, doc_id ASC) AS r
+  FROM dcos QUALIFY r <= {window}
+),
+den AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(s) OVER (PARTITION BY query_id)
+                 = min(s) OVER (PARTITION BY query_id) THEN 1.0
+              ELSE (s - min(s) OVER (PARTITION BY query_id))
+                 / (max(s) OVER (PARTITION BY query_id)
+                  - min(s) OVER (PARTITION BY query_id)) END AS dn
+  FROM denw
+),
+fused AS (
+  SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+         coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         round({w_lex} * coalesce(ln, 0.0)
+             + {w_dense} * coalesce(dn, 0.0), 6) AS score
+  FROM lex FULL OUTER JOIN den USING (query_id, doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+TRANSFORM_PIVOT_USERS = """
+SELECT user_id AS key,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3667,6 +3766,8 @@ ORACLES: dict[str, str] = {
     "agg_rate": AGG_RATE,
     "eql_sequence_vp": EQL_SEQUENCE_VP,
     "ann_hard_negatives": hard_negatives_sql(),
+    "linear_hybrid_topk": linear_hybrid_sql(),
+    "transform_pivot_users": TRANSFORM_PIVOT_USERS,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

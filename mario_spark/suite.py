@@ -2174,6 +2174,29 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.hard_negatives(e, [0, 1, 2, 3, 4], k=10, window=50)
 
 
+def linear_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES linear retriever: 0.7 * minmax(BM25) + 0.3 * minmax(cos)
+    over 20-deep rank windows (ops/ann.linear_hybrid)."""
+    from mario_spark.ops import ann
+
+    d = _doc_table(spark, sf_dir)
+    qids = [0, 1, 2, 3, 4]
+    q = query_terms_df(
+        spark, [(i, t) for i, t in DOCUMENTS_QUERY_SET if i in qids]
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.linear_hybrid(d, q, e, qids, k=10, window=20)
+
+
+def transform_pivot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Transform (pivot + latest): entity-centric per-user table
+    from the event stream (ops/aggs.transform_pivot)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.transform_pivot(e, "user_id", "ts", "value")
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2325,5 +2348,7 @@ SUITE = {
     "agg_rate": agg_rate,
     "eql_sequence_vp": eql_sequence_vp,
     "ann_hard_negatives": ann_hard_negatives,
+    "linear_hybrid_topk": linear_hybrid_topk,
+    "transform_pivot_users": transform_pivot_users,
     "completion_suggest": completion_suggest,
 }
