@@ -109,3 +109,100 @@ def decode_features(payloads: DataFrame, batch_hint: int | None = None) -> DataF
         kernel,
         "doc_id long, width int, height int, mean_luma double, n_bytes long",
     )
+
+
+VID_MAGIC = b"VID0"
+FRAME_BYTES = 16
+
+
+def synth_video_payload(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload binary) — a video-like TLV:
+    "VID0" || 4-digit frame count || n_frames x 16-byte frame bodies
+    (ascii-forced text, right-padded with 'x'). n_frames = 3 +
+    doc_id % 5. Pure Catalyst; same oracle-recomputable design as the
+    image payload."""
+    nf = (F.lit(3) + F.col("doc_id") % 5).cast("int")
+    body = F.rpad(
+        F.regexp_replace(
+            F.substring("text", 1, 8 * FRAME_BYTES), r"[^\x20-\x7e]", "?"
+        ),
+        nf * FRAME_BYTES,
+        "x",
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("VID0"),
+            F.lpad(nf.cast("string"), 4, "0"),
+            F.substring(body, 1, nf * FRAME_BYTES),
+        ),
+        "utf-8",
+    )
+    return documents.select("doc_id", payload.alias("payload"))
+
+
+def sample_frames(
+    payloads: DataFrame, stride: int = 2
+) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, frame_idx, luma): decode every
+    `stride`-th frame. The one-row-to-many-frames explode happens
+    INSIDE the Arrow kernel (a real video decoder emits exactly this
+    shape), so batch boundaries and partitioning are preserved — no
+    Spark-side explode of undecoded binary. Real frame decode is
+    stubbed like _decode_image; the header/slicing plumbing is real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, fidx, lum = [], [], []
+            for did, buf in zip(
+                pdf["doc_id"].to_numpy(np.int64), pdf["payload"]
+            ):
+                b = bytes(buf)
+                if len(b) < 8 or b[:4] != VID_MAGIC:
+                    continue
+                nf = int(b[4:8])
+                frames = np.frombuffer(b[8:], dtype=np.uint8)
+                for j in range(0, nf, stride):
+                    fb = frames[j * FRAME_BYTES : (j + 1) * FRAME_BYTES]
+                    if fb.size < FRAME_BYTES:
+                        break
+                    ids.append(did)
+                    fidx.append(j)
+                    lum.append(
+                        float(
+                            np.floor(fb.mean(dtype=np.float64) * 1e4 + 0.5)
+                            / 1e4
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(fidx, dtype=np.int64),
+                    "luma": np.asarray(lum, dtype=np.float64),
+                }
+            )
+
+    return payloads.mapInPandas(
+        kernel, "doc_id long, frame_idx long, luma double"
+    )
+
+
+def resize_fit(decoded: DataFrame, box: int = 224) -> DataFrame:
+    """Aspect-preserving resize-to-fit metadata transform:
+    (width, height) -> largest (out_w, out_h) fitting `box` x `box`
+    with the same aspect ratio (floor semantics, upscale allowed) —
+    the metadata half of an image-resize stage; the pixel resample is
+    the stubbed decoder's job. Pure codegen arithmetic, no UDF.
+    """
+    scale = F.least(
+        F.lit(float(box)) / F.col("width"), F.lit(float(box)) / F.col("height")
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("out_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_h"),
+    )

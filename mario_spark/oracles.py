@@ -3616,6 +3616,42 @@ FROM events GROUP BY 1
 """
 
 
+MULTIMODAL_FRAMES = r"""
+WITH b AS (
+  SELECT doc_id,
+         (3 + doc_id % 5)::INT AS nf,
+         substr(rpad(regexp_replace(substr(text, 1, 128),
+                                    '[^\x20-\x7e]', '?', 'g'),
+                     (3 + doc_id % 5)::INT * 16, 'x'),
+                1, (3 + doc_id % 5)::INT * 16) AS body
+  FROM documents
+),
+f AS (
+  SELECT doc_id, j AS frame_idx,
+         substr(body, j * 16 + 1, 16) AS fb
+  FROM b, unnest(generate_series(0, nf - 1, 2)) AS u(j)
+)
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       round(list_sum(list_transform(generate_series(1, 16),
+                                     i -> ascii(substr(fb, i, 1))))::DOUBLE
+             / 16.0, 4) AS luma
+FROM f
+"""
+
+MULTIMODAL_RESIZE = """
+WITH b AS (
+  SELECT doc_id,
+         (64 + n_chars % 577)::INT AS width,
+         (64 + doc_id % 419)::INT AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       floor(width * least(224.0 / width, 224.0 / height))::INT AS out_w,
+       floor(height * least(224.0 / width, 224.0 / height))::INT AS out_h
+FROM b
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3768,6 +3804,8 @@ ORACLES: dict[str, str] = {
     "ann_hard_negatives": hard_negatives_sql(),
     "linear_hybrid_topk": linear_hybrid_sql(),
     "transform_pivot_users": TRANSFORM_PIVOT_USERS,
+    "multimodal_frames": MULTIMODAL_FRAMES,
+    "multimodal_resize": MULTIMODAL_RESIZE,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

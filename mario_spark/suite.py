@@ -2197,6 +2197,29 @@ def transform_pivot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.transform_pivot(e, "user_id", "ts", "value")
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-like frame sampling: every 2nd frame's luma from the
+    synthetic VID0 TLV payload — the in-kernel one-row-to-many-frames
+    explode a real decoder produces (ops/multimodal.sample_frames)."""
+    from mario_spark.ops import multimodal
+
+    payloads = multimodal.synth_video_payload(_documents(spark, sf_dir))
+    return multimodal.sample_frames(payloads, stride=2)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-fit-224 metadata transform over the
+    decoded image dims (ops/multimodal.resize_fit)."""
+    from mario_spark.ops import multimodal
+
+    payloads = multimodal.synth_payload(_documents(spark, sf_dir))
+    return multimodal.resize_fit(
+        multimodal.decode_features(payloads).select(
+            "doc_id", "width", "height"
+        )
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2350,5 +2373,7 @@ SUITE = {
     "ann_hard_negatives": ann_hard_negatives,
     "linear_hybrid_topk": linear_hybrid_topk,
     "transform_pivot_users": transform_pivot_users,
+    "multimodal_frames": multimodal_frames,
+    "multimodal_resize": multimodal_resize,
     "completion_suggest": completion_suggest,
 }
