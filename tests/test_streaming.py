@@ -124,3 +124,47 @@ def test_streaming_ingest_foreachbatch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         canon(idx), canon(ref), check_exact=False, atol=1e-9
     )
+
+
+def test_stateful_custom_operator_matches_batch(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals accumulated in
+    GroupState across bounded micro-batches equal the batch groupBy
+    when the stream drains (the custom-stateful-operator escape hatch
+    the brief names for semantics window/agg can't express)."""
+    from mario_spark.streaming import stateful_user_stats
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "value"
+    )
+    src = str(tmp_path / "ev_state_stream")
+    e.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(e.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # update mode emits one row per (key, batch); totals are monotone,
+    # so the FINAL state per key is the max
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n, max(sum_value) AS sv "
+        "FROM state_stream GROUP BY user_id"
+    )
+    batch = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sv"),
+    )
+    g = {r["user_id"]: (r["n"], r["sv"]) for r in got.collect()}
+    b = {r["user_id"]: (r["n"], r["sv"]) for r in batch.collect()}
+    assert set(g) == set(b) and len(b) > 0
+    for k in b:
+        assert g[k][0] == b[k][0]
+        assert abs(g[k][1] - b[k][1]) < 1e-6
