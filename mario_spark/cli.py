@@ -116,6 +116,18 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("merge")
     p.add_argument("-i", "--index", required=True)
 
+    p = sub.add_parser("rollover")
+    p.add_argument("-s", "--source", required=True)
+    p.add_argument("--max-docs", type=int, required=True)
+
+    p = sub.add_parser("snapshot")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-d", "--dir", required=True, help="snapshot directory")
+
+    p = sub.add_parser("restore")
+    p.add_argument("-d", "--dir", required=True, help="snapshot directory")
+    p.add_argument("-i", "--index", required=True, help="new index name")
+
     p = sub.add_parser("delete-by-query")
     p.add_argument("-i", "--index", required=True)
     p.add_argument(
@@ -203,6 +215,14 @@ def main(argv: list[str] | None = None) -> int:
 
         seg = compact_segments(cat.resolve(args.index))
         print(json.dumps({"merged_into": seg}))
+    elif args.cmd == "rollover":
+        name = cat.rollover(args.source, max_docs=args.max_docs)
+        print(json.dumps({"rolled_over": name is not None, "new_index": name}))
+    elif args.cmd == "snapshot":
+        print(json.dumps(cat.snapshot(args.index, args.dir)))
+    elif args.cmd == "restore":
+        idx = cat.restore(args.dir, args.index)
+        print(json.dumps({"index": args.index, **idx.stats()}))
     elif args.cmd == "delete-by-query":
         from mario_spark.analyze import py_tokenize
 
