@@ -1013,3 +1013,42 @@ def transform_pivot(
         F.round(F.avg(value_col), 4).alias("avg_value"),
         F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+def string_stats_agg(
+    df: DataFrame, str_col: str
+) -> DataFrame:
+    """ES string_stats agg (show_distribution=false): one row of
+    count, min/max/avg length, and the Shannon entropy of the field's
+    CHARACTER distribution (ES computes entropy over all bytes of all
+    values; characters here are ascii-safe in the fixture corpus).
+
+    Two aggs: length moments in one pass, plus a char-keyed count agg
+    for the entropy sum — the char alphabet bounds the shuffle
+    regardless of corpus size (same argument as bpe_pair_counts).
+    """
+    lens = df.select(F.length(str_col).alias("l")).agg(
+        F.count("*").cast("long").alias("count"),
+        F.min("l").cast("long").alias("min_length"),
+        F.max("l").cast("long").alias("max_length"),
+        F.round(F.avg("l"), 4).alias("avg_length"),
+    )
+    chars = (
+        df.select(
+            F.explode(F.split(F.col(str_col), "")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    tot = chars.agg(F.sum("n").alias("t"))
+    entropy = (
+        chars.crossJoin(F.broadcast(tot))
+        .select((F.col("n") / F.col("t")).alias("p"))
+        .agg(
+            F.round(
+                -F.sum(F.col("p") * F.log2("p")), 4
+            ).alias("entropy")
+        )
+    )
+    return lens.crossJoin(F.broadcast(entropy))

@@ -3652,6 +3652,29 @@ FROM b
 """
 
 
+AGG_STRING_STATS = """
+WITH lens AS (
+  SELECT count(*)::BIGINT AS count,
+         min(length(text))::BIGINT AS min_length,
+         max(length(text))::BIGINT AS max_length,
+         round(avg(length(text)), 4) AS avg_length
+  FROM documents
+),
+chars AS (
+  SELECT unnest(string_split_regex(text, '')) AS ch FROM documents
+),
+cc AS (
+  SELECT ch, count(*)::DOUBLE AS n FROM chars WHERE ch <> '' GROUP BY 1
+),
+tot AS (SELECT sum(n) AS t FROM cc),
+ent AS (
+  SELECT round(-sum((n / tot.t) * log2(n / tot.t)), 4) AS entropy
+  FROM cc CROSS JOIN tot
+)
+SELECT lens.*, ent.entropy FROM lens CROSS JOIN ent
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3806,6 +3829,7 @@ ORACLES: dict[str, str] = {
     "transform_pivot_users": TRANSFORM_PIVOT_USERS,
     "multimodal_frames": MULTIMODAL_FRAMES,
     "multimodal_resize": MULTIMODAL_RESIZE,
+    "agg_string_stats": AGG_STRING_STATS,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

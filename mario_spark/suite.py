@@ -2220,6 +2220,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats agg over documents.text: count, length moments,
+    character-distribution Shannon entropy (ops/aggs.string_stats_agg)."""
+    from mario_spark.ops import aggs
+
+    return aggs.string_stats_agg(_documents(spark, sf_dir), "text")
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2375,5 +2383,6 @@ SUITE = {
     "transform_pivot_users": transform_pivot_users,
     "multimodal_frames": multimodal_frames,
     "multimodal_resize": multimodal_resize,
+    "agg_string_stats": agg_string_stats,
     "completion_suggest": completion_suggest,
 }
