@@ -1052,3 +1052,36 @@ def string_stats_agg(
         )
     )
     return lens.crossJoin(F.broadcast(entropy))
+
+
+def eql_sequence3(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    types: tuple[str, str, str],
+    maxspan_sec: int,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Three-step EQL sequence (same anchor rule as eql_sequence,
+    composed): t1 anchors its nearest following t2 within maxspan, and
+    that t2 anchors its nearest following t3 within maxspan of ITSELF
+    — the chained greedy-minimal iterator. Returns (key, first_id,
+    second_id, third_id). Each step is one type-filtered join + min_by
+    agg, so an n-step sequence is n-1 bounded joins, never a window
+    over the raw stream.
+    """
+    t1, t2, t3 = types
+    step1 = eql_sequence(
+        events, key_col, ts_col, t1, t2, maxspan_sec, type_col, id_col
+    )
+    step2 = eql_sequence(
+        events, key_col, ts_col, t2, t3, maxspan_sec, type_col, id_col
+    ).select(
+        F.col(key_col),
+        F.col("first_id").alias("second_id"),
+        F.col("second_id").alias("third_id"),
+    )
+    return step1.join(step2, [key_col, "second_id"]).select(
+        key_col, "first_id", "second_id", "third_id"
+    )

@@ -382,3 +382,32 @@ def ccnet_buckets(documents: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+def categorize_text(
+    df: DataFrame, text_col: str, k_tokens: int = 3, size: int = 10
+) -> DataFrame:
+    """ES categorize_text agg (log-message categorization): bucket
+    texts by a drain-style token signature — the first `k_tokens`
+    analyzer tokens with digit runs normalized to '#'. ES's version
+    learns categories with an online tree; the deterministic signature
+    is the distributable core (and what its category_key output looks
+    like). Top-`size` categories by doc_count.
+
+    One projection + hash agg + TakeOrderedAndProject; the signature is
+    pure codegen (no UDF).
+    """
+    arr = F.regexp_extract_all(
+        F.regexp_replace(F.lower(text_col), r"\d+", "#"),
+        F.lit(r"[\p{L}\p{N}#]+"),
+        F.lit(0),
+    )
+    key = F.concat_ws(" ", F.slice(arr, 1, k_tokens))
+    return (
+        df.select(key.alias("category"))
+        .filter(F.col("category") != "")
+        .groupBy("category")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("category"))
+        .limit(size)
+    )

@@ -3675,6 +3675,47 @@ SELECT lens.*, ent.entropy FROM lens CROSS JOIN ent
 """
 
 
+EQL_SEQUENCE3_VCP = """
+WITH a AS (SELECT user_id AS k, event_id AS i1, ts AS t1
+           FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id AS k, event_id AS i2, ts AS t2
+      FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id AS k, event_id AS i3, ts AS t3
+      FROM events WHERE event_type = 'purchase'),
+j1 AS (
+  SELECT a.k, a.i1, b.i2, b.t2,
+         row_number() OVER (PARTITION BY a.k, a.i1
+                            ORDER BY b.t2, b.i2) AS rn
+  FROM a JOIN b USING (k)
+  WHERE b.t2 > a.t1 AND epoch(b.t2) - epoch(a.t1) <= 21600
+  QUALIFY rn = 1
+),
+j2 AS (
+  SELECT b.k, b.i2, c.i3,
+         row_number() OVER (PARTITION BY b.k, b.i2
+                            ORDER BY c.t3, c.i3) AS rn
+  FROM b JOIN c USING (k)
+  WHERE c.t3 > b.t2 AND epoch(c.t3) - epoch(b.t2) <= 21600
+  QUALIFY rn = 1
+)
+SELECT j1.k AS user_id, j1.i1 AS first_id, j1.i2 AS second_id,
+       j2.i3 AS third_id
+FROM j1 JOIN j2 ON j1.k = j2.k AND j1.i2 = j2.i2
+"""
+
+CATEGORIZE_TEXT_DOCS = r"""
+WITH sig AS (
+  SELECT array_to_string(
+           regexp_extract_all(regexp_replace(lower(text), '\d+', '#', 'g'),
+                              '[\p{L}\p{N}#]+')[1:3], ' ') AS category
+  FROM documents
+)
+SELECT category, count(*)::BIGINT AS doc_count
+FROM sig WHERE category <> ''
+GROUP BY 1 ORDER BY doc_count DESC, category ASC LIMIT 10
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3830,6 +3871,8 @@ ORACLES: dict[str, str] = {
     "multimodal_frames": MULTIMODAL_FRAMES,
     "multimodal_resize": MULTIMODAL_RESIZE,
     "agg_string_stats": AGG_STRING_STATS,
+    "eql_sequence3_vcp": EQL_SEQUENCE3_VCP,
+    "categorize_text_docs": CATEGORIZE_TEXT_DOCS,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2228,6 +2228,29 @@ def agg_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.string_stats_agg(_documents(spark, sf_dir), "text")
 
 
+def eql_sequence3_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step EQL: sequence by user_id with maxspan=6h
+    [view] [click] [purchase] — chained nearest-follower anchors
+    (ops/aggs.eql_sequence3)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.eql_sequence3(
+        e, "user_id", "ts", ("view", "click", "purchase"), maxspan_sec=21600
+    )
+
+
+def categorize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text agg: drain-style 3-token signatures with
+    digit runs normalized, top-10 categories
+    (ops/textstats.categorize_text)."""
+    from mario_spark.ops import textstats
+
+    return textstats.categorize_text(
+        _documents(spark, sf_dir), "text", k_tokens=3, size=10
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2384,5 +2407,7 @@ SUITE = {
     "multimodal_frames": multimodal_frames,
     "multimodal_resize": multimodal_resize,
     "agg_string_stats": agg_string_stats,
+    "eql_sequence3_vcp": eql_sequence3_vcp,
+    "categorize_text_docs": categorize_text_docs,
     "completion_suggest": completion_suggest,
 }
