@@ -502,3 +502,43 @@ def test_runtime_field_folds_into_scan(spark):
     plan = _plan(runtime_field_terms(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_eql_sequence_pushes_type_filters(spark):
+    """EQL sequence: both event-type filters must reach the parquet
+    scans; the key join must not be a cartesian."""
+    from mario_spark.suite import eql_sequence_vp
+
+    plan = _plan(eql_sequence_vp(spark, SF_DIR))
+    flat = plan.replace(" ", "")
+    assert "EqualTo(event_type,view)" in flat
+    assert "EqualTo(event_type,purchase)" in flat
+    assert "CartesianProduct" not in plan
+
+
+def test_transform_pivot_single_agg_no_join(spark):
+    """Transform pivot: one hash agg over the scan, no join anywhere
+    (all metrics algebraic)."""
+    from mario_spark.suite import transform_pivot_users
+
+    plan = _plan(transform_pivot_users(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_categorize_text_take_ordered(spark):
+    """categorize_text: signature projection + hash agg +
+    TakeOrderedAndProject — no window, no join."""
+    from mario_spark.suite import categorize_text_docs
+
+    plan = _plan(categorize_text_docs(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_linear_hybrid_no_cartesian(spark):
+    """linear retriever fusion: min-max dims broadcast; no cartesian."""
+    from mario_spark.suite import linear_hybrid_topk
+
+    plan = _plan(linear_hybrid_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
