@@ -121,3 +121,30 @@ def test_ivf_kmeans_training(spark):
         .toPandas()
     )
     assert total_dist(c1) < total_dist(init_cents)
+
+
+def test_write_shards_deterministic_and_complete(spark, tmp_path):
+    """Shard assignment is stable across runs (crc32 of the key), the
+    union of shards is exactly the input, and the manifest's row
+    counts are written last and sum to the total."""
+    import json
+    import os
+
+    from mario_spark.ops.sink import write_shards
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    man = write_shards(d, out, n_shards=4)
+    assert sum(m["rows"] for m in man) == d.count()
+    assert os.path.exists(os.path.join(out, "_manifest.json"))
+    back = spark.read.parquet(out).drop("_shard")
+    assert back.count() == d.count()
+    assert (
+        back.select("doc_id").exceptAll(d.select("doc_id")).count() == 0
+    )
+    # determinism: second export assigns every row to the same shard
+    out2 = str(tmp_path / "shards2")
+    man2 = write_shards(d, out2, n_shards=4)
+    assert [m["rows"] for m in man] == [m["rows"] for m in man2]
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert json.load(f) == man
