@@ -557,3 +557,129 @@ def linear_hybrid(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# --- Product Quantization (Jégou et al. 2011): the 100TB vector path.
+# 64-dim vectors -> PQ_M sub-spaces x 1 byte each = 8 bytes/vector
+# (32x compression vs float32), queried via asymmetric distance
+# computation (ADC): a per-query (M x KS) lookup table replaces all
+# float math per candidate. Codebooks here are the sub-vectors of the
+# pinned sample ids (the deterministic stand-in for k-means-trained
+# codebooks — train_centroids_kmeans shows the trained variant; the
+# encode/ADC machinery is identical either way).
+PQ_M = 8
+PQ_KS = 16
+PQ_DSUB = 8  # 64 / PQ_M
+PQ_SAMPLE_IDS = list(range(PQ_KS))
+
+
+def _pq_codebook(embeddings: DataFrame) -> np.ndarray:
+    """-> (M, KS, DSUB) float64 codebook from the pinned sample rows."""
+    rows = (
+        embeddings.filter(F.col("vec_id").isin(PQ_SAMPLE_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    S = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # (KS, M, DSUB) -> (M, KS, DSUB)
+    return S.reshape(PQ_KS, PQ_M, PQ_DSUB).transpose(1, 0, 2)
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, codes array<int>): per
+    sub-space argmin codeword (ties -> lower code). Arrow-batched
+    kernel, codebook rides the task closure (tiny), input partitioning
+    preserved — at 100TB this is the one full pass that turns the
+    vector corpus into an 8-byte-per-row table."""
+    cb = _pq_codebook(embeddings)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Vs = V.reshape(len(V), PQ_M, PQ_DSUB)
+            codes = np.empty((len(V), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                # (n, KS): squared L2 to each codeword
+                d = ((Vs[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = np.argmin(d, axis=1)  # first min = low code
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """PQ/ADC approximate top-k: per query build the (M x KS) distance
+    table, score every encoded vector as the table-sum of its codes.
+    Distances are accumulated as round(td * 1e6) INTEGERS so the sum
+    is exact and order-free — bit-identical across engines (the oracle
+    mirrors the same scaling). Returns (query_id, rank, vec_id, adist)
+    with adist = scaled sum / 1e6; ranks break ties on vec_id.
+    """
+    cb = _pq_codebook(embeddings)
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64).reshape(
+        len(qrows), PQ_M, PQ_DSUB
+    )
+    # (q, M, KS) integer-scaled ADC tables
+    tabs = np.empty((len(qids), PQ_M, PQ_KS), dtype=np.int64)
+    for m in range(PQ_M):
+        td = ((Q[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+        tabs[:, m, :] = np.floor(td * 1e6 + 0.5).astype(np.int64)
+
+    enc = pq_encode(embeddings)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, M)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            out_q, out_v, out_d = [], [], []
+            m_idx = np.arange(PQ_M)
+            for qi in range(len(qids)):
+                scaled = tabs[qi][m_idx[None, :], C].sum(axis=1)  # (n,)
+                mask = ids != qids[qi]
+                sm, im = scaled[mask], ids[mask]
+                order = np.lexsort((im, sm))[:k]
+                out_q.append(np.full(order.size, qids[qi], dtype=np.int64))
+                out_v.append(im[order])
+                out_d.append(sm[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "scaled": np.concatenate(out_d),
+                }
+            )
+
+    local = enc.mapInPandas(
+        kernel, "query_id long, vec_id long, scaled long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("scaled"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            F.round(F.col("scaled") / 1e6, 6).alias("adist"),
+        )
+    )

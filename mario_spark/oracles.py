@@ -3716,6 +3716,59 @@ GROUP BY 1 ORDER BY doc_count DESC, category ASC LIMIT 10
 """
 
 
+def pq_topk_sql(k: int = 10) -> str:
+    """PQ/ADC oracle: same pinned codebook (vec_id 0..15 sub-vectors),
+    same per-subspace argmin encode, same integer-scaled ADC sum —
+    mirrors ops/ann.pq_topk exactly (integer accumulation makes the
+    comparison order-free)."""
+    d_expr = (
+        "list_sum(list_transform(generate_series(1, 8), "
+        "i -> (e.embedding[g.m * 8 + i]::DOUBLE - cb.cw[i]::DOUBLE)"
+        " * (e.embedding[g.m * 8 + i]::DOUBLE - cb.cw[i]::DOUBLE)))"
+    )
+    t_expr = (
+        "list_sum(list_transform(generate_series(1, 8), "
+        "i -> (q.qe[cb.m * 8 + i]::DOUBLE - cb.cw[i]::DOUBLE)"
+        " * (q.qe[cb.m * 8 + i]::DOUBLE - cb.cw[i]::DOUBLE)))"
+    )
+    return f"""
+WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (
+  SELECT ms.m, s.vec_id AS code,
+         s.embedding[ms.m * 8 + 1 : ms.m * 8 + 8] AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s, ms
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, g.m, cb.code,
+           row_number() OVER (PARTITION BY e.vec_id, g.m
+                              ORDER BY {d_expr}, cb.code) AS rn
+    FROM embeddings e, ms g JOIN cb ON cb.m = g.m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN (20, 21, 22, 23, 24)),
+tab AS (
+  SELECT q.query_id, cb.m, cb.code,
+         round({t_expr} * 1000000.0)::BIGINT AS td
+  FROM q, cb
+),
+ad AS (
+  SELECT tab.query_id, enc.vec_id, sum(tab.td)::BIGINT AS scaled
+  FROM enc JOIN tab ON tab.m = enc.m AND tab.code = enc.code
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, vec_id, scaled,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY scaled ASC, vec_id ASC) AS rank
+  FROM ad WHERE vec_id <> query_id
+)
+SELECT query_id, rank, vec_id, round(scaled / 1000000.0, 6) AS adist
+FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3873,6 +3926,7 @@ ORACLES: dict[str, str] = {
     "agg_string_stats": AGG_STRING_STATS,
     "eql_sequence3_vcp": EQL_SEQUENCE3_VCP,
     "categorize_text_docs": CATEGORIZE_TEXT_DOCS,
+    "ann_pq_topk": pq_topk_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2251,6 +2251,16 @@ def categorize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors (Jegou et al. 2011):
+    8-byte product-quantized codes + per-query distance tables,
+    integer-exact accumulation (ops/ann.pq_topk)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.pq_topk(e, [20, 21, 22, 23, 24], k=10)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2409,5 +2419,6 @@ SUITE = {
     "agg_string_stats": agg_string_stats,
     "eql_sequence3_vcp": eql_sequence3_vcp,
     "categorize_text_docs": categorize_text_docs,
+    "ann_pq_topk": ann_pq_topk,
     "completion_suggest": completion_suggest,
 }

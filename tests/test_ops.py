@@ -148,3 +148,18 @@ def test_write_shards_deterministic_and_complete(spark, tmp_path):
     assert [m["rows"] for m in man] == [m["rows"] for m in man2]
     with open(os.path.join(out, "_manifest.json")) as f:
         assert json.load(f) == man
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """PQ encode: 8 codes per vector, all in [0, 16); two runs agree
+    (deterministic codebook + argmin)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = {r["vec_id"]: list(r["codes"]) for r in ann.pq_encode(e).collect()}
+    c2 = {r["vec_id"]: list(r["codes"]) for r in ann.pq_encode(e).collect()}
+    assert c1 == c2 and len(c1) == e.count()
+    for codes in c1.values():
+        assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+    # sample vectors encode to themselves in every subspace
+    assert c1[0] == [0] * 8 and c1[7] == [7] * 8
