@@ -683,3 +683,103 @@ def pq_topk(
             F.round(F.col("scaled") / 1e6, 6).alias("adist"),
         )
     )
+
+
+def _int8_stats(embeddings: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over the corpus — ES computes these
+    per segment when quantizing dense_vectors to int8."""
+    aggs = []
+    for i in range(1, 65):
+        el = F.element_at("embedding", i).cast("double")
+        aggs += [F.min(el).alias(f"mn{i}"), F.max(el).alias(f"mx{i}")]
+    r = embeddings.agg(*aggs).collect()[0]
+    mn = np.array([r[f"mn{i}"] for i in range(1, 65)])
+    mx = np.array([r[f"mx{i}"] for i in range(1, 65)])
+    return mn, mx
+
+
+def int8_rescore_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    window: int = 30,
+) -> DataFrame:
+    """ES int8-quantized kNN with float rescore (the `quantized
+    rescore` serving shape of dense_vector index_options): vectors are
+    linearly quantized per dimension to 0..127; the candidate pass
+    ranks by the INTEGER weighted squared distance
+
+        d(a, b) = sum_i (qa_i - qb_i)^2 * W_i,
+        W_i = round(scale_i^2 * 1e8),  scale_i = (max_i - min_i) / 127
+
+    (all-integer accumulation -> order-free, bit-identical to the
+    oracle), then the top-`window` candidates are re-ranked by EXACT
+    cosine — quantization decides the candidate set, floats decide the
+    final order, exactly ES. Returns (query_id, rank, vec_id, cos).
+    """
+    mn, mx = _int8_stats(embeddings)
+    rng = np.where(mx > mn, mx - mn, 1.0)
+    W = np.floor((rng / 127.0) ** 2 * 1e8 + 0.5).astype(np.int64)
+
+    def quant(V: np.ndarray) -> np.ndarray:
+        return np.floor(
+            (V - mn[None, :]) * 127.0 / rng[None, :] + 0.5
+        ).astype(np.int64)
+
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Qq = quant(np.array([r["embedding"] for r in qrows], dtype=np.float64))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            Vq = quant(V)
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qids)):
+                d = (((Vq - Qq[qi][None, :]) ** 2) * W[None, :]).sum(1)
+                mask = ids != qids[qi]
+                dm, im = d[mask], ids[mask]
+                order = np.lexsort((im, dm))[:window]
+                out_q.append(np.full(order.size, qids[qi], dtype=np.int64))
+                out_v.append(im[order])
+                out_d.append(dm[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "iscore": np.concatenate(out_d),
+                }
+            )
+
+    local = embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "query_id long, vec_id long, iscore long"
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.asc("iscore"), F.asc("vec_id")
+    )
+    cand = (
+        local.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= window)
+        .select("query_id", "vec_id")
+    )
+    qv = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    rescored = (
+        cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine_expr("qe", "embedding"), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )

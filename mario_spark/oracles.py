@@ -3769,6 +3769,69 @@ FROM rk WHERE rank <= {k}
 """
 
 
+def int8_rescore_sql(k: int = 10, window: int = 30) -> str:
+    """int8-quantize + rescore oracle: identical per-dim min/max,
+    half-up quantization, integer weighted-L2 candidate window, exact
+    cosine re-rank — mirrors ops/ann.int8_rescore_topk."""
+    cos = _COS64.format(A="qv.qe", B="e2.embedding")
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+st AS (
+  SELECT d.i,
+         min(e.embedding[d.i]::DOUBLE) AS mn,
+         max(e.embedding[d.i]::DOUBLE) AS mx
+  FROM embeddings e, dims d GROUP BY 1
+),
+w AS (
+  SELECT i, mn,
+         CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END AS rng,
+         round(((CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END) / 127.0)
+               * ((CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END) / 127.0)
+               * 100000000.0)::BIGINT AS wt
+  FROM st
+),
+qz AS (
+  SELECT e.vec_id, w.i,
+         floor((e.embedding[w.i]::DOUBLE - w.mn) * 127.0 / w.rng + 0.5)::BIGINT AS q,
+         w.wt
+  FROM embeddings e, w
+),
+qv0 AS (SELECT vec_id AS query_id FROM embeddings
+        WHERE vec_id IN (0, 1, 2, 3, 4)),
+dist AS (
+  SELECT a.query_id, b.vec_id,
+         sum((b.q - a.q) * (b.q - a.q) * a.wt)::BIGINT AS iscore
+  FROM (SELECT qz.* , qv0.query_id FROM qz JOIN qv0 ON qz.vec_id = qv0.query_id) a
+  JOIN qz b ON b.i = a.i
+  WHERE b.vec_id <> a.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY iscore ASC, vec_id ASC) AS r
+    FROM dist
+  ) WHERE r <= {window}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0, 1, 2, 3, 4)),
+res AS (
+  SELECT cand.query_id, cand.vec_id, round({cos}, 4) AS cos
+  FROM cand
+  JOIN embeddings e2 ON e2.vec_id = cand.vec_id
+  JOIN qv ON qv.query_id = cand.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM res
+)
+SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3927,6 +3990,7 @@ ORACLES: dict[str, str] = {
     "eql_sequence3_vcp": EQL_SEQUENCE3_VCP,
     "categorize_text_docs": CATEGORIZE_TEXT_DOCS,
     "ann_pq_topk": pq_topk_sql(),
+    "ann_int8_rescore": int8_rescore_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

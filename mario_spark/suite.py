@@ -2261,6 +2261,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.pq_topk(e, [20, 21, 22, 23, 24], k=10)
 
 
+def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES int8-quantized kNN + float rescore: integer weighted-L2
+    candidate pass (30-deep), exact-cosine re-rank
+    (ops/ann.int8_rescore_topk)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.int8_rescore_topk(e, [0, 1, 2, 3, 4], k=10, window=30)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2420,5 +2430,6 @@ SUITE = {
     "eql_sequence3_vcp": eql_sequence3_vcp,
     "categorize_text_docs": categorize_text_docs,
     "ann_pq_topk": ann_pq_topk,
+    "ann_int8_rescore": ann_int8_rescore,
     "completion_suggest": completion_suggest,
 }
