@@ -783,3 +783,95 @@ def int8_rescore_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = IVF_N_PROBE,
+    window: int = 30,
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """FAISS-style IVFPQ + refine — the composed 100TB serving path:
+    (1) IVF: probe the n_probe nearest cells only; (2) PQ/ADC: rank
+    the probed cells' vectors by the integer ADC distance over their
+    8-byte codes (no float vector is touched); (3) refine: exact
+    cosine on the top-`window` survivors. Scan cost ~ n_probe/n_cells
+    of the corpus, and of that only codes (8 B/vec) until the final
+    `window` rows.
+
+    The ADC scoring is RELATIONAL here: the per-query (m, code)
+    distance table is a 640-row broadcast dim joined onto the exploded
+    code stream and summed in one integer hash agg — the same plan
+    shape at any corpus size, with integer accumulation keeping the
+    oracle comparison order-free.
+    """
+    spark = embeddings.sparkSession
+    cids = centroid_ids or DEFAULT_CENTROID_IDS
+    cents = embeddings.filter(F.col("vec_id").isin(cids)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    dist = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "d", _sq_l2("embedding", "cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    ranked = dist.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
+    qprobe = (
+        ranked.filter(F.col("vec_id").isin(query_ids))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    # per-query integer ADC tables as a broadcast dim
+    cb = _pq_codebook(embeddings)
+    qrows = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    tab_rows = []
+    for r in qrows:
+        Qs = np.array(r["embedding"], dtype=np.float64).reshape(
+            PQ_M, PQ_DSUB
+        )
+        for m in range(PQ_M):
+            td = ((Qs[m][None, :] - cb[m]) ** 2).sum(-1)
+            for code, t in enumerate(np.floor(td * 1e6 + 0.5).astype(np.int64)):
+                tab_rows.append((int(r["vec_id"]), m, code, int(t)))
+    tab = spark.createDataFrame(
+        tab_rows, "query_id long, m int, code int, td long"
+    )
+    codes = pq_encode(embeddings).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    adc = (
+        qprobe.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(tab), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("td").alias("scaled"))
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.asc("scaled"), F.asc("vec_id")
+    )
+    cand = (
+        adc.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= window)
+        .select("query_id", "vec_id")
+    )
+    qv = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    res = (
+        cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine_expr("qe", "embedding"), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )

@@ -3832,6 +3832,105 @@ SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
 """
 
 
+def ivfpq_sql(k: int = 10, n_probe: int = 2, window: int = 30) -> str:
+    """IVFPQ + refine oracle: same sampled centroids (10..17), same PQ
+    codebook (0..15), integer ADC sum within probed cells, exact-cosine
+    re-rank — mirrors ops/ann.ivf_pq_topk."""
+    from mario_spark.ops.ann import DEFAULT_CENTROID_IDS
+
+    cids = ", ".join(str(c) for c in DEFAULT_CENTROID_IDS)
+    sq = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+        " * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)))"
+    )
+    d_expr = (
+        "list_sum(list_transform(generate_series(1, 8), "
+        "i -> (e.embedding[g.m * 8 + i]::DOUBLE - cb.cw[i]::DOUBLE)"
+        " * (e.embedding[g.m * 8 + i]::DOUBLE - cb.cw[i]::DOUBLE)))"
+    )
+    t_expr = (
+        "list_sum(list_transform(generate_series(1, 8), "
+        "i -> (q.qe[cb.m * 8 + i]::DOUBLE - cb.cw[i]::DOUBLE)"
+        " * (q.qe[cb.m * 8 + i]::DOUBLE - cb.cw[i]::DOUBLE)))"
+    )
+    cos = _COS64.format(A="qv.qe", B="e2.embedding")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  WHERE vec_id IN ({cids})
+),
+dist AS (
+  SELECT e.vec_id, c.cell, {sq} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+rkd AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM dist
+),
+assign AS (SELECT vec_id, cell FROM rkd WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM rkd
+  WHERE vec_id IN (20, 21, 22, 23, 24) AND rn <= {n_probe}
+),
+ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (
+  SELECT ms.m, s.vec_id AS code,
+         s.embedding[ms.m * 8 + 1 : ms.m * 8 + 8] AS cw
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s, ms
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, g.m, cb.code,
+           row_number() OVER (PARTITION BY e.vec_id, g.m
+                              ORDER BY {d_expr}, cb.code) AS rn
+    FROM embeddings e, ms g JOIN cb ON cb.m = g.m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id IN (20, 21, 22, 23, 24)),
+tab AS (
+  SELECT q.query_id, cb.m, cb.code,
+         round({t_expr} * 1000000.0)::BIGINT AS td
+  FROM q, cb
+),
+adc AS (
+  SELECT qp.query_id, a.vec_id, sum(tab.td)::BIGINT AS scaled
+  FROM qprobe qp
+  JOIN assign a USING (cell)
+  JOIN enc ON enc.vec_id = a.vec_id
+  JOIN tab ON tab.query_id = qp.query_id
+          AND tab.m = enc.m AND tab.code = enc.code
+  WHERE a.vec_id <> qp.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY scaled ASC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {window}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (20, 21, 22, 23, 24)),
+res AS (
+  SELECT cand.query_id, cand.vec_id, round({cos}, 4) AS cos
+  FROM cand
+  JOIN embeddings e2 ON e2.vec_id = cand.vec_id
+  JOIN qv USING (query_id)
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM res
+)
+SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -3991,6 +4090,7 @@ ORACLES: dict[str, str] = {
     "categorize_text_docs": CATEGORIZE_TEXT_DOCS,
     "ann_pq_topk": pq_topk_sql(),
     "ann_int8_rescore": int8_rescore_sql(),
+    "ann_ivfpq_topk": ivfpq_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

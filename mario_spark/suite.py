@@ -2271,6 +2271,16 @@ def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.int8_rescore_topk(e, [0, 1, 2, 3, 4], k=10, window=30)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFPQ + refine: probe 2 cells, integer ADC over
+    8-byte codes, exact-cosine re-rank of the top-30
+    (ops/ann.ivf_pq_topk)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_pq_topk(e, [20, 21, 22, 23, 24], k=10, window=30)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2431,5 +2441,6 @@ SUITE = {
     "categorize_text_docs": categorize_text_docs,
     "ann_pq_topk": ann_pq_topk,
     "ann_int8_rescore": ann_int8_rescore,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "completion_suggest": completion_suggest,
 }
