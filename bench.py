@@ -171,6 +171,11 @@ def main() -> None:
         "combined_fields_topk",
         "rrf_hybrid_topk",
         "lm_cross_entropy",
+        "intervals_topk",
+        "simple_qs_topk",
+        "ann_pq_topk",
+        "ann_int8_rescore",
+        "ann_ivfpq_topk",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())

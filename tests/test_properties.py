@@ -88,3 +88,67 @@ def test_kmv_estimate_accuracy(spark):
     assert out["small"] == 100.0  # below k -> exact
     for kk in ("g0", "g1", "g2"):
         assert abs(out[kk] - 2000) / 2000 < 0.20, (kk, out[kk])
+
+
+def _pair_spans(p1: np.ndarray, p2: np.ndarray, g: int):
+    """The greedy-minimal ordered-pair span rule used by
+    search_span_contain (copied semantics, pure reference)."""
+    idx = np.searchsorted(p2, p1 + 1, "left")
+    ok = idx < p2.size
+    idxc = np.minimum(idx, p2.size - 1)
+    ok &= p2[idxc] <= p1 + g + 1
+    return p1[ok], p2[idxc[ok]]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=8),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=6),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=8),
+)
+def test_span_within_monotone_coverage_shortcut(p1s, p2s, g, zs):
+    """The O(log n) coverage check in search_span_contain (last span
+    starting at or before z ends at or after z) relies on greedy span
+    ends being non-decreasing — verify both the monotonicity and the
+    shortcut against brute force."""
+    p1 = np.array(sorted(set(p1s)), dtype=np.int64)
+    p2 = np.array(sorted(set(p2s)), dtype=np.int64)
+    starts, ends = _pair_spans(p1, p2, g)
+    assert list(ends) == sorted(ends)  # greedy ends are non-decreasing
+    for z in zs:
+        brute = any(s <= z <= e for s, e in zip(starts, ends))
+        i1 = int(np.searchsorted(starts, z, "right")) - 1
+        fast = i1 >= 0 and ends[i1] >= z
+        assert fast == brute
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet='ab c|-"*+()~/\\', max_size=30))
+def test_simple_qs_parser_total(s):
+    """SimpleQueryParser contract: never raises, every clause has
+    terms, every emitted disjunct has at least one positive clause."""
+    from mario_spark.qs import parse_simple_query_string
+
+    for clauses in parse_simple_query_string(s):
+        assert any(not neg for _, neg, _ in clauses)
+        for typ, _, terms in clauses:
+            assert typ in ("chain", "prefix") and terms
+            assert all(t for t in terms)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        min_size=64,
+        max_size=64,
+    )
+)
+def test_pq_integer_scaling_is_order_free(vec):
+    """round(td*1e6) per sub-space then integer sum == the same value
+    in any accumulation order (the property the PQ oracle relies on)."""
+    v = np.array(vec, dtype=np.float64).reshape(8, 8)
+    tds = [((v[m] - (v[m] + 0.5)) ** 2).sum() for m in range(8)]
+    scaled = [int(np.floor(t * 1e6 + 0.5)) for t in tds]
+    assert sum(scaled) == sum(reversed(scaled))
