@@ -450,3 +450,102 @@ def search_combined_fields(
         .agg(F.sum("contrib").alias("score"))
     )
     return topk(scored, k=k)
+
+
+def search_multi_phrase(
+    pages: DataFrame,
+    fields: dict[str, "F.Column"],
+    queries: list[tuple[int, list[str]]],
+    boosts: dict[str, float],
+    k: int = 10,
+    k1: float = None,
+    b: float = None,
+) -> DataFrame:
+    """ES multi_match type=phrase: the phrase runs against EVERY
+    field, each field scoring it as Lucene PhraseWeight with its OWN
+    stats (df per field, per-field docCount/avgFieldLength), combined
+    best-field (dis_max, tie_breaker=0) like the phrase type does.
+
+    Execution: one tokenized array per field (shared scan), chain
+    frequency as pure codegen per (field, query), per-field idf sums
+    from per-field dfs — no kernel, no positional postings needed for
+    the composition layer (the persisted path is
+    Index.search_phrase(field=...)).
+    """
+    from mario_spark.analyze import tokenize_udf
+    from mario_spark.qs import _chain_ctf_expr
+    from mario_spark.query import B, K1, topk
+
+    k1 = K1 if k1 is None else k1
+    b = B if b is None else b
+    parts = []
+    for fname, expr in fields.items():
+        boost = float(boosts.get(fname, 1.0))
+        toks = pages.select(
+            "doc_id", tokenize_udf(expr).alias("arr")
+        ).filter(F.size("arr") > 0)
+        dl = toks.select("doc_id", F.size("arr").cast("double").alias("len"))
+        st = dl.agg(
+            F.count("*").cast("double").alias("n"), F.avg("len").alias("a")
+        ).collect()[0]
+        n_docs, avgdl = float(st["n"]), float(st["a"])
+        tf = (
+            toks.select("doc_id", F.explode("arr").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        dfreq = {
+            r["term"]: float(r["n"])
+            for r in tf.groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .join(
+                F.broadcast(
+                    pages.sparkSession.createDataFrame(
+                        [(t,) for q in queries for t in q[1]], "term string"
+                    ).distinct()
+                ),
+                "term",
+            )
+            .collect()
+        }
+        import math
+
+        for qid, terms in queries:
+            sidf = sum(
+                math.log(
+                    1.0 + (n_docs - dfreq.get(t, 0.0) + 0.5)
+                    / (dfreq.get(t, 0.0) + 0.5)
+                )
+                for t in terms
+                if t in dfreq
+            )
+            if any(t not in dfreq for t in terms):
+                continue  # phrase needs every term present in the field
+            ctf = _chain_ctf_expr(F.col("arr"), terms).cast("double")
+            parts.append(
+                toks.select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    "doc_id",
+                    (
+                        F.lit(boost)
+                        * F.lit(sidf)
+                        * (ctf * (k1 + 1.0))
+                        / (
+                            ctf
+                            + k1
+                            * (1.0 - b + b * F.size("arr").cast("double") / avgdl)
+                        )
+                    ).alias("c"),
+                    ctf.alias("ctf"),
+                ).filter(F.col("ctf") > 0)
+            )
+    if not parts:
+        spark = pages.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    best = allf.groupBy("query_id", "doc_id").agg(F.max("c").alias("score"))
+    return topk(best, k=k)

@@ -3931,6 +3931,101 @@ SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
 """
 
 
+SPARSE_VECTOR_TOPK = f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         round(ln(1.0 + tf.tf)
+               * ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)), 4) AS w
+  FROM tf JOIN dfr USING (term) CROSS JOIN st
+),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, w.doc_id, sum(w.w) AS raw
+  FROM q JOIN w USING (term) GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 10
+"""
+
+
+def multiphrase_sql(
+    fields: list[tuple[str, str, float]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """multi_match type=phrase oracle: per-field chain counts + per-
+    field PhraseWeight, dis_max across fields — mirrors
+    fields.search_multi_phrase (incl. the every-term-present-in-field
+    gate and the empty-field-text exclusion)."""
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
+
+    ctes, selects = [], []
+    for name, expr, boost in fields:
+        ctes.append(f"""
+docs_{name} AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize({expr})), '{_TOK}') AS arr
+  FROM documents
+),
+toks_{name} AS (
+  SELECT doc_id, unnest(arr) AS term FROM docs_{name} WHERE len(arr) > 0
+),
+tf_{name} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks_{name} GROUP BY 1, 2),
+dl_{name} AS (SELECT doc_id, len(arr)::DOUBLE AS len FROM docs_{name} WHERE len(arr) > 0),
+st_{name} AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl_{name}),
+dfr_{name} AS (SELECT term, count(*)::DOUBLE AS df FROM tf_{name} GROUP BY 1)""")
+        for qid, qtext in DOCUMENTS_PHRASE_SET:
+            terms = py_tokenize(qtext)
+            inl = ", ".join(f"'{t}'" for t in terms)
+            present = (
+                f"(SELECT count(*) FROM dfr_{name} WHERE term IN ({inl}))"
+                f" = {len(terms)}"
+            )
+            sidf = (
+                f"(SELECT sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)))"
+                f" FROM dfr_{name} d CROSS JOIN st_{name} s"
+                f" WHERE d.term IN ({inl}))"
+            )
+            ctf = _chain_count_expr(terms)
+            sat = (
+                f"({ctf} * ({k1} + 1.0)) / ({ctf} + {k1} * "
+                f"(1.0 - {b} + {b} * len(arr) / "
+                f"(SELECT avgdl FROM st_{name})))"
+            )
+            selects.append(
+                f"SELECT {qid} AS query_id, doc_id, "
+                f"{boost} * {sidf} * {sat} AS c "
+                f"FROM docs_{name} WHERE len(arr) > 0 AND {present} "
+                f"AND {ctf} > 0"
+            )
+    return f"""
+WITH {", ".join(ctes)},
+per AS ({" UNION ALL ".join(selects)}),
+best AS (
+  SELECT query_id::BIGINT AS query_id, doc_id, max(c) AS raw
+  FROM per GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM best
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4091,6 +4186,8 @@ ORACLES: dict[str, str] = {
     "ann_pq_topk": pq_topk_sql(),
     "ann_int8_rescore": int8_rescore_sql(),
     "ann_ivfpq_topk": ivfpq_sql(),
+    "sparse_vector_topk": SPARSE_VECTOR_TOPK,
+    "multiphrase_topk": multiphrase_sql(_MF_FIELDS),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -855,3 +855,54 @@ def search_script_score(
         .select("query_id", "doc_id", "score")
     )
     return topk(scored, k)
+
+
+def search_sparse_vector(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ES sparse_vector query (the ELSER / learned-sparse-retrieval
+    shape, rank_features under the hood): each doc carries a sparse
+    term->weight map, the query a sparse set of terms, and the score
+    is the dot product over the intersection. Here the doc weights are
+    the classic log-saturated tf-idf
+
+        w(t, d) = round(ln(1 + tf) * idf(t), 4)
+
+    (a deterministic stand-in for model-emitted weights — the engine
+    machinery is identical for real ELSER output: the weights are just
+    a column), query weights 1.0. score = sum of matched doc weights.
+
+    Plan shape: broadcast query terms onto the tf stream, one (query,
+    doc) hash agg — the same single-shuffle skeleton as BM25, with NO
+    length normalization or corpus stats at query time (weights are
+    index-time), which is exactly why learned-sparse serves cheaply.
+    """
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    weights = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.round(
+                F.log(F.lit(1.0) + F.col("tf"))
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+                4,
+            ),
+        )
+        .select("doc_id", "term", "w")
+    )
+    scored = (
+        weights.join(F.broadcast(query_terms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    return topk(scored, k)

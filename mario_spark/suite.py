@@ -2281,6 +2281,34 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_pq_topk(e, [20, 21, 22, 23, 24], k=10, window=30)
 
 
+def sparse_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector query (learned-sparse / ELSER shape): dot
+    product of index-time log-tf-idf doc weights with the query term
+    set (query.search_sparse_vector)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return query.search_sparse_vector(d, q, k=10)
+
+
+def multiphrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=phrase over (title^2, contents^1): the
+    phrase scored per field with per-field stats, best field wins
+    (fields.search_multi_phrase)."""
+    from mario_spark import fields as fieldsmod
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
+
+    pages = _documents(spark, sf_dir).select("doc_id", "text")
+    queries = [(qid, py_tokenize(t)) for qid, t in DOCUMENTS_PHRASE_SET]
+    return fieldsmod.search_multi_phrase(
+        pages,
+        {"title": F.substring("text", 1, 64), "contents": F.col("text")},
+        queries,
+        {"title": 2.0, "contents": 1.0},
+        k=10,
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2442,5 +2470,7 @@ SUITE = {
     "ann_pq_topk": ann_pq_topk,
     "ann_int8_rescore": ann_int8_rescore,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "sparse_vector_topk": sparse_vector_topk,
+    "multiphrase_topk": multiphrase_topk,
     "completion_suggest": completion_suggest,
 }
