@@ -370,3 +370,79 @@ def test_rollover_and_snapshot_restore(spark, root):
         check_exact=False,
         atol=1e-9,
     )
+
+
+def test_federated_dfs_matches_combined_index(spark, root):
+    """dfs_query_then_fetch across two half-corpus indexes must be
+    rank- and score-identical (per url) to ONE index over the full
+    corpus — the global-stats pre-phase makes shard scores comparable.
+    query_then_fetch (per-index stats) runs too and demonstrably
+    differs on at least one score for the same inputs."""
+    import pyspark.sql.functions as F
+
+    from mario_spark.federate import search_indexes
+
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 400, seed=3, partitions=2).persist()
+    half = F.crc32(F.col("url")) % 2
+    a = pages.filter(half == 0)
+    b_ = pages.filter(half == 1)
+    cat.create("fa-2026-01-01t00-00-00z").ingest(a)
+    cat.create("fb-2026-01-01t00-00-00z").ingest(b_)
+    cat.create("full-2026-01-01t00-00-00z").ingest(pages)
+
+    q = query_terms_df(spark, make_pages_query_set(seed=3, n=8))
+    fed = search_indexes(
+        cat, ["fa-2026-01-01t00-00-00z", "fb-2026-01-01t00-00-00z"], q, k=10,
+        mode="dfs_query_then_fetch",
+    )
+    full = cat.open("full-2026-01-01t00-00-00z").search(q, k=10)
+
+    # map both to urls (doc ids are per-index); compare (query, rank,
+    # url, score)
+    def with_url(res, idx_names):
+        out = []
+        for name in idx_names:
+            idx = cat.open(name)
+            part = res.filter(F.col("index") == name) if "index" in res.columns else res
+            out.append(
+                part.join(
+                    idx.docs().select("doc_id", "url"), "doc_id"
+                ).select("query_id", "rank", "url", "score")
+            )
+        u = out[0]
+        for p in out[1:]:
+            u = u.unionByName(p)
+        return u
+
+    fed_u = with_url(
+        fed, ["fa-2026-01-01t00-00-00z", "fb-2026-01-01t00-00-00z"]
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    full_u = with_url(
+        full, ["full-2026-01-01t00-00-00z"]
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(fed_u) == len(full_u) > 0
+    # tie-break order differs (local vs global doc ids), so compare
+    # the per-query SCORE sequences exactly, and the url SETS among
+    # scores strictly above the k-boundary score (ties straddling the
+    # cutoff legitimately admit different members)
+    for qid, fg in fed_u.groupby("query_id"):
+        fl = full_u[full_u.query_id == qid]
+        assert list(fg["score"]) == list(fl["score"])
+        if len(fg):
+            boundary = fg["score"].min()
+            assert set(fg[fg.score > boundary]["url"]) == set(
+                fl[fl.score > boundary]["url"]
+            )
+
+    # per-index-stats mode exists and produces a DIFFERENT score
+    # somewhere (the documented query_then_fetch quirk)
+    qtf = search_indexes(
+        cat, ["fa-2026-01-01t00-00-00z", "fb-2026-01-01t00-00-00z"], q, k=10,
+        mode="query_then_fetch",
+    )
+    qtf_u = with_url(
+        qtf, ["fa-2026-01-01t00-00-00z", "fb-2026-01-01t00-00-00z"]
+    ).toPandas()
+    merged = qtf_u.merge(fed_u, on=["query_id", "url"], suffixes=("_q", "_d"))
+    assert (merged["score_q"] != merged["score_d"]).any()
