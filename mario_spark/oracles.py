@@ -4026,6 +4026,15 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+AGG_GLOBAL_BUCKET = """
+SELECT count(*)::BIGINT AS global_count,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS query_count,
+       round(avg(n_chars), 4) AS global_avg_chars,
+       round(avg(CASE WHEN lang = 'en' THEN n_chars END), 4) AS query_avg_chars
+FROM documents
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4188,6 +4197,7 @@ ORACLES: dict[str, str] = {
     "ann_ivfpq_topk": ivfpq_sql(),
     "sparse_vector_topk": SPARSE_VECTOR_TOPK,
     "multiphrase_topk": multiphrase_sql(_MF_FIELDS),
+    "agg_global_bucket": AGG_GLOBAL_BUCKET,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

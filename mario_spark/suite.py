@@ -2309,6 +2309,24 @@ def multiphrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_global_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `global` agg: inside a filtered search (lang='en'), a global
+    bucket ignores the query filter so facets can show corpus-wide
+    counts next to filtered ones — ONE conditional-sum pass, no second
+    scan."""
+    d = _documents(spark, sf_dir)
+    return d.agg(
+        F.count("*").cast("long").alias("global_count"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("query_count"),
+        F.round(F.avg("n_chars"), 4).alias("global_avg_chars"),
+        F.round(
+            F.avg(F.when(F.col("lang") == "en", F.col("n_chars"))), 4
+        ).alias("query_avg_chars"),
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2472,5 +2490,6 @@ SUITE = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "sparse_vector_topk": sparse_vector_topk,
     "multiphrase_topk": multiphrase_topk,
+    "agg_global_bucket": agg_global_bucket,
     "completion_suggest": completion_suggest,
 }

@@ -542,3 +542,24 @@ def test_linear_hybrid_no_cartesian(spark):
 
     plan = _plan(linear_hybrid_topk(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_sparse_vector_broadcast_single_agg(spark):
+    """sparse_vector: query terms broadcast onto the weight stream,
+    one (query, doc) hash agg, no cartesian."""
+    from mario_spark.suite import sparse_vector_topk
+
+    plan = _plan(sparse_vector_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_bucket_single_pass(spark):
+    """global agg: filtered + global metrics in ONE aggregation pass
+    (conditional sums), no join, no second scan."""
+    from mario_spark.suite import agg_global_bucket
+
+    plan = _plan(agg_global_bucket(spark, SF_DIR))
+    assert "Join" not in plan
+    # exactly one scan (each scan prints one Location line)
+    assert plan.count("Location: InMemoryFileIndex") == 1
