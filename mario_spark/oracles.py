@@ -4035,6 +4035,78 @@ FROM documents
 """
 
 
+def rank_eval_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """_rank_eval oracle: BM25 top-k (same CTEs), conjunctive-match
+    judgments, identical metric arithmetic — mirrors
+    suite.rank_eval_bm25 / ops/evalx.rank_eval."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+qn AS (SELECT query_id, count(DISTINCT term) AS qn FROM q GROUP BY 1),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+res AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc QUALIFY rank <= {k}
+),
+jud AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id
+  FROM q JOIN tf USING (term) JOIN qn ON q.query_id = qn.query_id
+  GROUP BY 1, 2, qn.qn
+  HAVING count(DISTINCT tf.term) = any_value(qn.qn)
+),
+nrel AS (
+  SELECT query_id, count(DISTINCT doc_id)::BIGINT AS n_rel FROM jud GROUP BY 1
+),
+hits AS (
+  SELECT res.query_id, count(*)::BIGINT AS hits,
+         min(res.rank) AS first_rank,
+         sum(1.0 / log2(res.rank + 1.0)) AS dcg
+  FROM res JOIN jud USING (query_id, doc_id)
+  GROUP BY 1
+),
+perq AS (SELECT DISTINCT query_id FROM res),
+base AS (
+  SELECT perq.query_id,
+         coalesce(nrel.n_rel, 0)::BIGINT AS n_rel,
+         coalesce(hits.hits, 0)::BIGINT AS hits,
+         hits.first_rank, hits.dcg
+  FROM perq LEFT JOIN nrel USING (query_id) LEFT JOIN hits USING (query_id)
+),
+fin AS (
+  SELECT query_id, n_rel, hits,
+         CASE WHEN n_rel > 0 THEN
+           (SELECT sum(1.0 / log2(i + 1.0))
+            FROM unnest(generate_series(1, least(n_rel, {k}))) AS u(i))
+         ELSE 0.0 END AS idcg,
+         first_rank, dcg
+  FROM base
+)
+SELECT query_id, n_rel, hits,
+       round(hits / {float(k)}, 4) AS precision,
+       round(CASE WHEN n_rel > 0 THEN hits::DOUBLE / n_rel ELSE 0.0 END, 4) AS recall,
+       round(CASE WHEN first_rank IS NOT NULL THEN 1.0 / first_rank ELSE 0.0 END, 4) AS mrr,
+       round(CASE WHEN idcg > 0 THEN coalesce(dcg, 0.0) / idcg ELSE 0.0 END, 4) AS ndcg
+FROM fin
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4198,6 +4270,7 @@ ORACLES: dict[str, str] = {
     "sparse_vector_topk": SPARSE_VECTOR_TOPK,
     "multiphrase_topk": multiphrase_sql(_MF_FIELDS),
     "agg_global_bucket": AGG_GLOBAL_BUCKET,
+    "rank_eval_bm25": rank_eval_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

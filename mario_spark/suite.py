@@ -2327,6 +2327,28 @@ def agg_global_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval over the flagship BM25 top-10: binary judgments =
+    docs containing ALL the query's terms (conjunctive match), metrics
+    precision/recall@10, MRR, NDCG@10 (ops/evalx.rank_eval)."""
+    from mario_spark.ops import evalx
+
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    results = query.search_exhaustive(d, q, k=10)
+    tf = query.term_frequencies(d)
+    qn = q.groupBy("query_id").agg(F.countDistinct("term").alias("qn"))
+    judgments = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("nt") == F.col("qn"))
+        .select("query_id", "doc_id")
+    )
+    return evalx.rank_eval(results, judgments, k=10)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2491,5 +2513,6 @@ SUITE = {
     "sparse_vector_topk": sparse_vector_topk,
     "multiphrase_topk": multiphrase_topk,
     "agg_global_bucket": agg_global_bucket,
+    "rank_eval_bm25": rank_eval_bm25,
     "completion_suggest": completion_suggest,
 }
