@@ -4107,6 +4107,69 @@ FROM fin
 """
 
 
+def rerank_sql(k: int = 10, window: int = 20,
+               k1: float = 1.2, b: float = 0.75) -> str:
+    """text_similarity_reranker oracle: same BM25 window, fake
+    cross-encoder = md5("<qtext> | <text>")[:13] / 16^13 rounded 6dp —
+    mirrors query.search_rerank's deterministic stub."""
+    qids = (0, 1, 2, 4, 5)
+    qrows = [
+        f"({qid}, '{t}')"
+        for qid, qtext in DOCUMENTS_QUERY_SET
+        if qid in qids
+        for t in dict.fromkeys(py_tokenize(qtext))
+    ]
+    qt_rows = [
+        f"({qid}, '{qtext}')"
+        for qid, qtext in DOCUMENTS_QUERY_SET
+        if qid in qids
+    ]
+    return f"""
+WITH q(query_id, term) AS (VALUES {", ".join(qrows)}),
+qt(query_id, qtext) AS (VALUES {", ".join(qt_rows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(raw, 4) DESC, doc_id ASC) AS r
+    FROM sc
+  ) WHERE r <= {window}
+),
+rr AS (
+  SELECT win.query_id, win.doc_id,
+         round((('0x' || substr(md5(qt.qtext || ' | ' || d.text), 1, 13))::BIGINT)::DOUBLE
+               / 4503599627370496.0, 6) AS rscore
+  FROM win
+  JOIN documents d USING (doc_id)
+  JOIN qt ON qt.query_id = win.query_id
+),
+rk AS (
+  SELECT query_id, doc_id, rscore,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rscore DESC, doc_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, rank, doc_id, rscore AS score FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4271,6 +4334,7 @@ ORACLES: dict[str, str] = {
     "multiphrase_topk": multiphrase_sql(_MF_FIELDS),
     "agg_global_bucket": AGG_GLOBAL_BUCKET,
     "rank_eval_bm25": rank_eval_sql(),
+    "rerank_topk": rerank_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

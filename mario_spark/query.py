@@ -906,3 +906,90 @@ def search_sparse_vector(
         .agg(F.sum("w").alias("score"))
     )
     return topk(scored, k)
+
+
+def search_rerank(
+    docs: DataFrame,
+    documents_text: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    window: int = 20,
+    model_fn=None,
+) -> DataFrame:
+    """ES text_similarity_reranker retriever: a first-stage BM25 rank
+    window feeds (query_text, doc_text) pairs to a cross-encoder whose
+    scores decide the final order. The model runs as an Arrow-batched
+    mapInPandas kernel — exactly the batch-inference plumbing a real
+    reranker (monoT5, bge-reranker, Cohere) plugs into; `model_fn`
+    (pandas (qtext, text) -> float Series) swaps it in one argument.
+
+    No model ships in this container, so the default is a
+    DETERMINISTIC fake: score = first 13 md5 hex chars of
+    "<qtext> | <text>" / 16^13 — uniform [0,1), reproducible in SQL,
+    making the full pipeline (window join, batch shape, re-rank)
+    oracle-verifiable end-to-end. The ranking it produces is
+    arbitrary BY DESIGN — the test target is the plumbing, as with the
+    multimodal decoder stub.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mario_spark.analyze import py_tokenize
+
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, qtext in queries
+            for t in dict.fromkeys(py_tokenize(qtext))
+        ],
+        "query_id long, term string",
+    )
+    first = search_exhaustive(docs, qterms, k=window).select(
+        "query_id", "doc_id"
+    )
+    qtexts = spark.createDataFrame(queries, "query_id long, qtext string")
+    pairs = first.join(
+        documents_text.select("doc_id", "text"), "doc_id"
+    ).join(F.broadcast(qtexts), "query_id")
+
+    if model_fn is None:
+
+        def model_fn(qt: pd.Series, tx: pd.Series) -> pd.Series:
+            import hashlib
+
+            vals = [
+                int(
+                    hashlib.md5(
+                        f"{a} | {b}".encode("utf-8")
+                    ).hexdigest()[:13],
+                    16,
+                )
+                / float(16**13)
+                for a, b in zip(qt, tx)
+            ]
+            return pd.Series(np.round(np.asarray(vals), 6))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "doc_id": pdf["doc_id"],
+                    "rscore": model_fn(pdf["qtext"], pdf["text"]),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        kernel, "query_id long, doc_id long, rscore double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rscore"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", F.col("rscore").alias("score"))
+    )

@@ -2349,6 +2349,19 @@ def rank_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evalx.rank_eval(results, judgments, k=10)
 
 
+def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES text_similarity_reranker: BM25 window-20 candidates re-ranked
+    by the (stubbed, deterministic) cross-encoder kernel — the batch
+    model-inference plumbing, oracle-verified end-to-end
+    (query.search_rerank)."""
+    qids = [0, 1, 2, 4, 5]
+    queries = [(i, t) for i, t in DOCUMENTS_QUERY_SET if i in qids]
+    d = _doc_table(spark, sf_dir)
+    return query.search_rerank(
+        d, _documents(spark, sf_dir), queries, k=10, window=20
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2514,5 +2527,6 @@ SUITE = {
     "multiphrase_topk": multiphrase_topk,
     "agg_global_bucket": agg_global_bucket,
     "rank_eval_bm25": rank_eval_bm25,
+    "rerank_topk": rerank_topk,
     "completion_suggest": completion_suggest,
 }
