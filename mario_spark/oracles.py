@@ -4170,6 +4170,18 @@ SELECT query_id, rank, doc_id, rscore AS score FROM rk WHERE rank <= {k}
 """
 
 
+NESTED_QUERY_MATCH = r"""
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, '.'),
+             x -> contains(x, 'join') AND length(x) > 120))::BIGINT
+           AS n_matching
+  FROM documents
+)
+SELECT doc_id, n_matching FROM n WHERE n_matching > 0
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4335,6 +4347,7 @@ ORACLES: dict[str, str] = {
     "agg_global_bucket": AGG_GLOBAL_BUCKET,
     "rank_eval_bm25": rank_eval_sql(),
     "rerank_topk": rerank_sql(),
+    "nested_query_match": NESTED_QUERY_MATCH,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2362,6 +2362,27 @@ def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nested_query_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested query: docs split into nested "sentence" objects
+    (split on '.'), matching when ONE AND THE SAME element satisfies
+    both predicates (contains 'join' AND length > 120). This is the
+    semantics a flattened object mapping gets WRONG (it would match
+    docs where one sentence has 'join' and a different one is long) —
+    the reason record.py maps TIMDEX sub-objects with nested scoping.
+    Pure Catalyst: split + exists(HOF), no shuffle before the scan
+    filter; also returns the count of qualifying elements."""
+    d = _documents(spark, sf_dir)
+    sents = F.split(F.col("text"), r"\.")
+    pred = lambda x: x.contains("join") & (F.length(x) > 120)  # noqa: E731
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.filter(sents, pred)).cast("long").alias("n_matching"),
+        )
+        .filter(F.col("n_matching") > 0)
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2528,5 +2549,6 @@ SUITE = {
     "agg_global_bucket": agg_global_bucket,
     "rank_eval_bm25": rank_eval_bm25,
     "rerank_topk": rerank_topk,
+    "nested_query_match": nested_query_match,
     "completion_suggest": completion_suggest,
 }
