@@ -4182,6 +4182,52 @@ SELECT doc_id, n_matching FROM n WHERE n_matching > 0
 """
 
 
+def lsh_audit_sql(threshold: float = 0.5, sample_max_id: int = 200) -> str:
+    """LSH audit oracle: exact-Jaccard truth vs banded candidates on
+    the same sample — mirrors ops/dedup.lsh_audit."""
+    return f"""
+WITH dterms AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}')) AS term
+  FROM documents WHERE doc_id < {sample_max_id}
+),
+share AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM dterms a JOIN dterms b USING (term)
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM dterms GROUP BY 1),
+inter AS (
+  SELECT s.doc_a, s.doc_b, count(*) AS i
+  FROM share s
+  JOIN dterms ta ON ta.doc_id = s.doc_a
+  JOIN dterms tb ON tb.doc_id = s.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE round(i / (sa.sz + sb.sz - i), 4) >= {threshold}
+),
+sig AS (SELECT doc_id, {_MH_COLS} FROM dterms GROUP BY doc_id),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r USING (band_key)
+  WHERE l.doc_id < r.doc_id
+),
+hit AS (SELECT * FROM truth SEMI JOIN cand USING (doc_a, doc_b)),
+nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+nc AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+nh AS (SELECT count(*)::BIGINT AS n_hit FROM hit)
+SELECT n_true, n_cand, n_hit,
+       round(CASE WHEN n_true > 0 THEN n_hit::DOUBLE / n_true ELSE 0.0 END, 4) AS recall,
+       round(CASE WHEN n_cand > 0 THEN n_hit::DOUBLE / n_cand ELSE 0.0 END, 4) AS precision
+FROM nt CROSS JOIN nc CROSS JOIN nh
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4348,6 +4394,7 @@ ORACLES: dict[str, str] = {
     "rank_eval_bm25": rank_eval_sql(),
     "rerank_topk": rerank_sql(),
     "nested_query_match": NESTED_QUERY_MATCH,
+    "lsh_recall_audit": lsh_audit_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

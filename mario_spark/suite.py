@@ -2383,6 +2383,15 @@ def nested_query_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality audit: MinHash-LSH candidate recall/precision vs
+    exact Jaccard ground truth on the doc_id < 200 sample
+    (ops/dedup.lsh_audit)."""
+    from mario_spark.ops import dedup as dd
+
+    return dd.lsh_audit(_documents(spark, sf_dir), sample_max_id=200)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2550,5 +2559,6 @@ SUITE = {
     "rank_eval_bm25": rank_eval_bm25,
     "rerank_topk": rerank_topk,
     "nested_query_match": nested_query_match,
+    "lsh_recall_audit": lsh_recall_audit,
     "completion_suggest": completion_suggest,
 }
