@@ -1085,3 +1085,32 @@ def eql_sequence3(
     return step1.join(step2, [key_col, "second_id"]).select(
         key_col, "first_id", "second_id", "third_id"
     )
+
+
+def change_point_daily(
+    events: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """ES change_point agg (deterministic core): over the daily
+    sum_value series, the bucket with the maximum absolute deviation
+    from the series mean, typed spike/dip by sign. ES runs a battery
+    of statistical tests; the max-deviation candidate is the
+    deterministic, engine-comparable kernel all of them start from.
+    One agg over the reduced bucket table + one 1-row reduce.
+    """
+    daily = events.groupBy(F.to_date(ts_col).alias("d")).agg(
+        F.sum(value_col).alias("sum_value")
+    )
+    stats = daily.agg(F.avg("sum_value").alias("mu"))
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        F.col("d").cast("string").alias("key"),
+        "sum_value",
+        F.abs(F.col("sum_value") - F.col("mu")).alias("dev"),
+        F.when(F.col("sum_value") >= F.col("mu"), F.lit("spike"))
+        .otherwise(F.lit("dip"))
+        .alias("type"),
+    )
+    return (
+        dev.orderBy(F.desc("dev"), F.asc("key"))
+        .limit(1)
+        .select("key", F.round("sum_value", 4).alias("sum_value"), "type")
+    )

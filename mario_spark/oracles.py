@@ -4228,6 +4228,18 @@ FROM nt CROSS JOIN nc CROSS JOIN nh
 """
 
 
+AGG_CHANGE_POINT = """
+WITH daily AS (
+  SELECT ts::DATE AS d, sum(value) AS sum_value FROM events GROUP BY 1
+),
+mu AS (SELECT avg(sum_value) AS mu FROM daily)
+SELECT d::VARCHAR AS key, round(sum_value, 4) AS sum_value,
+       CASE WHEN sum_value >= mu THEN 'spike' ELSE 'dip' END AS type
+FROM daily CROSS JOIN mu
+ORDER BY abs(sum_value - mu) DESC, key ASC LIMIT 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4395,6 +4407,7 @@ ORACLES: dict[str, str] = {
     "rerank_topk": rerank_sql(),
     "nested_query_match": NESTED_QUERY_MATCH,
     "lsh_recall_audit": lsh_audit_sql(),
+    "agg_change_point": AGG_CHANGE_POINT,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

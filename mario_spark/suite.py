@@ -2392,6 +2392,16 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_audit(_documents(spark, sf_dir), sample_max_id=200)
 
 
+def agg_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point agg (max-deviation core): the daily bucket
+    deviating most from the series mean, typed spike/dip
+    (ops/aggs.change_point_daily)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.change_point_daily(e, "ts", "value")
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2560,5 +2570,6 @@ SUITE = {
     "rerank_topk": rerank_topk,
     "nested_query_match": nested_query_match,
     "lsh_recall_audit": lsh_recall_audit,
+    "agg_change_point": agg_change_point,
     "completion_suggest": completion_suggest,
 }

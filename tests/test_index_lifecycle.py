@@ -446,3 +446,17 @@ def test_federated_dfs_matches_combined_index(spark, root):
     ).toPandas()
     merged = qtf_u.merge(fed_u, on=["query_id", "url"], suffixes=("_q", "_d"))
     assert (merged["score_q"] != merged["score_d"]).any()
+
+
+def test_partial_snapshot_is_invisible(spark, root):
+    """A snapshot dir without its manifest (crash before the LAST
+    atomic write) must be rejected by restore — readers trust only the
+    manifest."""
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 100, seed=5, partitions=2)
+    cat.create("snapx-2026-01-01t00-00-00z").ingest(pages)
+    snap = os.path.join(root, "snaps", "partial")
+    cat.snapshot("snapx-2026-01-01t00-00-00z", snap)
+    os.remove(os.path.join(snap, "_snapshot.json"))  # simulate crash
+    with pytest.raises(ValueError, match="no snapshot manifest"):
+        cat.restore(snap, "never-2026-01-01t00-00-00z")
