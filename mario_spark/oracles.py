@@ -4240,6 +4240,18 @@ ORDER BY abs(sum_value - mu) DESC, key ASC LIMIT 1
 """
 
 
+FINGERPRINT_KEYS = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(text), '[\p{L}\p{N}]+'))), ' ')) AS fp
+  FROM documents
+),
+grp AS (SELECT fp, count(*)::BIGINT AS group_size FROM keyed GROUP BY 1)
+SELECT doc_id, fp, group_size FROM keyed JOIN grp USING (fp)
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4408,6 +4420,7 @@ ORACLES: dict[str, str] = {
     "nested_query_match": NESTED_QUERY_MATCH,
     "lsh_recall_audit": lsh_audit_sql(),
     "agg_change_point": AGG_CHANGE_POINT,
+    "fingerprint_keys": FINGERPRINT_KEYS,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2402,6 +2402,25 @@ def agg_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.change_point_daily(e, "ts", "value")
 
 
+def fingerprint_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fingerprint analyzer (the OpenRefine key-collision method ES
+    ships for entity dedup): tokens lowercased, DEDUPLICATED, SORTED,
+    space-joined — word order and repetition vanish, so reshuffled
+    near-identical records collide on the same key. Emits md5(key)
+    per doc + the collision-group size. Pure codegen (sort_array +
+    array_distinct), one hash agg on the digest."""
+    d = _documents(spark, sf_dir)
+    arr = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+    )
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(arr))))
+    keyed = d.select("doc_id", fp.alias("fp"))
+    grp = keyed.groupBy("fp").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    return keyed.join(grp, "fp").select("doc_id", "fp", "group_size")
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2571,5 +2590,6 @@ SUITE = {
     "nested_query_match": nested_query_match,
     "lsh_recall_audit": lsh_recall_audit,
     "agg_change_point": agg_change_point,
+    "fingerprint_keys": fingerprint_keys,
     "completion_suggest": completion_suggest,
 }
