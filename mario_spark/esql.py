@@ -1,0 +1,149 @@
+"""ES|QL — Elasticsearch's piped query language (8.11+), compiled onto
+DataFrames.
+
+The supported subset is the language's core pipeline:
+
+    FROM <table>
+    | WHERE <col> <op> <literal> [AND ...]        op: == != > >= < <=
+    | EVAL <name> = <col> <arith> <col|literal>   arith: + - * /
+    | STATS <name> = FN(<col>|*) [, ...] [BY <col> [, ...]]
+                                                  FN: COUNT SUM AVG MIN MAX
+    | SORT <col> [ASC|DESC] [, ...]
+    | LIMIT <n>
+    | KEEP <col> [, ...]
+
+Each pipe stage compiles to exactly one DataFrame operation, so the
+whole pipeline is ONE Catalyst plan — filters fold into the scan,
+STATS is a single hash agg, SORT+LIMIT fuse to TakeOrderedAndProject.
+Floating aggregation outputs (SUM/AVG over doubles) are rounded 4dp —
+the engine-wide hash-stability contract.
+
+Like the real parser, malformed input raises a ValueError naming the
+offending stage; unknown commands are rejected, not ignored.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_CMP = {"==": "=", "!=": "!=", ">=": ">=", "<=": "<=", ">": ">", "<": "<"}
+_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+
+
+def _lit(tok: str):
+    if tok.startswith('"') and tok.endswith('"'):
+        return F.lit(tok[1:-1])
+    if re.fullmatch(r"-?\d+", tok):
+        return F.lit(int(tok))
+    if re.fullmatch(r"-?\d+\.\d+", tok):
+        return F.lit(float(tok))
+    return F.col(tok)
+
+
+def _where(df: DataFrame, body: str) -> DataFrame:
+    cond = None
+    for clause in re.split(r"\s+AND\s+", body):
+        m = re.fullmatch(
+            r"(\w+)\s*(==|!=|>=|<=|>|<)\s*(\"[^\"]*\"|-?[\d.]+)",
+            clause.strip(),
+        )
+        if not m:
+            raise ValueError(f"ES|QL: bad WHERE clause {clause!r}")
+        col, op, lit = m.groups()
+        c = F.col(col)
+        lv = _lit(lit)
+        expr = {
+            "==": c == lv, "!=": c != lv, ">": c > lv,
+            ">=": c >= lv, "<": c < lv, "<=": c <= lv,
+        }[op]
+        cond = expr if cond is None else (cond & expr)
+    return df.filter(cond)
+
+
+def _eval(df: DataFrame, body: str) -> DataFrame:
+    m = re.fullmatch(
+        r"(\w+)\s*=\s*(\w+)\s*([+\-*/])\s*(\"[^\"]*\"|[\w.]+)", body.strip()
+    )
+    if not m:
+        raise ValueError(f"ES|QL: bad EVAL {body!r}")
+    name, a, op, bb = m.groups()
+    left, right = F.col(a), _lit(bb)
+    expr = {
+        "+": left + right, "-": left - right,
+        "*": left * right, "/": left / right,
+    }[op]
+    return df.withColumn(name, expr)
+
+
+def _stats(df: DataFrame, body: str) -> DataFrame:
+    if " BY " in body:
+        aggs_part, by_part = body.split(" BY ", 1)
+        keys = [k.strip() for k in by_part.split(",")]
+    else:
+        aggs_part, keys = body, []
+    aggs = []
+    for spec in aggs_part.split(","):
+        m = re.fullmatch(
+            r"(\w+)\s*=\s*(\w+)\(\s*(\*|\w+)\s*\)", spec.strip()
+        )
+        if not m:
+            raise ValueError(f"ES|QL: bad STATS {spec!r}")
+        name, fn, col = m.groups()
+        fn = fn.upper()
+        if fn not in _FNS:
+            raise ValueError(f"ES|QL: unknown function {fn}")
+        if fn == "COUNT":
+            e = F.count("*") if col == "*" else F.count(col)
+            aggs.append(e.cast("long").alias(name))
+        elif fn == "SUM":
+            aggs.append(F.round(F.sum(col), 4).alias(name))
+        elif fn == "AVG":
+            aggs.append(F.round(F.avg(col), 4).alias(name))
+        elif fn == "MIN":
+            aggs.append(F.min(col).alias(name))
+        else:
+            aggs.append(F.max(col).alias(name))
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    stages = [s.strip() for s in query.strip().split("|")]
+    m = re.fullmatch(r"FROM\s+(\w+)", stages[0], re.IGNORECASE)
+    if not m or m.group(1) not in _TABLES:
+        raise ValueError(f"ES|QL: bad FROM {stages[0]!r}")
+    df = spark.read.parquet(f"{sf_dir}/{m.group(1)}.parquet")
+    for stage in stages[1:]:
+        kw, _, body = stage.partition(" ")
+        kw = kw.upper()
+        if kw == "WHERE":
+            df = _where(df, body)
+        elif kw == "EVAL":
+            df = _eval(df, body)
+        elif kw == "STATS":
+            df = _stats(df, body)
+        elif kw == "SORT":
+            order = []
+            for part in body.split(","):
+                toks = part.split()
+                c = F.col(toks[0])
+                order.append(
+                    c.desc()
+                    if len(toks) > 1 and toks[1].upper() == "DESC"
+                    else c.asc()
+                )
+            df = df.orderBy(*order)
+        elif kw == "LIMIT":
+            df = df.limit(int(body))
+        elif kw == "KEEP":
+            df = df.select(*[c.strip() for c in body.split(",")])
+        else:
+            raise ValueError(f"ES|QL: unknown command {kw!r}")
+    return df

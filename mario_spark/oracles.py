@@ -4252,6 +4252,19 @@ SELECT doc_id, fp, group_size FROM keyed JOIN grp USING (fp)
 """
 
 
+ESQL_STATS = """
+SELECT source, count(*)::BIGINT AS c, round(avg(n_chars), 4) AS avg_chars
+FROM documents WHERE lang = 'en'
+GROUP BY 1 ORDER BY c DESC, source ASC LIMIT 5
+"""
+
+ESQL_EVAL = """
+SELECT user_id, round(sum(value * 2), 4) AS s
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY s DESC, user_id ASC LIMIT 10
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4421,6 +4434,8 @@ ORACLES: dict[str, str] = {
     "lsh_recall_audit": lsh_audit_sql(),
     "agg_change_point": AGG_CHANGE_POINT,
     "fingerprint_keys": FINGERPRINT_KEYS,
+    "esql_stats": ESQL_STATS,
+    "esql_eval": ESQL_EVAL,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

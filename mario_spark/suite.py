@@ -2421,6 +2421,32 @@ def fingerprint_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.join(grp, "fp").select("doc_id", "fp", "group_size")
 
 
+def esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL pipeline: filtered STATS BY with sort+limit — one Catalyst
+    plan end-to-end (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        'FROM documents | WHERE lang == "en" '
+        "| STATS c = COUNT(*), avg_chars = AVG(n_chars) BY source "
+        "| SORT c DESC, source ASC | LIMIT 5",
+    )
+
+
+def esql_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL with EVAL: computed column feeding a grouped SUM
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        'FROM events | EVAL v2 = value * 2 | WHERE event_type == "click" '
+        "| STATS s = SUM(v2) BY user_id | SORT s DESC, user_id ASC "
+        "| LIMIT 10",
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2591,5 +2617,7 @@ SUITE = {
     "lsh_recall_audit": lsh_recall_audit,
     "agg_change_point": agg_change_point,
     "fingerprint_keys": fingerprint_keys,
+    "esql_stats": esql_stats,
+    "esql_eval": esql_eval,
     "completion_suggest": completion_suggest,
 }

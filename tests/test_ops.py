@@ -163,3 +163,19 @@ def test_pq_codes_shape_and_determinism(spark):
         assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
     # sample vectors encode to themselves in every subspace
     assert c1[0] == [0] * 8 and c1[7] == [7] * 8
+
+
+def test_esql_rejects_malformed(spark):
+    """ES|QL parser: bad FROM / unknown command / bad WHERE all raise
+    ValueError naming the stage — never silently ignored."""
+    import pytest
+
+    from mario_spark.esql import run_esql
+
+    SF = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="bad FROM"):
+        run_esql(spark, SF, "FROM nope | LIMIT 1")
+    with pytest.raises(ValueError, match="unknown command"):
+        run_esql(spark, SF, "FROM documents | FROB x")
+    with pytest.raises(ValueError, match="bad WHERE"):
+        run_esql(spark, SF, "FROM documents | WHERE lang LIKE 'x'")

@@ -563,3 +563,14 @@ def test_global_bucket_single_pass(spark):
     assert "Join" not in plan
     # exactly one scan (each scan prints one Location line)
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_esql_pipeline_one_plan_pushdown_takeordered(spark):
+    """ES|QL pipeline compiles to ONE Catalyst plan: the WHERE folds
+    into the parquet scan and SORT+LIMIT fuse to
+    TakeOrderedAndProject."""
+    from mario_spark.suite import esql_stats
+
+    plan = _plan(esql_stats(spark, SF_DIR))
+    assert "EqualTo(lang,en)" in plan.replace(" ", "")
+    assert "TakeOrderedAndProject" in plan
