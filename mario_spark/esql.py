@@ -11,6 +11,7 @@ The supported subset is the language's core pipeline:
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
     | KEEP <col> [, ...]
+    | ENRICH <table> ON <col> WITH <col> [, ...]
 
 Each pipe stage compiles to exactly one DataFrame operation, so the
 whole pipeline is ONE Catalyst plan — filters fold into the scan,
@@ -144,6 +145,23 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             df = df.limit(int(body))
         elif kw == "KEEP":
             df = df.select(*[c.strip() for c in body.split(",")])
+        elif kw == "ENRICH":
+            m2 = re.fullmatch(
+                r"(\w+)\s+ON\s+(\w+)\s+WITH\s+(.+)", body.strip()
+            )
+            if not m2 or m2.group(1) not in _TABLES:
+                raise ValueError(f"ES|QL: bad ENRICH {body!r}")
+            tbl, on, with_cols = m2.groups()
+            dim = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            # enrich policies key the dim on its first column (the
+            # TPC-H-style primary key convention of the fixture tables)
+            dim_key = dim.columns[0]
+            keep = [c.strip() for c in with_cols.split(",")]
+            df = df.join(
+                F.broadcast(dim.select(dim_key, *keep)),
+                df[on] == dim[dim_key],
+                "left",
+            ).drop(dim_key)
         else:
             raise ValueError(f"ES|QL: unknown command {kw!r}")
     return df

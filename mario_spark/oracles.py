@@ -4265,6 +4265,13 @@ GROUP BY 1 ORDER BY s DESC, user_id ASC LIMIT 10
 """
 
 
+ESQL_ENRICH = """
+SELECT n.n_name, count(*)::BIGINT AS c, round(avg(c.c_acctbal), 4) AS avg_bal
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY c DESC, n_name ASC LIMIT 5
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4436,6 +4443,7 @@ ORACLES: dict[str, str] = {
     "fingerprint_keys": FINGERPRINT_KEYS,
     "esql_stats": ESQL_STATS,
     "esql_eval": ESQL_EVAL,
+    "esql_enrich": ESQL_ENRICH,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2447,6 +2447,20 @@ def esql_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH (lookup-join command): customers enriched with
+    their nation name via a broadcast dim join, then STATS BY
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM customer | ENRICH nation ON c_nationkey WITH n_name "
+        "| STATS c = COUNT(*), avg_bal = AVG(c_acctbal) BY n_name "
+        "| SORT c DESC, n_name ASC | LIMIT 5",
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2619,5 +2633,6 @@ SUITE = {
     "fingerprint_keys": fingerprint_keys,
     "esql_stats": esql_stats,
     "esql_eval": esql_eval,
+    "esql_enrich": esql_enrich,
     "completion_suggest": completion_suggest,
 }

@@ -574,3 +574,12 @@ def test_esql_pipeline_one_plan_pushdown_takeordered(spark):
     plan = _plan(esql_stats(spark, SF_DIR))
     assert "EqualTo(lang,en)" in plan.replace(" ", "")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_esql_enrich_broadcasts_dim(spark):
+    """ES|QL ENRICH = broadcast lookup join of the policy dim."""
+    from mario_spark.suite import esql_enrich
+
+    plan = _plan(esql_enrich(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
