@@ -12,6 +12,7 @@ The supported subset is the language's core pipeline:
     | LIMIT <n>
     | KEEP <col> [, ...]
     | ENRICH <table> ON <col> WITH <col> [, ...]
+    | DISSECT <col> "<pattern>"                   %{name} captures between literals
 
 Each pipe stage compiles to exactly one DataFrame operation, so the
 whole pipeline is ONE Catalyst plan — filters fold into the scan,
@@ -162,6 +163,30 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 df[on] == dim[dim_key],
                 "left",
             ).drop(dim_key)
+        elif kw == "DISSECT":
+            m2 = re.fullmatch(
+                r"(\w+)\s+(?:\"(.+)\"|'(.+)')", body.strip()
+            )
+            if not m2:
+                raise ValueError(f"ES|QL: bad DISSECT {body!r}")
+            col = m2.group(1)
+            pat = m2.group(2) if m2.group(2) is not None else m2.group(3)
+            names = re.findall(r"%\{(\w+)\}", pat)
+            if not names:
+                raise ValueError(f"ES|QL: DISSECT pattern has no fields")
+            # literals escaped, %{name} -> a non-greedy capture (the
+            # dissect contract: fields are delimited by the literals)
+            rx = ""
+            pos = 0
+            for m3 in re.finditer(r"%\{(\w+)\}", pat):
+                rx += re.escape(pat[pos : m3.start()]) + "(.*?)"
+                pos = m3.end()
+            rx += re.escape(pat[pos:]) + "$"
+            rx = "^" + rx
+            for gi, name in enumerate(names, start=1):
+                df = df.withColumn(
+                    name, F.regexp_extract(F.col(col), rx, gi)
+                )
         else:
             raise ValueError(f"ES|QL: unknown command {kw!r}")
     return df

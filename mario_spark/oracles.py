@@ -4272,6 +4272,15 @@ GROUP BY 1 ORDER BY c DESC, n_name ASC LIMIT 5
 """
 
 
+ESQL_DISSECT = """
+WITH d AS (
+  SELECT regexp_extract(props, '^\\{"k": (.*?)\\}$', 1) AS kval FROM events
+)
+SELECT kval, count(*)::BIGINT AS c FROM d
+GROUP BY 1 ORDER BY c DESC, kval ASC LIMIT 10
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4444,6 +4453,7 @@ ORACLES: dict[str, str] = {
     "esql_stats": ESQL_STATS,
     "esql_eval": ESQL_EVAL,
     "esql_enrich": ESQL_ENRICH,
+    "esql_dissect": ESQL_DISSECT,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

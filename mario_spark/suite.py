@@ -2461,6 +2461,19 @@ def esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT: structured extraction from the raw props JSON
+    string via a %{field} pattern, then grouped stats on the parsed
+    value (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events | DISSECT props '{\"k\": %{kval}}' "
+        "| STATS c = COUNT(*) BY kval | SORT c DESC, kval ASC | LIMIT 10",
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2634,5 +2647,6 @@ SUITE = {
     "esql_stats": esql_stats,
     "esql_eval": esql_eval,
     "esql_enrich": esql_enrich,
+    "esql_dissect": esql_dissect,
     "completion_suggest": completion_suggest,
 }
