@@ -44,6 +44,33 @@ def search_indexes(
     if mode not in ("dfs_query_then_fetch", "query_then_fetch"):
         raise ValueError(f"unknown mode {mode!r}")
     idxs = [(n, catalog.open(n)) for n in names]
+    return _search_opened(idxs, query_terms, k, mode)
+
+
+def search_clusters(
+    targets: list[tuple[object, str]],
+    query_terms: DataFrame,
+    k: int = 10,
+    mode: str = "dfs_query_then_fetch",
+) -> DataFrame:
+    """Cross-cluster search (ES `remote:index` targets): identical
+    merge to search_indexes but the targets span CATALOGS — separate
+    roots standing in for separate clusters. `targets` =
+    [(catalog, index_name)]; result index labels are
+    "<root-basename>:<name>" so hits are attributable to their
+    cluster, like ES's `_index` with the remote prefix."""
+    import os
+
+    if mode not in ("dfs_query_then_fetch", "query_then_fetch"):
+        raise ValueError(f"unknown mode {mode!r}")
+    idxs = [
+        (f"{os.path.basename(cat.root)}:{n}", cat.open(n))
+        for cat, n in targets
+    ]
+    return _search_opened(idxs, query_terms, k, mode)
+
+
+def _search_opened(idxs, query_terms: DataFrame, k: int, mode: str) -> DataFrame:
     if mode == "dfs_query_then_fetch":
         merged_dic = None
         tot_docs, tot_len = 0, 0.0

@@ -460,3 +460,42 @@ def test_partial_snapshot_is_invisible(spark, root):
     os.remove(os.path.join(snap, "_snapshot.json"))  # simulate crash
     with pytest.raises(ValueError, match="no snapshot manifest"):
         cat.restore(snap, "never-2026-01-01t00-00-00z")
+
+
+def test_cross_cluster_search_dfs(spark, root, tmp_path):
+    """Cross-cluster search: two separate catalog roots ('clusters'),
+    dfs mode — same global-stats merge invariant as federated search,
+    hits labeled with their cluster prefix."""
+    import pyspark.sql.functions as F
+
+    from mario_spark.federate import search_clusters
+
+    cat_a = Catalog(spark, os.path.join(str(tmp_path), "cluster_a"))
+    cat_b = Catalog(spark, os.path.join(str(tmp_path), "cluster_b"))
+    pages = pages_df(spark, 300, seed=7, partitions=2).persist()
+    half = F.crc32(F.col("url")) % 2
+    cat_a.create("ca-2026-01-01t00-00-00z").ingest(pages.filter(half == 0))
+    cat_b.create("cb-2026-01-01t00-00-00z").ingest(pages.filter(half == 1))
+    # reference: one combined index in cluster a
+    cat_a.create("all-2026-01-01t00-00-00z").ingest(pages)
+
+    q = query_terms_df(spark, make_pages_query_set(seed=7, n=6))
+    ccs = search_clusters(
+        [
+            (cat_a, "ca-2026-01-01t00-00-00z"),
+            (cat_b, "cb-2026-01-01t00-00-00z"),
+        ],
+        q,
+        k=10,
+        mode="dfs_query_then_fetch",
+    ).toPandas()
+    assert set(ccs["index"].str.split(":").str[0]) == {
+        "cluster_a", "cluster_b"
+    }
+    full = (
+        cat_a.open("all-2026-01-01t00-00-00z").search(q, k=10).toPandas()
+    )
+    # score sequences identical per query (same invariant as federated)
+    for qid, g in ccs.groupby("query_id"):
+        fl = full[full.query_id == qid].sort_values("rank")
+        assert list(g.sort_values("rank")["score"]) == list(fl["score"])
