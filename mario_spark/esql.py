@@ -7,12 +7,14 @@ The supported subset is the language's core pipeline:
     | WHERE <col> <op> <literal> [AND ...]        op: == != > >= < <=
     | EVAL <name> = <col> <arith> <col|literal>   arith: + - * /
     | STATS <name> = FN(<col>|*) [, ...] [BY <col> [, ...]]
-                                                  FN: COUNT SUM AVG MIN MAX
+                                                  FN: COUNT SUM AVG MIN MAX MEDIAN
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
     | KEEP <col> [, ...]
     | ENRICH <table> ON <col> WITH <col> [, ...]
     | DISSECT <col> "<pattern>"                   %{name} captures between literals
+    | RENAME <old> AS <new> [, ...]
+    | DROP <col> [, ...]
 
 Each pipe stage compiles to exactly one DataFrame operation, so the
 whole pipeline is ONE Catalyst plan — filters fold into the scan,
@@ -37,7 +39,7 @@ _TABLES = (
 ).split()
 
 _CMP = {"==": "=", "!=": "!=", ">=": ">=", "<=": "<=", ">": ">", "<": "<"}
-_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN"}
 
 
 def _lit(tok: str):
@@ -109,6 +111,10 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             aggs.append(F.round(F.sum(col), 4).alias(name))
         elif fn == "AVG":
             aggs.append(F.round(F.avg(col), 4).alias(name))
+        elif fn == "MEDIAN":
+            aggs.append(
+                F.round(F.percentile(F.col(col), F.lit(0.5)), 4).alias(name)
+            )
         elif fn == "MIN":
             aggs.append(F.min(col).alias(name))
         else:
@@ -163,6 +169,16 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 df[on] == dim[dim_key],
                 "left",
             ).drop(dim_key)
+        elif kw == "RENAME":
+            for part in body.split(","):
+                m2 = re.fullmatch(
+                    r"(\w+)\s+AS\s+(\w+)", part.strip(), re.IGNORECASE
+                )
+                if not m2:
+                    raise ValueError(f"ES|QL: bad RENAME {part!r}")
+                df = df.withColumnRenamed(m2.group(1), m2.group(2))
+        elif kw == "DROP":
+            df = df.drop(*[c.strip() for c in body.split(",")])
         elif kw == "DISSECT":
             m2 = re.fullmatch(
                 r"(\w+)\s+(?:\"(.+)\"|'(.+)')", body.strip()

@@ -4281,6 +4281,13 @@ GROUP BY 1 ORDER BY c DESC, kval ASC LIMIT 10
 """
 
 
+ESQL_MEDIAN = """
+SELECT event_type AS et, round(quantile_cont(value, 0.5), 4) AS med,
+       count(*)::BIGINT AS c
+FROM events GROUP BY 1 ORDER BY et ASC
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4454,6 +4461,7 @@ ORACLES: dict[str, str] = {
     "esql_eval": ESQL_EVAL,
     "esql_enrich": ESQL_ENRICH,
     "esql_dissect": ESQL_DISSECT,
+    "esql_median": ESQL_MEDIAN,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2474,6 +2474,19 @@ def esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL MEDIAN + RENAME: per-event-type median value
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events | RENAME event_type AS et "
+        "| STATS med = MEDIAN(value), c = COUNT(*) BY et "
+        "| SORT et ASC",
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2648,5 +2661,6 @@ SUITE = {
     "esql_eval": esql_eval,
     "esql_enrich": esql_enrich,
     "esql_dissect": esql_dissect,
+    "esql_median": esql_median,
     "completion_suggest": completion_suggest,
 }
