@@ -6,7 +6,7 @@ The supported subset is the language's core pipeline:
     FROM <table>
     | WHERE <col> <op> <literal> [AND ...]        op: == != > >= < <=
     | EVAL <name> = <col> <arith> <col|literal>   arith: + - * /
-    | STATS <name> = FN(<col>|*) [, ...] [BY <col> [, ...]]
+    | STATS <name> = FN(<col>|*) [WHERE <cond>] [, ...] [BY <col> [, ...]]
                                                   FN: COUNT SUM AVG MIN MAX MEDIAN
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
@@ -53,23 +53,7 @@ def _lit(tok: str):
 
 
 def _where(df: DataFrame, body: str) -> DataFrame:
-    cond = None
-    for clause in re.split(r"\s+AND\s+", body):
-        m = re.fullmatch(
-            r"(\w+)\s*(==|!=|>=|<=|>|<)\s*(\"[^\"]*\"|-?[\d.]+)",
-            clause.strip(),
-        )
-        if not m:
-            raise ValueError(f"ES|QL: bad WHERE clause {clause!r}")
-        col, op, lit = m.groups()
-        c = F.col(col)
-        lv = _lit(lit)
-        expr = {
-            "==": c == lv, "!=": c != lv, ">": c > lv,
-            ">=": c >= lv, "<": c < lv, "<=": c <= lv,
-        }[op]
-        cond = expr if cond is None else (cond & expr)
-    return df.filter(cond)
+    return df.filter(_cond_expr(body))
 
 
 def _eval(df: DataFrame, body: str) -> DataFrame:
@@ -87,6 +71,28 @@ def _eval(df: DataFrame, body: str) -> DataFrame:
     return df.withColumn(name, expr)
 
 
+def _cond_expr(body: str):
+    """Parse the WHERE condition grammar into a Column (shared by the
+    WHERE stage and per-agg STATS filters)."""
+    cond = None
+    for clause in re.split(r"\s+AND\s+", body):
+        m = re.fullmatch(
+            r"(\w+)\s*(==|!=|>=|<=|>|<)\s*(\"[^\"]*\"|-?[\d.]+)",
+            clause.strip(),
+        )
+        if not m:
+            raise ValueError(f"ES|QL: bad WHERE clause {clause!r}")
+        col, op, lit = m.groups()
+        c = F.col(col)
+        lv = _lit(lit)
+        expr = {
+            "==": c == lv, "!=": c != lv, ">": c > lv,
+            ">=": c >= lv, "<": c < lv, "<=": c <= lv,
+        }[op]
+        cond = expr if cond is None else (cond & expr)
+    return cond
+
+
 def _stats(df: DataFrame, body: str) -> DataFrame:
     if " BY " in body:
         aggs_part, by_part = body.split(" BY ", 1)
@@ -96,29 +102,36 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
     aggs = []
     for spec in aggs_part.split(","):
         m = re.fullmatch(
-            r"(\w+)\s*=\s*(\w+)\(\s*(\*|\w+)\s*\)", spec.strip()
+            r"(\w+)\s*=\s*(\w+)\(\s*(\*|\w+)\s*\)"
+            r"(?:\s+WHERE\s+(.+))?",
+            spec.strip(),
         )
         if not m:
             raise ValueError(f"ES|QL: bad STATS {spec!r}")
-        name, fn, col = m.groups()
+        name, fn, col, flt = m.groups()
         fn = fn.upper()
         if fn not in _FNS:
             raise ValueError(f"ES|QL: unknown function {fn}")
+        # per-agg WHERE (ES|QL 8.16): the filter masks this aggregate's
+        # input only — compiled as a conditional column, so every
+        # filtered aggregate still runs in the SAME single hash agg
+        src = F.col(col) if col != "*" else F.lit(1)
+        if flt:
+            src = F.when(_cond_expr(flt), src)
         if fn == "COUNT":
-            e = F.count("*") if col == "*" else F.count(col)
-            aggs.append(e.cast("long").alias(name))
+            aggs.append(F.count(src).cast("long").alias(name))
         elif fn == "SUM":
-            aggs.append(F.round(F.sum(col), 4).alias(name))
+            aggs.append(F.round(F.sum(src), 4).alias(name))
         elif fn == "AVG":
-            aggs.append(F.round(F.avg(col), 4).alias(name))
+            aggs.append(F.round(F.avg(src), 4).alias(name))
         elif fn == "MEDIAN":
             aggs.append(
-                F.round(F.percentile(F.col(col), F.lit(0.5)), 4).alias(name)
+                F.round(F.percentile(src, F.lit(0.5)), 4).alias(name)
             )
         elif fn == "MIN":
-            aggs.append(F.min(col).alias(name))
+            aggs.append(F.min(src).alias(name))
         else:
-            aggs.append(F.max(col).alias(name))
+            aggs.append(F.max(src).alias(name))
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
 

@@ -4288,6 +4288,15 @@ FROM events GROUP BY 1 ORDER BY et ASC
 """
 
 
+ESQL_STATS_WHERE = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS clicks,
+       count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS errors,
+       count(*)::BIGINT AS total
+FROM events GROUP BY 1 ORDER BY clicks DESC, user_id ASC LIMIT 10
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4462,6 +4471,7 @@ ORACLES: dict[str, str] = {
     "esql_enrich": ESQL_ENRICH,
     "esql_dissect": ESQL_DISSECT,
     "esql_median": ESQL_MEDIAN,
+    "esql_stats_where": ESQL_STATS_WHERE,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2487,6 +2487,21 @@ def esql_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL per-aggregate WHERE filters (8.16): clicked vs error
+    counts per user in ONE hash agg (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events "
+        '| STATS clicks = COUNT(*) WHERE event_type == "click", '
+        'errors = COUNT(*) WHERE event_type == "error", '
+        "total = COUNT(*) BY user_id "
+        "| SORT clicks DESC, user_id ASC | LIMIT 10",
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2662,5 +2677,6 @@ SUITE = {
     "esql_enrich": esql_enrich,
     "esql_dissect": esql_dissect,
     "esql_median": esql_median,
+    "esql_stats_where": esql_stats_where,
     "completion_suggest": completion_suggest,
 }
