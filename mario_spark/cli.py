@@ -116,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("merge")
     p.add_argument("-i", "--index", required=True)
 
+    p = sub.add_parser("esql")
+    p.add_argument(
+        "--data", default="/root/testdata/sf0.01",
+        help="directory of parquet tables the FROM clause resolves in",
+    )
+    p.add_argument("query", help="ES|QL pipeline string")
+
     p = sub.add_parser("rollover")
     p.add_argument("-s", "--source", required=True)
     p.add_argument("--max-docs", type=int, required=True)
@@ -215,6 +222,11 @@ def main(argv: list[str] | None = None) -> int:
 
         seg = compact_segments(cat.resolve(args.index))
         print(json.dumps({"merged_into": seg}))
+    elif args.cmd == "esql":
+        from mario_spark.esql import run_esql
+
+        for row in run_esql(spark, args.data, args.query).toJSON().collect():
+            print(row)
     elif args.cmd == "rollover":
         name = cat.rollover(args.source, max_docs=args.max_docs)
         print(json.dumps({"rolled_over": name is not None, "new_index": name}))
