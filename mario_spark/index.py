@@ -978,10 +978,10 @@ class Catalog:
             )
             man_src = idx.paths.manifest(seg)
             if os.path.isdir(man_src):
-                shutil.copytree(
-                    man_src,
-                    os.path.join(snap_dir, f"manifest-{seg:05d}"),
-                )
+                man_dst = os.path.join(snap_dir, f"manifest-{seg:05d}")
+                if os.path.isdir(man_dst):
+                    shutil.rmtree(man_dst)
+                shutil.copytree(man_src, man_dst)
         meta = _read_json(idx.paths.meta) or {}
         manifest = {
             "index": name,

@@ -499,3 +499,17 @@ def test_cross_cluster_search_dfs(spark, root, tmp_path):
     for qid, g in ccs.groupby("query_id"):
         fl = full[full.query_id == qid].sort_values("rank")
         assert list(g.sort_values("rank")["score"]) == list(fl["score"])
+
+
+def test_snapshot_is_idempotent(spark, root):
+    """Re-running snapshot over the same index overwrites cleanly and
+    produces an identical manifest (crash-retry safety)."""
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 120, seed=9, partitions=2)
+    cat.create("ssi-2026-01-01t00-00-00z").ingest(pages)
+    snap = os.path.join(root, "snaps", "idem")
+    m1 = cat.snapshot("ssi-2026-01-01t00-00-00z", snap)
+    m2 = cat.snapshot("ssi-2026-01-01t00-00-00z", snap)
+    assert m1 == m2
+    restored = cat.restore(snap, "ssi2-2026-01-01t00-00-00z")
+    assert restored.stats()["n_docs"] == 120

@@ -152,3 +152,26 @@ def test_pq_integer_scaling_is_order_free(vec):
     tds = [((v[m] - (v[m] + 0.5)) ** 2).sum() for m in range(8)]
     scaled = [int(np.floor(t * 1e6 + 0.5)) for t in tds]
     assert sum(scaled) == sum(reversed(scaled))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet='FROM documents|WHERE ==<>"123 abc()%{}*+-', max_size=60))
+def test_esql_parser_raises_only_valueerror(q):
+    """ES|QL never dies with anything but a named ValueError at parse
+    time (execution is never reached for malformed input). Planner
+    exceptions can only arise AFTER a structurally valid parse."""
+    from mario_spark.esql import run_esql
+
+    class _FakeSpark:  # parse-only: any table access explodes loudly
+        class read:  # noqa: N801
+            @staticmethod
+            def parquet(path):
+                raise RuntimeError("reached execution")
+
+    try:
+        run_esql(_FakeSpark, "/nowhere", q)
+    except ValueError:
+        pass  # the contract
+    except RuntimeError as e:
+        # structurally valid FROM reached table resolution — also fine
+        assert "reached execution" in str(e)
