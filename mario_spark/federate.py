@@ -71,6 +71,17 @@ def search_clusters(
 
 
 def _search_opened(idxs, query_terms: DataFrame, k: int, mode: str) -> DataFrame:
+    # empty members (fresh rollover targets) contribute nothing —
+    # exactly an empty ES index in a multi-index search
+    idxs = [
+        (n, idx) for n, idx in idxs if idx.paths.committed_segments()
+    ]
+    if not idxs:
+        spark = query_terms.sparkSession
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank long, index string, doc_id long, score double",
+        )
     if mode == "dfs_query_then_fetch":
         merged_dic = None
         tot_docs, tot_len = 0, 0.0

@@ -519,6 +519,13 @@ class Index:
                 f"index '{self.paths.name}' is field-scoped; "
                 "use search_field(field, ...)"
             )
+        # an index with zero committed segments (fresh rollover target,
+        # crashed-before-first-commit) returns empty results, like an
+        # empty ES index — every other accessor keeps the loud error
+        if not self.paths.committed_segments():
+            return self.spark.createDataFrame(
+                [], "query_id long, rank long, doc_id long, score double"
+            )
         st = self.stats()
         return search_wand(
             self.postings(), self.dictionary(), query_terms,

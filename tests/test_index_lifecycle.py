@@ -513,3 +513,26 @@ def test_snapshot_is_idempotent(spark, root):
     assert m1 == m2
     restored = cat.restore(snap, "ssi2-2026-01-01t00-00-00z")
     assert restored.stats()["n_docs"] == 120
+
+
+def test_empty_index_searches_empty_not_crash(spark, root):
+    """A fresh rollover target (zero committed segments) serves EMPTY
+    results — alone and inside a federated search — instead of an
+    opaque Spark error (the post-rollover serving gap)."""
+    from mario_spark.fixtures import query_terms_df as qdf
+    from mario_spark.federate import search_indexes
+
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 100, seed=11, partitions=2)
+    cat.create("old-2026-01-01t00-00-00z").ingest(pages)
+    cat.promote("old-2026-01-01t00-00-00z")
+    new = cat.rollover("old", max_docs=100, new_name="old-2026-02-02t00-00-00z")
+    assert new is not None
+    q = qdf(spark, [(0, "the")])
+    assert cat.open(new).search(q).count() == 0
+    fed = search_indexes(
+        cat, [new, "old-2026-01-01t00-00-00z"], q, k=5
+    )
+    assert fed.count() > 0  # the non-empty member still serves
+    only_empty = search_indexes(cat, [new], q, k=5)
+    assert only_empty.count() == 0
