@@ -171,6 +171,12 @@ def search_query_string(
                     ctf.cast("double").alias("ctf"),
                 ).filter(F.col("ctf") > 0)
             )
+    if not parts:
+        # every query analyzed to zero scoring clauses (empty string,
+        # operators only, pure negation): Lucene matches nothing
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
     hits = parts[0]
     for p in parts[1:]:
         hits = hits.unionByName(p)
@@ -669,6 +675,10 @@ def search_simple_query_string(
                 ctf.cast("double").alias("ctf"),
                 F.lit(False).alias("is_prefix"),
             ).filter(F.col("ctf") > 0)
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
         )
     hits = parts[0]
     for p in parts[1:]:

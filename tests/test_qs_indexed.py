@@ -65,3 +65,20 @@ def test_simple_qs_parser_degrades_never_raises():
     assert d[1] == [("prefix", False, ["c"])]
     # '*' on a multi-token atom degrades to a phrase chain
     assert p("x-y*") == [[("chain", False, ["x", "y"])]]
+
+
+def test_query_string_degenerate_inputs_empty_not_crash(spark):
+    """Empty / operator-only / pure-negative query strings match
+    NOTHING (Lucene's zero-clause BooleanQuery), never crash."""
+    from mario_spark.qs import (
+        search_query_string,
+        search_simple_query_string,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "join hash"), (1, "merge")], "doc_id long, text string"
+    )
+    for fn in (search_query_string, search_simple_query_string):
+        for q in ("", "+", "-merge", '-"a b"' if fn is search_simple_query_string else "-x"):
+            out = fn(d, [(0, q)])
+            assert out.count() == 0, (fn.__name__, q)
