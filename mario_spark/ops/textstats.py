@@ -411,3 +411,54 @@ def categorize_text(
         .orderBy(F.desc("doc_count"), F.asc("category"))
         .limit(size)
     )
+
+
+def hashed_linear_quality(
+    documents: DataFrame, text_col: str = "text", dims: int = 1024
+) -> DataFrame:
+    """Model-based quality filter plumbing (the fastText/CCNet-classifier
+    shape used by LLaMA/RefinedWeb data pipelines): tokens are hashed
+    into `dims` feature buckets, a LINEAR model scores the normalized
+    bag, sigmoid squashes to [0, 1]:
+
+        h(t)  = int(md5(t)[:6], 16) % dims
+        w_b   = 2 * (int(md5(str(b))[:13], 16) / 16^13) - 1   in (-1, 1)
+        score = sigmoid( sum_tokens w_{h(t)} / n_tokens )
+
+    The weights are PINNED md5-derived pseudo-weights — the honest
+    stand-in for trained parameters (a real classifier swaps the w_b
+    expression for a broadcast weight array; the hashing, normalization
+    and scoring plumbing is identical). Everything is pure codegen: the
+    weight is computed FROM the bucket id, so there is no weight-table
+    join at all — one explode + one per-doc agg.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(text_col), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+            )
+        ).alias("t"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 6), 16, 10).cast("long")
+        % dims
+    )
+    w = (
+        F.conv(
+            F.substring(F.md5(bucket.cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        / F.lit(float(16**13))
+        * 2.0
+        - 1.0
+    )
+    return (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                1.0 / (1.0 + F.exp(-(F.sum("w") / F.count("*")))), 4
+            ).alias("clf_score"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )

@@ -4297,6 +4297,26 @@ FROM events GROUP BY 1 ORDER BY clicks DESC, user_id ASC LIMIT 10
 """
 
 
+CLF_QUALITY_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS t
+  FROM documents
+),
+wtok AS (
+  SELECT doc_id,
+         2.0 * (('0x' || substr(md5(
+             ((('0x' || substr(md5(t), 1, 6))::BIGINT) % 1024)::VARCHAR
+           ), 1, 13))::BIGINT)::DOUBLE / 4503599627370496.0 - 1.0 AS w
+  FROM toks
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(sum(w) / count(*)))), 4) AS clf_score,
+       count(*)::BIGINT AS n_tokens
+FROM wtok GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4472,6 +4492,7 @@ ORACLES: dict[str, str] = {
     "esql_dissect": ESQL_DISSECT,
     "esql_median": ESQL_MEDIAN,
     "esql_stats_where": ESQL_STATS_WHERE,
+    "clf_quality_score": CLF_QUALITY_SCORE,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

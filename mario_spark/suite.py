@@ -2502,6 +2502,15 @@ def esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classifier plumbing: hashed linear model
+    with pinned pseudo-weights over token buckets
+    (ops/textstats.hashed_linear_quality)."""
+    from mario_spark.ops import textstats
+
+    return textstats.hashed_linear_quality(_documents(spark, sf_dir))
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2678,5 +2687,6 @@ SUITE = {
     "esql_dissect": esql_dissect,
     "esql_median": esql_median,
     "esql_stats_where": esql_stats_where,
+    "clf_quality_score": clf_quality_score,
     "completion_suggest": completion_suggest,
 }
