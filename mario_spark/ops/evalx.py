@@ -27,6 +27,7 @@ def rank_eval(
     DCG uses the binary form sum 1/log2(rank+1); IDCG places the
     min(n_rel, k) relevant docs at the top ranks.
     """
+    judgments = judgments.select("query_id", "doc_id").distinct()
     per_q = results.select("query_id").distinct()
     nrel = (
         judgments.groupBy("query_id")

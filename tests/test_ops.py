@@ -179,3 +179,19 @@ def test_esql_rejects_malformed(spark):
         run_esql(spark, SF, "FROM documents | FROB x")
     with pytest.raises(ValueError, match="bad WHERE"):
         run_esql(spark, SF, "FROM documents | WHERE lang LIKE 'x'")
+
+
+def test_rank_eval_dedupes_judgments(spark):
+    """Duplicate judgment rows must not double-count hits/DCG."""
+    from mario_spark.ops import evalx
+
+    res = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 20)], "query_id long, rank long, doc_id long"
+    )
+    jud = spark.createDataFrame(
+        [(0, 10), (0, 10), (0, 10)], "query_id long, doc_id long"
+    )
+    out = evalx.rank_eval(res, jud, k=2).collect()[0]
+    assert out["hits"] == 1 and out["n_rel"] == 1
+    assert out["precision"] == 0.5 and out["recall"] == 1.0
+    assert out["mrr"] == 1.0 and out["ndcg"] == 1.0
