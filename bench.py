@@ -176,6 +176,9 @@ def main() -> None:
         "ann_pq_topk",
         "ann_int8_rescore",
         "ann_ivfpq_topk",
+        "esql_stats",
+        "lsh_recall_audit",
+        "clf_quality_score",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())
