@@ -4317,6 +4317,47 @@ FROM wtok GROUP BY 1
 """
 
 
+def match_msm75_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """minimum_should_match "75%" oracle: same floored per-query
+    minimum, same HAVING-gated BM25 as terms_set_sql."""
+    import math
+
+    qrows = []
+    for qid, qtext in DOCUMENTS_QUERY_SET:
+        terms = list(dict.fromkeys(py_tokenize(qtext)))
+        m = max(1, int(math.floor(0.75 * len(terms))))
+        for t in terms:
+            qrows.append(f"({qid}, '{t}', {m})")
+    return f"""
+WITH q(query_id, term, min_match) AS (VALUES {", ".join(qrows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.term) >= max(q.min_match)
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4493,6 +4534,7 @@ ORACLES: dict[str, str] = {
     "esql_median": ESQL_MEDIAN,
     "esql_stats_where": ESQL_STATS_WHERE,
     "clf_quality_score": CLF_QUALITY_SCORE,
+    "match_msm75_topk": match_msm75_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2511,6 +2511,26 @@ def clf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.hashed_linear_quality(_documents(spark, sf_dir))
 
 
+def match_msm75_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match with minimum_should_match: "75%": per query, at least
+    ceil(0.75 * n_terms) of the analyzed terms must match (ES rounds
+    percentages DOWN to the nearest achievable count — Lucene's
+    calculateMinShouldMatch floors the product, i.e. 75% of 3 terms =
+    2). Served by the terms_set kernel with the computed per-query
+    minimum (query.search_terms_set)."""
+    import math
+
+    from mario_spark.analyze import py_tokenize
+
+    qsets = []
+    for qid, qtext in DOCUMENTS_QUERY_SET:
+        terms = list(dict.fromkeys(py_tokenize(qtext)))
+        m = max(1, int(math.floor(0.75 * len(terms))))
+        qsets.append((qid, terms, m))
+    d = _doc_table(spark, sf_dir)
+    return query.search_terms_set(d, qsets, k=10)
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2688,5 +2708,6 @@ SUITE = {
     "esql_median": esql_median,
     "esql_stats_where": esql_stats_where,
     "clf_quality_score": clf_quality_score,
+    "match_msm75_topk": match_msm75_topk,
     "completion_suggest": completion_suggest,
 }
