@@ -4358,6 +4358,33 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+HAS_CHILD_TOPK = """
+WITH per_parent AS (
+  SELECT o_custkey AS _pk,
+         count(*)::BIGINT AS n_children,
+         round(sum(o_totalprice), 2) AS score
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  GROUP BY 1
+  HAVING count(*) >= 2
+),
+rk AS (
+  SELECT c.c_custkey, p.n_children, p.score,
+         row_number() OVER (ORDER BY p.score DESC, c.c_custkey ASC) AS rank
+  FROM customer c JOIN per_parent p ON c.c_custkey = p._pk
+)
+SELECT rank::BIGINT AS rank, c_custkey, n_children, score
+FROM rk WHERE rank <= 10
+"""
+
+HAS_PARENT_MATCH = """
+SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderpriority = '1-URGENT' AND c.c_mktsegment = 'BUILDING'
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4535,6 +4562,8 @@ ORACLES: dict[str, str] = {
     "esql_stats_where": ESQL_STATS_WHERE,
     "clf_quality_score": CLF_QUALITY_SCORE,
     "match_msm75_topk": match_msm75_sql(),
+    "has_child_topk": HAS_CHILD_TOPK,
+    "has_parent_match": HAS_PARENT_MATCH,
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

@@ -2531,6 +2531,50 @@ def match_msm75_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.search_terms_set(d, qsets, k=10)
 
 
+def has_child_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child join-field query: top-10 PARENT customers by the
+    summed score of their matching children (orders with
+    o_orderpriority = '1-URGENT'), min_children=2. Child score =
+    o_totalprice (a per-child score function); score_mode=sum folds it
+    into the parent exactly as ES does."""
+    from mario_spark.ops import parent_child
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return parent_child.has_child(
+        cust,
+        orders,
+        parent_key="c_custkey",
+        child_fk="o_custkey",
+        child_pred=F.col("o_orderpriority") == "1-URGENT",
+        score_col=F.col("o_totalprice"),
+        score_mode="sum",
+        min_children=2,
+        k=10,
+    )
+
+
+def has_parent_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent join-field query: CHILD orders (urgent only) whose
+    parent customer matches c_mktsegment = 'BUILDING', with the parent
+    segment propagated onto the child hit (inner_hits-style). The
+    filtered parent dim is broadcast."""
+    from mario_spark.ops import parent_child
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return parent_child.has_parent(
+        cust,
+        orders,
+        parent_key="c_custkey",
+        child_fk="o_custkey",
+        parent_pred=F.col("c_mktsegment") == "BUILDING",
+        parent_fields=["c_mktsegment"],
+    ).select("o_orderkey", "o_custkey", "c_mktsegment")
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2709,5 +2753,7 @@ SUITE = {
     "esql_stats_where": esql_stats_where,
     "clf_quality_score": clf_quality_score,
     "match_msm75_topk": match_msm75_topk,
+    "has_child_topk": has_child_topk,
+    "has_parent_match": has_parent_match,
     "completion_suggest": completion_suggest,
 }

@@ -583,3 +583,23 @@ def test_esql_enrich_broadcasts_dim(spark):
     plan = _plan(esql_enrich(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_has_parent_broadcasts_parent_dim(spark):
+    """has_parent = broadcast of the filtered parent dim; the child
+    side must stay a scan-side probe (no shuffle of children to join)."""
+    from mario_spark.suite import has_parent_match
+
+    plan = _plan(has_parent_match(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_has_child_pushes_child_filter(spark):
+    """has_child's inner query must reach the child parquet scan, and
+    the final top-k must be TakeOrderedAndProject, not a global sort."""
+    from mario_spark.suite import has_child_topk
+
+    plan = _plan(has_child_topk(spark, SF_DIR))
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan.replace(" ", "")
+    assert "TakeOrderedAndProject" in plan
