@@ -1114,3 +1114,32 @@ def change_point_daily(
         .limit(1)
         .select("key", F.round("sum_value", 4).alias("sum_value"), "type")
     )
+
+
+def bucket_script_daily(
+    df: DataFrame, ts_col: str, type_col: str, match_value: str
+) -> DataFrame:
+    """ES bucket_script pipeline agg: per daily bucket, a script-computed
+    metric from sibling sub-aggregation values — here
+    error_rate = matching_count / doc_count over a filters sub-agg.
+    Spark-first shape: the "sub-aggregations" are conditional sums in
+    ONE distributed hash agg (single scan, map-side combine); the
+    "script" is then a pure-codegen projection over the reduced bucket
+    table — exactly where ES evaluates bucket_script (coordinating node,
+    after the shard reduce). Buckets with doc_count 0 cannot occur (the
+    histogram only emits observed days), so the division is total."""
+    b = F.date_format(
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.sum(
+            F.when(F.col(type_col) == match_value, 1).otherwise(0)
+        ).cast("long").alias("n_match"),
+    )
+    return g.select(
+        "bucket",
+        "doc_count",
+        "n_match",
+        F.round(F.col("n_match") / F.col("doc_count"), 4).alias("rate"),
+    )

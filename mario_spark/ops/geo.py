@@ -276,3 +276,49 @@ def geo_bounds_agg(df: DataFrame, key_col: str, lon, lat) -> DataFrame:
         F.round(F.max(lon), 4).alias("right_lon"),
         F.round(F.min(lat), 4).alias("bottom_lat"),
     )
+
+
+# A fixed test polygon (pentagon) with every edge non-horizontal, so the
+# ray-casting division below can never hit y2 == y1.
+POLYGON_PENTAGON: list[tuple[float, float]] = [
+    (-30.1, -20.3),
+    (40.2, -45.7),
+    (70.3, 10.9),
+    (10.4, 60.2),
+    (-55.5, 25.6),
+]
+
+
+def point_in_polygon_sql(
+    lon_expr: str, lat_expr: str, vertices: list[tuple[float, float]]
+) -> str:
+    """ES geo_polygon containment as ONE generated SQL boolean — the
+    classic even-odd ray cast, unrolled per edge (the polygon is a
+    query-time constant, so the unrolled form is a pure codegen
+    predicate that fuses into the scan; no UDF, no join). The SAME
+    string is evaluated by Spark (F.expr) and by the DuckDB oracle, so
+    float behavior is pinned by construction. Vertices must have no
+    horizontal edge (asserted) or the slope division could divide by
+    zero."""
+    n = len(vertices)
+    terms = []
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        assert y1 != y2, "horizontal edge would divide by zero"
+        terms.append(
+            f"(CASE WHEN (({y1} > {lat_expr}) <> ({y2} > {lat_expr})) "
+            f"AND ({lon_expr} < ({x2} - {x1}) * ({lat_expr} - {y1}) "
+            f"/ ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def geo_polygon_filter(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    vertices: list[tuple[float, float]],
+) -> DataFrame:
+    """Rows whose point lies inside the polygon (ES geo_polygon query)."""
+    return df.filter(F.expr(point_in_polygon_sql(lon_col, lat_col, vertices)))

@@ -4384,6 +4384,53 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderpriority = '1-URGENT' AND c.c_mktsegment = 'BUILDING'
 """
 
+AGG_BUCKET_SCRIPT = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS doc_count,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_match,
+       round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 4) AS rate
+FROM events GROUP BY 1
+"""
+
+# Shared synthesized per-doc geopoint (matches suite._doc_geopoints).
+_GEOPOINTS_CTE = """g AS (
+  SELECT doc_id,
+         (doc_id % 360 - 180 + 0.5)::FLOAT::DOUBLE AS lon,
+         ((doc_id * 7) % 170 - 85 + 0.5)::FLOAT::DOUBLE AS lat
+  FROM documents
+)"""
+
+GEO_SORT_TOPK = f"""
+WITH {_GEOPOINTS_CTE},
+d AS (
+  SELECT doc_id,
+         round(2.0 * 6371.0088 * asin(sqrt(
+           pow(sin((radians(20.0) - radians(lat)) / 2), 2)
+           + cos(radians(lat)) * cos(radians(20.0))
+             * pow(sin((radians(10.0) - radians(lon)) / 2), 2)
+         )), 3) AS distance_km
+  FROM g
+)
+SELECT row_number() OVER (ORDER BY distance_km ASC, doc_id ASC)::BIGINT AS rank,
+       doc_id, distance_km
+FROM d ORDER BY 1 LIMIT 10
+"""
+
+
+def geo_polygon_sql() -> str:
+    """geo_polygon oracle: the SAME generated ray-cast predicate string
+    the Spark side evaluates (shared via ops.geo.point_in_polygon_sql),
+    so float behavior is pinned by construction."""
+    from mario_spark.ops.geo import POLYGON_PENTAGON, point_in_polygon_sql
+
+    pred = point_in_polygon_sql("lon", "lat", POLYGON_PENTAGON)
+    return f"""
+WITH {_GEOPOINTS_CTE}
+SELECT doc_id, round(lon, 4) AS lon, round(lat, 4) AS lat
+FROM g WHERE {pred}
+"""
+
 
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
@@ -4564,6 +4611,9 @@ ORACLES: dict[str, str] = {
     "match_msm75_topk": match_msm75_sql(),
     "has_child_topk": HAS_CHILD_TOPK,
     "has_parent_match": HAS_PARENT_MATCH,
+    "agg_bucket_script": AGG_BUCKET_SCRIPT,
+    "geo_sort_topk": GEO_SORT_TOPK,
+    "geo_polygon_query": geo_polygon_sql(),
     "span_not_topk": span_not_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,

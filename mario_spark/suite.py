@@ -2575,6 +2575,65 @@ def has_parent_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "c_mktsegment")
 
 
+def agg_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script pipeline agg: daily error_rate =
+    errors / doc_count, sub-aggs fused into one conditional hash agg."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.bucket_script_daily(e, "ts", "event_type", "error")
+
+
+def _doc_geopoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized deterministic per-doc (lon, lat) shared by every
+    geo query (same arithmetic in the oracles)."""
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 360 - 180 + 0.5).cast("float").cast("double")
+        .alias("lon"),
+        ((F.col("doc_id") * 7) % 170 - 85 + 0.5).cast("float").cast("double")
+        .alias("lat"),
+    )
+
+
+def geo_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-_geo_distance: the 10 docs nearest to (10E, 20N),
+    distance attached (what ES returns in `sort`). Ordering on the
+    ROUNDED distance with doc_id tiebreak keeps both engines
+    deterministic; top-k is TakeOrderedAndProject, never a global
+    sort."""
+    from mario_spark.ops import geo
+
+    d = _doc_geopoints(spark, sf_dir).withColumn(
+        "distance_km",
+        F.round(
+            geo.haversine_km(
+                F.col("lon"), F.col("lat"), F.lit(10.0), F.lit(20.0)
+            ),
+            3,
+        ),
+    )
+    top = d.orderBy(F.asc("distance_km"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.asc("distance_km"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "doc_id", "distance_km")
+
+
+def geo_polygon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_polygon query: docs whose synthesized point falls inside
+    a fixed pentagon. The even-odd ray cast is ONE generated SQL
+    predicate shared verbatim with the DuckDB oracle."""
+    from mario_spark.ops import geo
+
+    d = _doc_geopoints(spark, sf_dir)
+    return geo.geo_polygon_filter(
+        d, "lon", "lat", geo.POLYGON_PENTAGON
+    ).select(
+        "doc_id", F.round("lon", 4).alias("lon"), F.round("lat", 4).alias("lat")
+    )
+
+
 SUITE = {
     "doc_lengths": doc_lengths,
     "term_df": term_df,
@@ -2755,5 +2814,8 @@ SUITE = {
     "match_msm75_topk": match_msm75_topk,
     "has_child_topk": has_child_topk,
     "has_parent_match": has_parent_match,
+    "agg_bucket_script": agg_bucket_script,
+    "geo_sort_topk": geo_sort_topk,
+    "geo_polygon_query": geo_polygon_query,
     "completion_suggest": completion_suggest,
 }
