@@ -13,8 +13,13 @@ The supported subset is the language's core pipeline:
     | KEEP <col> [, ...]
     | ENRICH <table> ON <col> WITH <col> [, ...]
     | DISSECT <col> "<pattern>"                   %{name} captures between literals
+    | GROK <col> "<pattern>"                      %{PRIM:name[:type]} regex primitives
+    | MV_EXPAND <col>                             one row per value of a multi-value col
     | RENAME <old> AS <new> [, ...]
     | DROP <col> [, ...]
+
+EVAL also accepts the multi-value constructor SPLIT(<col>, "<delim>")
+(the ES|QL string function), which is what MV_EXPAND typically expands.
 
 Each pipe stage compiles to exactly one DataFrame operation, so the
 whole pipeline is ONE Catalyst plan — filters fold into the scan,
@@ -41,6 +46,51 @@ _TABLES = (
 _CMP = {"==": "=", "!=": "!=", ">=": ">=", "<=": "<=", ">": ">", "<": "<"}
 _FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN"}
 
+# GROK primitive -> regex fragment (the commonly-used subset of the
+# logstash pattern library; each must be group-free so numbered capture
+# groups map 1:1 to the %{...:name} fields).
+_GROK_PRIMS = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+_GROK_TYPES = {"int": "long", "long": "long", "float": "double"}
+
+
+def _grok(df: DataFrame, body: str) -> DataFrame:
+    """GROK <col> "<pattern>": regex-primitive extraction. Compiles the
+    whole pattern to ONE anchored regex; each named field is a
+    regexp_extract of its capture group (pure codegen, no UDF), cast
+    when the field carries a :type suffix."""
+    m = re.fullmatch(r"(\w+)\s+(?:\"(.+)\"|'(.+)')", body.strip())
+    if not m:
+        raise ValueError(f"ES|QL: bad GROK {body!r}")
+    col = m.group(1)
+    pat = m.group(2) if m.group(2) is not None else m.group(3)
+    fields = []  # (name, cast-type or None)
+    rx, pos = "", 0
+    for mf in re.finditer(r"%\{(\w+):(\w+)(?::(\w+))?\}", pat):
+        prim, name, typ = mf.groups()
+        if prim not in _GROK_PRIMS:
+            raise ValueError(f"ES|QL: unknown GROK primitive {prim!r}")
+        if typ is not None and typ not in _GROK_TYPES:
+            raise ValueError(f"ES|QL: unknown GROK type {typ!r}")
+        rx += re.escape(pat[pos : mf.start()])
+        rx += "(" + _GROK_PRIMS[prim] + ")"
+        pos = mf.end()
+        fields.append((name, _GROK_TYPES[typ] if typ else None))
+    if not fields:
+        raise ValueError("ES|QL: GROK pattern has no fields")
+    rx = "^" + rx + re.escape(pat[pos:]) + "$"
+    for gi, (name, typ) in enumerate(fields, start=1):
+        c = F.regexp_extract(F.col(col), rx, gi)
+        df = df.withColumn(name, c.cast(typ) if typ else c)
+    return df
+
 
 def _lit(tok: str):
     if tok.startswith('"') and tok.endswith('"'):
@@ -57,6 +107,15 @@ def _where(df: DataFrame, body: str) -> DataFrame:
 
 
 def _eval(df: DataFrame, body: str) -> DataFrame:
+    # multi-value constructor: name = SPLIT(col, "delim")
+    ms = re.fullmatch(
+        r"(\w+)\s*=\s*SPLIT\(\s*(\w+)\s*,\s*\"([^\"]*)\"\s*\)",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if ms:
+        name, col, delim = ms.groups()
+        return df.withColumn(name, F.split(F.col(col), re.escape(delim)))
     m = re.fullmatch(
         r"(\w+)\s*=\s*(\w+)\s*([+\-*/])\s*(\"[^\"]*\"|[\w.]+)", body.strip()
     )
@@ -216,6 +275,15 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 df = df.withColumn(
                     name, F.regexp_extract(F.col(col), rx, gi)
                 )
+        elif kw == "GROK":
+            df = _grok(df, body)
+        elif kw == "MV_EXPAND":
+            col = body.strip()
+            if not re.fullmatch(r"\w+", col) or col not in df.columns:
+                raise ValueError(f"ES|QL: bad MV_EXPAND {body!r}")
+            # one row per element, in place — Generate(explode) keeps
+            # the parent partitioning, no shuffle
+            df = df.withColumn(col, F.explode(F.col(col)))
         else:
             raise ValueError(f"ES|QL: unknown command {kw!r}")
     return df

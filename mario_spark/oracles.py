@@ -4384,6 +4384,22 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE o.o_orderpriority = '1-URGENT' AND c.c_mktsegment = 'BUILDING'
 """
 
+ESQL_GROK = """
+WITH d AS (
+  SELECT event_type,
+         regexp_extract(props, '^\\{"k": ([+-]?\\d+)\\}$', 1)::BIGINT AS kval
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS c, max(kval)::BIGINT AS mx
+FROM d GROUP BY 1 ORDER BY event_type ASC
+"""
+
+ESQL_MV_EXPAND = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT w, count(*)::BIGINT AS n FROM w
+GROUP BY 1 ORDER BY n DESC, w ASC LIMIT 10
+"""
+
 AGG_BUCKET_SCRIPT = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
        count(*)::BIGINT AS doc_count,
@@ -4611,6 +4627,8 @@ ORACLES: dict[str, str] = {
     "match_msm75_topk": match_msm75_sql(),
     "has_child_topk": HAS_CHILD_TOPK,
     "has_parent_match": HAS_PARENT_MATCH,
+    "esql_grok": ESQL_GROK,
+    "esql_mv_expand": ESQL_MV_EXPAND,
     "agg_bucket_script": AGG_BUCKET_SCRIPT,
     "geo_sort_topk": GEO_SORT_TOPK,
     "geo_polygon_query": geo_polygon_sql(),

@@ -2502,6 +2502,34 @@ def esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL GROK: regex-primitive extraction (%{INT:kval:int}) from the
+    raw props JSON string, typed capture feeding grouped stats — one
+    anchored regex, pure codegen (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events | GROK props '{\"k\": %{INT:kval:int}}' "
+        "| STATS c = COUNT(*), mx = MAX(kval) BY event_type "
+        "| SORT event_type ASC",
+    )
+
+
+def esql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL MV_EXPAND over a SPLIT-built multi-value field: word
+    frequency of the corpus as a pipeline — split stays a no-shuffle
+    Generate, the only exchange is the STATS hash agg
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        'FROM documents | EVAL w = SPLIT(text, " ") | MV_EXPAND w '
+        "| STATS n = COUNT(*) BY w | SORT n DESC, w ASC | LIMIT 10",
+    )
+
+
 def clf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality classifier plumbing: hashed linear model
     with pinned pseudo-weights over token buckets
@@ -2814,6 +2842,8 @@ SUITE = {
     "match_msm75_topk": match_msm75_topk,
     "has_child_topk": has_child_topk,
     "has_parent_match": has_parent_match,
+    "esql_grok": esql_grok,
+    "esql_mv_expand": esql_mv_expand,
     "agg_bucket_script": agg_bucket_script,
     "geo_sort_topk": geo_sort_topk,
     "geo_polygon_query": geo_polygon_query,
