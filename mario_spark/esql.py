@@ -14,6 +14,7 @@ The supported subset is the language's core pipeline:
     | ENRICH <table> ON <col> WITH <col> [, ...]
     | DISSECT <col> "<pattern>"                   %{name} captures between literals
     | GROK <col> "<pattern>"                      %{PRIM:name[:type]} regex primitives
+    | INLINESTATS <name> = FN(...) [BY ...]       STATS attached to rows, not collapsing
     | MV_EXPAND <col>                             one row per value of a multi-value col
     | RENAME <old> AS <new> [, ...]
     | DROP <col> [, ...]
@@ -136,7 +137,7 @@ def _cond_expr(body: str):
     cond = None
     for clause in re.split(r"\s+AND\s+", body):
         m = re.fullmatch(
-            r"(\w+)\s*(==|!=|>=|<=|>|<)\s*(\"[^\"]*\"|-?[\d.]+)",
+            r"(\w+)\s*(==|!=|>=|<=|>|<)\s*(\"[^\"]*\"|-?[\d.]+|\w+)",
             clause.strip(),
         )
         if not m:
@@ -194,6 +195,19 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
 
+def _inlinestats(df: DataFrame, body: str) -> DataFrame:
+    """INLINESTATS: same grammar as STATS, but the aggregates are
+    attached to every row instead of collapsing the table — compiled
+    as the grouped agg broadcast-joined back on the BY keys (the group
+    table is tiny next to the corpus, so the fact rows never
+    shuffle)."""
+    g = _stats(df, body)
+    if " BY " in body:
+        keys = [k.strip() for k in body.split(" BY ", 1)[1].split(",")]
+        return df.join(F.broadcast(g), keys, "left")
+    return df.crossJoin(F.broadcast(g))
+
+
 def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     stages = [s.strip() for s in query.strip().split("|")]
     m = re.fullmatch(r"FROM\s+(\w+)", stages[0], re.IGNORECASE)
@@ -209,6 +223,8 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             df = _eval(df, body)
         elif kw == "STATS":
             df = _stats(df, body)
+        elif kw == "INLINESTATS":
+            df = _inlinestats(df, body)
         elif kw == "SORT":
             order = []
             for part in body.split(","):

@@ -1116,6 +1116,55 @@ def change_point_daily(
     )
 
 
+def date_range_agg(
+    df: DataFrame, ts_col: str, ranges: list[tuple[str, str | None, str | None]]
+) -> DataFrame:
+    """ES date_range agg: one bucket per (key, from, to) range — from
+    inclusive, to exclusive, open ends allowed; ranges may overlap so a
+    doc can land in several buckets (which is why this is NOT a
+    date_histogram). Compiled as one conditional sum per range inside a
+    SINGLE 1-row hash agg (map-side partials, one scan regardless of
+    range count), then unpivoted with stack — the bucket table is
+    O(len(ranges))."""
+    t = F.col(ts_col).cast("timestamp")
+    sums = []
+    for i, (_, lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (t >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (t < F.lit(hi).cast("timestamp"))
+        sums.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+        )
+    row = df.agg(*sums)
+    stack = ", ".join(f"'{key}', _b{i}" for i, (key, _, _) in enumerate(ranges))
+    return row.select(
+        F.expr(f"stack({len(ranges)}, {stack}) AS (key, doc_count)")
+    )
+
+
+def random_sampler_agg(
+    df: DataFrame, id_col: str, metric_col: str, probability: float
+) -> DataFrame:
+    """ES random_sampler agg: metrics computed over a Bernoulli
+    subsample, doc_count scaled back up by 1/p. The coin is the
+    engine's deterministic md5 unit hash (ops.sample.hash_unit) —
+    reproducible across runs and engines, and a pure map-side filter
+    that fuses into the scan, so the whole agg reduces only ~p of the
+    corpus (at 100TB that is the entire point of the agg)."""
+    from mario_spark.ops.sample import hash_unit
+
+    s = df.filter(hash_unit(id_col) < float(probability))
+    return s.agg(
+        F.count("*").cast("long").alias("doc_count_sampled"),
+        F.round(F.count("*") / float(probability))
+        .cast("long")
+        .alias("doc_count_scaled"),
+        F.round(F.avg(metric_col), 4).alias("avg_metric"),
+    )
+
+
 def bucket_script_daily(
     df: DataFrame, ts_col: str, type_col: str, match_value: str
 ) -> DataFrame:

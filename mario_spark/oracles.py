@@ -4400,6 +4400,49 @@ SELECT w, count(*)::BIGINT AS n FROM w
 GROUP BY 1 ORDER BY n DESC, w ASC LIMIT 10
 """
 
+ESQL_INLINESTATS = """
+WITH a AS (
+  SELECT lang, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY 1
+),
+f AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN a USING (lang)
+  WHERE d.n_chars > a.avg_chars
+)
+SELECT lang, count(*)::BIGINT AS n, round(avg(n_chars), 4) AS avg_over
+FROM f GROUP BY 1 ORDER BY lang ASC
+"""
+
+AGG_DATE_RANGE = """
+WITH c AS (
+  SELECT
+    sum(CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS b0,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS b1,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS b2,
+    sum(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts < TIMESTAMP '2024-02-01 00:00:00' THEN 1 ELSE 0 END)::BIGINT AS b3
+  FROM events
+)
+SELECT '*-2024-01-10' AS key, b0 AS doc_count FROM c
+UNION ALL SELECT '2024-01-10-2024-01-20', b1 FROM c
+UNION ALL SELECT '2024-01-20-*', b2 FROM c
+UNION ALL SELECT 'january', b3 FROM c
+"""
+
+AGG_RANDOM_SAMPLER = """
+WITH s AS (
+  SELECT n_chars,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT)::DOUBLE
+           / 4503599627370496.0 AS u
+  FROM documents
+)
+SELECT count(*)::BIGINT AS doc_count_sampled,
+       round(count(*) / 0.25)::BIGINT AS doc_count_scaled,
+       round(avg(n_chars), 4) AS avg_metric
+FROM s WHERE u < 0.25
+"""
+
 AGG_BUCKET_SCRIPT = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
        count(*)::BIGINT AS doc_count,
@@ -4629,6 +4672,9 @@ ORACLES: dict[str, str] = {
     "has_parent_match": HAS_PARENT_MATCH,
     "esql_grok": ESQL_GROK,
     "esql_mv_expand": ESQL_MV_EXPAND,
+    "esql_inlinestats": ESQL_INLINESTATS,
+    "agg_date_range": AGG_DATE_RANGE,
+    "agg_random_sampler": AGG_RANDOM_SAMPLER,
     "agg_bucket_script": AGG_BUCKET_SCRIPT,
     "geo_sort_topk": GEO_SORT_TOPK,
     "geo_polygon_query": geo_polygon_sql(),

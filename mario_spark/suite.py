@@ -2530,6 +2530,52 @@ def esql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL INLINESTATS: per-lang average attached to every row
+    (broadcast join-back, no fact shuffle), rows above their group
+    average kept, then a collapsing STATS (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM documents "
+        "| INLINESTATS avg_chars = AVG(n_chars) BY lang "
+        "| WHERE n_chars > avg_chars "
+        "| STATS n = COUNT(*), avg_over = AVG(n_chars) BY lang "
+        "| SORT lang ASC",
+    )
+
+
+def agg_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range agg over events.ts: three buckets with open ends
+    and an overlap (whole January), one single-scan conditional agg
+    (ops/aggs.date_range_agg)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.date_range_agg(
+        e,
+        "ts",
+        [
+            ("*-2024-01-10", None, "2024-01-10 00:00:00"),
+            ("2024-01-10-2024-01-20", "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+            ("2024-01-20-*", "2024-01-20 00:00:00", None),
+            ("january", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        ],
+    )
+
+
+def agg_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_sampler agg (probability 0.25): avg n_chars over a
+    deterministic md5-coin subsample, doc_count scaled back by 1/p
+    (ops/aggs.random_sampler_agg)."""
+    from mario_spark.ops import aggs
+
+    return aggs.random_sampler_agg(
+        _documents(spark, sf_dir), "doc_id", "n_chars", probability=0.25
+    )
+
+
 def clf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality classifier plumbing: hashed linear model
     with pinned pseudo-weights over token buckets
@@ -2844,6 +2890,9 @@ SUITE = {
     "has_parent_match": has_parent_match,
     "esql_grok": esql_grok,
     "esql_mv_expand": esql_mv_expand,
+    "esql_inlinestats": esql_inlinestats,
+    "agg_date_range": agg_date_range,
+    "agg_random_sampler": agg_random_sampler,
     "agg_bucket_script": agg_bucket_script,
     "geo_sort_topk": geo_sort_topk,
     "geo_polygon_query": geo_polygon_query,
