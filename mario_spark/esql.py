@@ -15,6 +15,7 @@ The supported subset is the language's core pipeline:
     | DISSECT <col> "<pattern>"                   %{name} captures between literals
     | GROK <col> "<pattern>"                      %{PRIM:name[:type]} regex primitives
     | INLINESTATS <name> = FN(...) [BY ...]       STATS attached to rows, not collapsing
+    | SAMPLE <probability>                        deterministic md5-coin Bernoulli sample
     | MV_EXPAND <col>                             one row per value of a multi-value col
     | RENAME <old> AS <new> [, ...]
     | DROP <col> [, ...]
@@ -293,6 +294,18 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 )
         elif kw == "GROK":
             df = _grok(df, body)
+        elif kw == "SAMPLE":
+            m2 = re.fullmatch(r"(0?\.\d+)", body.strip())
+            if not m2:
+                raise ValueError(f"ES|QL: bad SAMPLE {body!r}")
+            p = float(m2.group(1))
+            from mario_spark.ops.sample import hash_unit
+
+            # deterministic divergence from ES (which uses an RNG):
+            # the coin is the engine's md5 unit hash keyed on the
+            # table's first column — reproducible across runs/engines,
+            # still a pure map-side filter that fuses into the scan
+            df = df.filter(hash_unit(F.col(df.columns[0])) < p)
         elif kw == "MV_EXPAND":
             col = body.strip()
             if not re.fullmatch(r"\w+", col) or col not in df.columns:

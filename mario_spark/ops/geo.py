@@ -314,6 +314,50 @@ def point_in_polygon_sql(
     return "(" + " + ".join(terms) + ") % 2 = 1"
 
 
+def geo_line_agg(
+    df: DataFrame,
+    key_col: str,
+    sort_col: str,
+    tiebreak_col: str,
+    lon,
+    lat,
+    size: int = 20,
+) -> DataFrame:
+    """ES geo_line agg: per key, the track of points ordered by the
+    sort field, truncated to the first `size` points (ES caps the line
+    the same way). One hash agg per key — collect_list gathers the
+    (sort, tiebreak, point) structs map-side, sort_array orders them
+    inside the reduced row (no window, no global sort), slice caps the
+    memory at O(size) per key after the agg. Point text is the plain
+    double-to-string cast — callers must pass coordinates with exact
+    short decimal representations (the synthesized grids are *.5) so
+    the line string is engine-portable."""
+    pt = F.concat_ws(
+        " ",
+        lon.cast("double").cast("string"),
+        lat.cast("double").cast("string"),
+    )
+    rec = F.struct(
+        F.col(sort_col).alias("s"),
+        F.col(tiebreak_col).alias("t"),
+        pt.alias("pt"),
+    )
+    g = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sort_array(F.collect_list(rec)).alias("recs"),
+    )
+    return g.select(
+        "key",
+        "n_points",
+        F.array_join(
+            F.transform(
+                F.slice("recs", 1, size), lambda r: r.getField("pt")
+            ),
+            ",",
+        ).alias("line"),
+    )
+
+
 def geo_polygon_filter(
     df: DataFrame,
     lon_col: str,

@@ -4443,6 +4443,30 @@ SELECT count(*)::BIGINT AS doc_count_sampled,
 FROM s WHERE u < 0.25
 """
 
+ESQL_SAMPLE = """
+WITH s AS (
+  SELECT lang, n_chars,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT)::DOUBLE
+           / 4503599627370496.0 AS u
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n, round(avg(n_chars), 4) AS avg_chars
+FROM s WHERE u < 0.25 GROUP BY 1 ORDER BY lang ASC
+"""
+
+AGG_GEO_LINE = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         ((event_id % 360 - 180 + 0.5)::DOUBLE)::VARCHAR || ' ' ||
+         (((event_id * 7) % 170 - 85 + 0.5)::DOUBLE)::VARCHAR AS pt,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id AS key, count(*)::BIGINT AS n_points,
+       string_agg(CASE WHEN rn <= 20 THEN pt END, ',' ORDER BY ts, event_id) AS line
+FROM p GROUP BY 1
+"""
+
 AGG_BUCKET_SCRIPT = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
        count(*)::BIGINT AS doc_count,
@@ -4673,8 +4697,14 @@ ORACLES: dict[str, str] = {
     "esql_grok": ESQL_GROK,
     "esql_mv_expand": ESQL_MV_EXPAND,
     "esql_inlinestats": ESQL_INLINESTATS,
+    "esql_sample": ESQL_SAMPLE,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,
+    # same exhaustive scorer as brute top-k, plus the similarity gate
+    "ann_similarity_topk": ANN_BRUTE_TOPK.replace(
+        "WHERE rank <= 10", "WHERE rank <= 10 AND cos >= 0.28"
+    ),
+    "agg_geo_line": AGG_GEO_LINE,
     "agg_bucket_script": AGG_BUCKET_SCRIPT,
     "geo_sort_topk": GEO_SORT_TOPK,
     "geo_polygon_query": geo_polygon_sql(),

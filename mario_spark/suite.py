@@ -2576,6 +2576,52 @@ def agg_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL SAMPLE: deterministic md5-coin Bernoulli sample (p=0.25)
+    feeding grouped stats — the coin fuses into the scan
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM documents | SAMPLE 0.25 "
+        "| STATS n = COUNT(*), avg_chars = AVG(n_chars) BY lang "
+        "| SORT lang ASC",
+    )
+
+
+def ann_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN `similarity` cutoff: exact cosine top-10 per query, hits
+    below cosine 0.28 dropped (ES's minimum-similarity gate — since
+    scores are rank-sorted, the cutoff keeps a prefix of each query's
+    list)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.brute_topk(e, ANN_QUERY_IDS, k=10).filter(
+        F.col("cos") >= 0.28
+    )
+
+
+def agg_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_line agg: per user, the track of the first 20 event
+    points ordered by (ts, event_id), as a comma-joined "lon lat" line
+    string; points synthesized from event_id on the same grid as the
+    document geopoints (ops/geo.geo_line_agg)."""
+    from mario_spark.ops import geo
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_id") % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("event_id") * 7) % 170 - 85 + 0.5).cast("double").alias("lat"),
+    )
+    return geo.geo_line_agg(
+        e, "user_id", "ts", "event_id", F.col("lon"), F.col("lat"), size=20
+    )
+
+
 def clf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality classifier plumbing: hashed linear model
     with pinned pseudo-weights over token buckets
@@ -2891,8 +2937,11 @@ SUITE = {
     "esql_grok": esql_grok,
     "esql_mv_expand": esql_mv_expand,
     "esql_inlinestats": esql_inlinestats,
+    "esql_sample": esql_sample,
     "agg_date_range": agg_date_range,
     "agg_random_sampler": agg_random_sampler,
+    "ann_similarity_topk": ann_similarity_topk,
+    "agg_geo_line": agg_geo_line,
     "agg_bucket_script": agg_bucket_script,
     "geo_sort_topk": geo_sort_topk,
     "geo_polygon_query": geo_polygon_query,
