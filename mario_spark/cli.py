@@ -5,7 +5,7 @@ query and merge). Deploys via `spark-submit --py-files mario_spark.zip
 -m mario_spark.cli ...` or plain `python -m mario_spark.cli`.
 
 Flag parity:
-  ingest -s SOURCE [--new] [--auto] [-c json|title|silent|index] FILE
+  ingest -s SOURCE [--new] [--auto] [--upsert] [-c json|title|silent|index] FILE
     mario: ingester.go:54-126. `--new` names the index
     `<source>-<utc-ts>` (ingester.go:62-63); without it, appends to the
     current index behind the alias (and never auto-promotes,
@@ -80,6 +80,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--positions", action="store_true",
         help="index token positions (enables phrase queries)",
+    )
+    p.add_argument(
+        "--upsert", action="store_true",
+        help="replace same-url docs instead of plain-appending "
+        "(ES bulk same-_id semantics)",
     )
     p.add_argument("file")
 
@@ -181,8 +186,13 @@ def main(argv: list[str] | None = None) -> int:
             args.auto = False  # ingester.go:72 — never auto-promote appends
             idx = cat.create(name)
             # append into the current index (mario's default path,
-            # ingester.go:65-73); falls back to a fresh build if empty
-            st = idx.append(pages, source=args.file)
+            # ingester.go:65-73); falls back to a fresh build if empty.
+            # --upsert gives ES bulk same-_id semantics: same-url docs
+            # are replaced (tombstoned), not duplicated
+            if args.upsert:
+                st = idx.upsert(pages, source=args.file)
+            else:
+                st = idx.append(pages, source=args.file)
         if args.auto:
             cat.promote(name)
         print(json.dumps({"index": name, **st}))

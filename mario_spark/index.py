@@ -394,6 +394,50 @@ class Index:
         slim.unpersist()
         return self.stats()
 
+    def upsert(self, pages: DataFrame, source: str = "") -> dict:
+        """ES bulk-index semantics for existing _ids: a doc whose url
+        is already in the index is REPLACED by the incoming version
+        (the reference relies on this — bulk _id = TimdexRecordId,
+        /root/reference/pkg/client/elastic.go:103-107, so re-ingesting
+        a file overwrites rather than duplicates).
+
+        Spark-first shape: the batch's urls semi-join the docs table to
+        find the superseded doc_ids (url-keyed join; the batch side is
+        usually tiny next to the index, so AQE broadcasts it), the
+        batch appends as new segments, and then the old ids are
+        tombstoned with the SAME live-docs commit protocol as
+        delete_by_query. Ordering is append-first: a crash between the
+        two commits leaves both versions visible (recoverable — re-run
+        the upsert and it converges) rather than neither (data loss).
+        Urls are assumed unique within the batch (the same contract as
+        doc-id assignment). A later purging compaction physically drops
+        the replaced versions."""
+        if not self.paths.committed_segments():
+            return self.ingest(pages, source=source)
+        batch_urls = pages.select("url").distinct()
+        # resolved against the PRE-append segment list (docs() pins its
+        # parquet paths now), so the just-appended copies never match
+        old = self.docs().join(batch_urls, "url", "leftsemi").select(
+            "doc_id"
+        )
+        prev = self.deleted_ids()
+        if prev is not None:
+            old = old.join(prev, "doc_id", "left_anti")
+        self.append(pages, source=source)
+        marker = _read_json(self.paths.deletes_marker) or {
+            "generations": [],
+            "n_deleted": 0,
+        }
+        gen = (max(marker["generations"]) + 1) if marker["generations"] else 0
+        old.write.mode("overwrite").parquet(self.paths.delete_gen(gen))
+        n_old = self.spark.read.parquet(self.paths.delete_gen(gen)).count()
+        marker["generations"].append(gen)
+        marker["n_deleted"] = int(marker["n_deleted"]) + int(n_old)
+        _atomic_write_json(self.paths.deletes_marker, marker)
+        st = self.stats()
+        st["replaced"] = int(n_old)
+        return st
+
     # ------------------------------------------------------------- reads
     def _seg_paths(self, sub: str) -> list[str]:
         segs = self.paths.committed_segments()

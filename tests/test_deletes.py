@@ -221,3 +221,51 @@ def test_field_index_multiterm_and_delete_by_query(spark, root):
     got_q = _canon(idx.search_field("contents", probe, k=10))
     pd.testing.assert_frame_equal(got_q, want_q, check_exact=False, atol=1e-9)
     surv_fd.unpersist()
+
+
+def test_upsert_replaces_same_url(spark, root):
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 400, seed=7, partitions=4)
+    idx = cat.create("pages-2026-01-02t00-00-00z")
+    idx.ingest(pages, segment_docs=256)
+    n0 = idx.stats()["n_docs"]
+
+    # re-ingest 40 docs with new text: same urls must be REPLACED
+    batch = (
+        pages.orderBy("url")
+        .limit(40)
+        .withColumn("text", F.concat(F.lit("zzzupsert marker "), F.col("text")))
+    )
+    st = idx.upsert(batch)
+    assert st["replaced"] == 40
+    assert st["n_deleted"] == 40
+    assert st["n_docs"] == n0 + 40  # old versions purge later, at compaction
+
+    # visible corpus: one live version per url
+    docs = idx.docs().join(idx.deleted_ids(), "doc_id", "left_anti")
+    assert docs.count() == n0
+    assert docs.select("url").distinct().count() == n0
+
+    # the new versions are searchable, the old ones are not: every hit
+    # for the marker term is a replacement doc, and exactly the 40
+    # replaced urls match
+    q = query_terms_df(spark, [(0, "zzzupsert")])
+    hits = idx.search(q, k=100).join(idx.docs(), "doc_id")
+    assert hits.count() == 40
+    burls = {r["url"] for r in batch.select("url").collect()}
+    assert {r["url"] for r in hits.select("url").collect()} == burls
+
+    # idempotent convergence: a second identical upsert replaces the
+    # first batch's copies, still one live version per url
+    st2 = idx.upsert(batch)
+    assert st2["replaced"] == 40
+    live = idx.docs().join(idx.deleted_ids(), "doc_id", "left_anti")
+    assert live.count() == n0
+    assert idx.search(q, k=100).count() == 40
+
+    # purging compaction drops the replaced versions physically
+    compact_segments(idx)
+    st3 = idx.stats()
+    assert st3["n_deleted"] == 0
+    assert st3["n_docs"] == n0
+    assert idx.search(q, k=100).count() == 40
