@@ -16,6 +16,8 @@ The supported subset is the language's core pipeline:
     | GROK <col> "<pattern>"                      %{PRIM:name[:type]} regex primitives
     | INLINESTATS <name> = FN(...) [BY ...]       STATS attached to rows, not collapsing
     | SAMPLE <probability>                        deterministic md5-coin Bernoulli sample
+    | LOOKUP JOIN <table> ON <col>                left join on an equi-key (lookup index)
+    | FORK ( <pipe> ... ) ( <pipe> ... )          branch the pipeline; union + _fork tag
     | MV_EXPAND <col>                             one row per value of a multi-value col
     | RENAME <old> AS <new> [, ...]
     | DROP <col> [, ...]
@@ -209,110 +211,200 @@ def _inlinestats(df: DataFrame, body: str) -> DataFrame:
     return df.crossJoin(F.broadcast(g))
 
 
+def _split_stages(query: str) -> list[str]:
+    """Split a pipeline on top-level '|' only — pipes inside FORK's
+    parenthesised branches belong to the branch, not the outer
+    pipeline."""
+    out, buf, depth = [], [], 0
+    for ch in query:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("ES|QL: unbalanced ')'")
+        if ch == "|" and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if depth != 0:
+        raise ValueError("ES|QL: unbalanced '('")
+    out.append("".join(buf).strip())
+    return [s for s in out if s]
+
+
+def _paren_groups(body: str) -> list[str]:
+    """Top-level '( ... )' groups of a FORK body."""
+    groups, buf, depth = [], [], 0
+    for ch in body:
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("ES|QL: unbalanced ')' in FORK")
+            if depth == 0:
+                groups.append("".join(buf).strip())
+                buf = []
+                continue
+        if depth > 0:
+            buf.append(ch)
+        elif not ch.isspace():
+            raise ValueError(f"ES|QL: stray {ch!r} in FORK body")
+    if depth != 0:
+        raise ValueError("ES|QL: unbalanced '(' in FORK")
+    return groups
+
+
 def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    stages = [s.strip() for s in query.strip().split("|")]
+    stages = _split_stages(query.strip())
+    if not stages:
+        raise ValueError("ES|QL: empty query")
     m = re.fullmatch(r"FROM\s+(\w+)", stages[0], re.IGNORECASE)
     if not m or m.group(1) not in _TABLES:
         raise ValueError(f"ES|QL: bad FROM {stages[0]!r}")
     df = spark.read.parquet(f"{sf_dir}/{m.group(1)}.parquet")
     for stage in stages[1:]:
-        kw, _, body = stage.partition(" ")
-        kw = kw.upper()
-        if kw == "WHERE":
-            df = _where(df, body)
-        elif kw == "EVAL":
-            df = _eval(df, body)
-        elif kw == "STATS":
-            df = _stats(df, body)
-        elif kw == "INLINESTATS":
-            df = _inlinestats(df, body)
-        elif kw == "SORT":
-            order = []
-            for part in body.split(","):
-                toks = part.split()
-                c = F.col(toks[0])
-                order.append(
-                    c.desc()
-                    if len(toks) > 1 and toks[1].upper() == "DESC"
-                    else c.asc()
-                )
-            df = df.orderBy(*order)
-        elif kw == "LIMIT":
-            df = df.limit(int(body))
-        elif kw == "KEEP":
-            df = df.select(*[c.strip() for c in body.split(",")])
-        elif kw == "ENRICH":
-            m2 = re.fullmatch(
-                r"(\w+)\s+ON\s+(\w+)\s+WITH\s+(.+)", body.strip()
-            )
-            if not m2 or m2.group(1) not in _TABLES:
-                raise ValueError(f"ES|QL: bad ENRICH {body!r}")
-            tbl, on, with_cols = m2.groups()
-            dim = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
-            # enrich policies key the dim on its first column (the
-            # TPC-H-style primary key convention of the fixture tables)
-            dim_key = dim.columns[0]
-            keep = [c.strip() for c in with_cols.split(",")]
-            df = df.join(
-                F.broadcast(dim.select(dim_key, *keep)),
-                df[on] == dim[dim_key],
-                "left",
-            ).drop(dim_key)
-        elif kw == "RENAME":
-            for part in body.split(","):
-                m2 = re.fullmatch(
-                    r"(\w+)\s+AS\s+(\w+)", part.strip(), re.IGNORECASE
-                )
-                if not m2:
-                    raise ValueError(f"ES|QL: bad RENAME {part!r}")
-                df = df.withColumnRenamed(m2.group(1), m2.group(2))
-        elif kw == "DROP":
-            df = df.drop(*[c.strip() for c in body.split(",")])
-        elif kw == "DISSECT":
-            m2 = re.fullmatch(
-                r"(\w+)\s+(?:\"(.+)\"|'(.+)')", body.strip()
-            )
-            if not m2:
-                raise ValueError(f"ES|QL: bad DISSECT {body!r}")
-            col = m2.group(1)
-            pat = m2.group(2) if m2.group(2) is not None else m2.group(3)
-            names = re.findall(r"%\{(\w+)\}", pat)
-            if not names:
-                raise ValueError(f"ES|QL: DISSECT pattern has no fields")
-            # literals escaped, %{name} -> a non-greedy capture (the
-            # dissect contract: fields are delimited by the literals)
-            rx = ""
-            pos = 0
-            for m3 in re.finditer(r"%\{(\w+)\}", pat):
-                rx += re.escape(pat[pos : m3.start()]) + "(.*?)"
-                pos = m3.end()
-            rx += re.escape(pat[pos:]) + "$"
-            rx = "^" + rx
-            for gi, name in enumerate(names, start=1):
-                df = df.withColumn(
-                    name, F.regexp_extract(F.col(col), rx, gi)
-                )
-        elif kw == "GROK":
-            df = _grok(df, body)
-        elif kw == "SAMPLE":
-            m2 = re.fullmatch(r"(0?\.\d+)", body.strip())
-            if not m2:
-                raise ValueError(f"ES|QL: bad SAMPLE {body!r}")
-            p = float(m2.group(1))
-            from mario_spark.ops.sample import hash_unit
+        df = _apply_stage(spark, sf_dir, df, stage)
+    return df
 
-            # deterministic divergence from ES (which uses an RNG):
-            # the coin is the engine's md5 unit hash keyed on the
-            # table's first column — reproducible across runs/engines,
-            # still a pure map-side filter that fuses into the scan
-            df = df.filter(hash_unit(F.col(df.columns[0])) < p)
-        elif kw == "MV_EXPAND":
-            col = body.strip()
-            if not re.fullmatch(r"\w+", col) or col not in df.columns:
-                raise ValueError(f"ES|QL: bad MV_EXPAND {body!r}")
-            # one row per element, in place — Generate(explode) keeps
-            # the parent partitioning, no shuffle
-            df = df.withColumn(col, F.explode(F.col(col)))
-        else:
-            raise ValueError(f"ES|QL: unknown command {kw!r}")
+
+def _apply_stage(
+    spark: SparkSession, sf_dir: str, df: DataFrame, stage: str
+) -> DataFrame:
+    kw, _, body = stage.partition(" ")
+    kw = kw.upper()
+    if kw == "WHERE":
+        df = _where(df, body)
+    elif kw == "EVAL":
+        df = _eval(df, body)
+    elif kw == "STATS":
+        df = _stats(df, body)
+    elif kw == "INLINESTATS":
+        df = _inlinestats(df, body)
+    elif kw == "SORT":
+        order = []
+        for part in body.split(","):
+            toks = part.split()
+            c = F.col(toks[0])
+            order.append(
+                c.desc()
+                if len(toks) > 1 and toks[1].upper() == "DESC"
+                else c.asc()
+            )
+        df = df.orderBy(*order)
+    elif kw == "LIMIT":
+        df = df.limit(int(body))
+    elif kw == "KEEP":
+        df = df.select(*[c.strip() for c in body.split(",")])
+    elif kw == "ENRICH":
+        m2 = re.fullmatch(
+            r"(\w+)\s+ON\s+(\w+)\s+WITH\s+(.+)", body.strip()
+        )
+        if not m2 or m2.group(1) not in _TABLES:
+            raise ValueError(f"ES|QL: bad ENRICH {body!r}")
+        tbl, on, with_cols = m2.groups()
+        dim = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        # enrich policies key the dim on its first column (the
+        # TPC-H-style primary key convention of the fixture tables)
+        dim_key = dim.columns[0]
+        keep = [c.strip() for c in with_cols.split(",")]
+        df = df.join(
+            F.broadcast(dim.select(dim_key, *keep)),
+            df[on] == dim[dim_key],
+            "left",
+        ).drop(dim_key)
+    elif kw == "RENAME":
+        for part in body.split(","):
+            m2 = re.fullmatch(
+                r"(\w+)\s+AS\s+(\w+)", part.strip(), re.IGNORECASE
+            )
+            if not m2:
+                raise ValueError(f"ES|QL: bad RENAME {part!r}")
+            df = df.withColumnRenamed(m2.group(1), m2.group(2))
+    elif kw == "DROP":
+        df = df.drop(*[c.strip() for c in body.split(",")])
+    elif kw == "DISSECT":
+        m2 = re.fullmatch(
+            r"(\w+)\s+(?:\"(.+)\"|'(.+)')", body.strip()
+        )
+        if not m2:
+            raise ValueError(f"ES|QL: bad DISSECT {body!r}")
+        col = m2.group(1)
+        pat = m2.group(2) if m2.group(2) is not None else m2.group(3)
+        names = re.findall(r"%\{(\w+)\}", pat)
+        if not names:
+            raise ValueError(f"ES|QL: DISSECT pattern has no fields")
+        # literals escaped, %{name} -> a non-greedy capture (the
+        # dissect contract: fields are delimited by the literals)
+        rx = ""
+        pos = 0
+        for m3 in re.finditer(r"%\{(\w+)\}", pat):
+            rx += re.escape(pat[pos : m3.start()]) + "(.*?)"
+            pos = m3.end()
+        rx += re.escape(pat[pos:]) + "$"
+        rx = "^" + rx
+        for gi, name in enumerate(names, start=1):
+            df = df.withColumn(
+                name, F.regexp_extract(F.col(col), rx, gi)
+            )
+    elif kw == "GROK":
+        df = _grok(df, body)
+    elif kw == "SAMPLE":
+        m2 = re.fullmatch(r"(0?\.\d+)", body.strip())
+        if not m2:
+            raise ValueError(f"ES|QL: bad SAMPLE {body!r}")
+        p = float(m2.group(1))
+        from mario_spark.ops.sample import hash_unit
+
+        # deterministic divergence from ES (which uses an RNG):
+        # the coin is the engine's md5 unit hash keyed on the
+        # table's first column — reproducible across runs/engines,
+        # still a pure map-side filter that fuses into the scan
+        df = df.filter(hash_unit(F.col(df.columns[0])) < p)
+    elif kw == "MV_EXPAND":
+        col = body.strip()
+        if not re.fullmatch(r"\w+", col) or col not in df.columns:
+            raise ValueError(f"ES|QL: bad MV_EXPAND {body!r}")
+        # one row per element, in place — Generate(explode) keeps
+        # the parent partitioning, no shuffle
+        df = df.withColumn(col, F.explode(F.col(col)))
+    elif kw == "LOOKUP":
+        # LOOKUP JOIN <table> ON <col> (ES|QL 8.18): left join on a
+        # SAME-NAMED key in both sides (rename first if they differ),
+        # bringing in every other lookup column. The lookup side is an
+        # ES "lookup index" — small by contract, so broadcast.
+        m2 = re.fullmatch(
+            r"JOIN\s+(\w+)\s+ON\s+(\w+)", body.strip(), re.IGNORECASE
+        )
+        if not m2 or m2.group(1) not in _TABLES:
+            raise ValueError(f"ES|QL: bad LOOKUP JOIN {body!r}")
+        tbl, on = m2.groups()
+        dim = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        if on not in df.columns or on not in dim.columns:
+            raise ValueError(
+                f"ES|QL: LOOKUP JOIN key {on!r} must exist on both sides"
+            )
+        df = df.join(F.broadcast(dim), on, "left")
+    elif kw == "FORK":
+        # FORK ( <pipe...> ) ( <pipe...> ): run each branch on the
+        # current table, tag rows with _fork = forkN, union by name
+        # (missing columns null-filled) — ES|QL 8.19 semantics
+        branches = _paren_groups(body)
+        if len(branches) < 2:
+            raise ValueError("ES|QL: FORK needs at least two branches")
+        outs = []
+        for i, br in enumerate(branches, start=1):
+            b = df
+            for st in _split_stages(br):
+                b = _apply_stage(spark, sf_dir, b, st)
+            outs.append(b.withColumn("_fork", F.lit(f"fork{i}")))
+        df = outs[0]
+        for b in outs[1:]:
+            df = df.unionByName(b, allowMissingColumns=True)
+    else:
+        raise ValueError(f"ES|QL: unknown command {kw!r}")
     return df

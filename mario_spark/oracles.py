@@ -4454,6 +4454,29 @@ SELECT lang, count(*)::BIGINT AS n, round(avg(n_chars), 4) AS avg_chars
 FROM s WHERE u < 0.25 GROUP BY 1 ORDER BY lang ASC
 """
 
+ESQL_LOOKUP_JOIN = """
+SELECT c.c_nationkey, count(*)::BIGINT AS n,
+       round(sum(o.o_totalprice), 4) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY 1 ASC
+"""
+
+ESQL_FORK = """
+WITH b1 AS (
+  SELECT event_type, count(*)::BIGINT AS n, NULL::DOUBLE AS avg_v,
+         'fork1' AS _fork
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+b2 AS (
+  SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 4) AS avg_v,
+         'fork2' AS _fork
+  FROM events GROUP BY 1
+)
+SELECT * FROM b1 UNION ALL SELECT * FROM b2
+ORDER BY _fork ASC, event_type ASC
+"""
+
 AGG_GEO_LINE = """
 WITH p AS (
   SELECT user_id, ts, event_id,
@@ -4698,6 +4721,8 @@ ORACLES: dict[str, str] = {
     "esql_mv_expand": ESQL_MV_EXPAND,
     "esql_inlinestats": ESQL_INLINESTATS,
     "esql_sample": ESQL_SAMPLE,
+    "esql_lookup_join": ESQL_LOOKUP_JOIN,
+    "esql_fork": ESQL_FORK,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,
     # same exhaustive scorer as brute top-k, plus the similarity gate

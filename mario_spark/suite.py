@@ -2590,6 +2590,37 @@ def esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL LOOKUP JOIN (8.18): orders joined to the customer lookup
+    index on a same-named key (RENAME aligns it first), filtered and
+    aggregated — the lookup side broadcasts (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM orders | RENAME o_custkey AS c_custkey "
+        "| LOOKUP JOIN customer ON c_custkey "
+        '| WHERE c_mktsegment == "BUILDING" '
+        "| STATS n = COUNT(*), sum_price = SUM(o_totalprice) BY c_nationkey "
+        "| SORT c_nationkey ASC",
+    )
+
+
+def esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FORK (8.19): two branches over the same input — an
+    error-only count and an all-types count+avg — unioned by name with
+    a _fork tag, null-filling the narrower branch (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events | FORK "
+        '( WHERE event_type == "error" | STATS n = COUNT(*) BY event_type ) '
+        "( STATS n = COUNT(*), avg_v = AVG(value) BY event_type ) "
+        "| SORT _fork ASC, event_type ASC",
+    )
+
+
 def ann_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES kNN `similarity` cutoff: exact cosine top-10 per query, hits
     below cosine 0.28 dropped (ES's minimum-similarity gate — since
@@ -2938,6 +2969,8 @@ SUITE = {
     "esql_mv_expand": esql_mv_expand,
     "esql_inlinestats": esql_inlinestats,
     "esql_sample": esql_sample,
+    "esql_lookup_join": esql_lookup_join,
+    "esql_fork": esql_fork,
     "agg_date_range": agg_date_range,
     "agg_random_sampler": agg_random_sampler,
     "ann_similarity_topk": ann_similarity_topk,
