@@ -23,7 +23,9 @@ The supported subset is the language's core pipeline:
     | DROP <col> [, ...]
 
 EVAL also accepts the multi-value constructor SPLIT(<col>, "<delim>")
-(the ES|QL string function), which is what MV_EXPAND typically expands.
+(what MV_EXPAND typically expands) and the common scalar functions
+LENGTH TO_UPPER TO_LOWER TRIM SUBSTRING CONCAT ROUND ABS FLOOR CEIL
+SQRT — each compiled 1:1 to a Catalyst builtin.
 
 Each pipe stage compiles to exactly one DataFrame operation, so the
 whole pipeline is ONE Catalyst plan — filters fold into the scan,
@@ -63,6 +65,25 @@ _GROK_PRIMS = {
     "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
 }
 _GROK_TYPES = {"int": "long", "long": "long", "float": "double"}
+
+# EVAL scalar functions -> Catalyst builtins (each stays in codegen).
+# LENGTH returns long (ES|QL integer widened for engine-stable hashing);
+# SUBSTRING is 1-based like ES|QL/SQL.
+_EVAL_FNS = {
+    "LENGTH": lambda c: F.length(c).cast("long"),
+    "TO_UPPER": lambda c: F.upper(c),
+    "TO_LOWER": lambda c: F.lower(c),
+    "TRIM": lambda c: F.trim(c),
+    "SUBSTRING": lambda c, start, ln=None: (
+        F.substring(c, start, ln) if ln is not None else F.substring(c, start, 2147483647)
+    ),
+    "CONCAT": lambda *cs: F.concat(*cs),
+    "ROUND": lambda c, n=None: F.round(c, n) if n is not None else F.round(c),
+    "ABS": lambda c: F.abs(c),
+    "FLOOR": lambda c: F.floor(c),
+    "CEIL": lambda c: F.ceil(c),
+    "SQRT": lambda c: F.sqrt(c),
+}
 
 
 def _grok(df: DataFrame, body: str) -> DataFrame:
@@ -120,6 +141,20 @@ def _eval(df: DataFrame, body: str) -> DataFrame:
     if ms:
         name, col, delim = ms.groups()
         return df.withColumn(name, F.split(F.col(col), re.escape(delim)))
+    # scalar function call: name = FN(arg[, arg...]) — the common ES|QL
+    # string/math functions, each a 1:1 Catalyst builtin (codegen)
+    mf = re.fullmatch(
+        r"(\w+)\s*=\s*([A-Za-z_]+)\(\s*([^()]*)\)", body.strip()
+    )
+    if mf and mf.group(2).upper() in _EVAL_FNS:
+        name, fn, argstr = mf.group(1), mf.group(2).upper(), mf.group(3)
+        args = [
+            _lit(a.strip()) for a in argstr.split(",") if a.strip() != ""
+        ]
+        try:
+            return df.withColumn(name, _EVAL_FNS[fn](*args))
+        except TypeError as e:  # wrong arity
+            raise ValueError(f"ES|QL: bad EVAL {body!r}: {e}") from e
     m = re.fullmatch(
         r"(\w+)\s*=\s*(\w+)\s*([+\-*/])\s*(\"[^\"]*\"|[\w.]+)", body.strip()
     )

@@ -4454,6 +4454,17 @@ SELECT lang, count(*)::BIGINT AS n, round(avg(n_chars), 4) AS avg_chars
 FROM s WHERE u < 0.25 GROUP BY 1 ORDER BY lang ASC
 """
 
+ESQL_EVAL_FNS = """
+WITH d AS (
+  SELECT upper(source) AS src,
+         len(substr(text, 1, 10))::BIGINT AS hl
+  FROM documents
+)
+SELECT src, count(*)::BIGINT AS n, round(avg(hl), 4) AS avg_hl,
+       max(hl)::BIGINT AS mx
+FROM d GROUP BY 1 ORDER BY src ASC
+"""
+
 ESQL_LOOKUP_JOIN = """
 SELECT c.c_nationkey, count(*)::BIGINT AS n,
        round(sum(o.o_totalprice), 4) AS sum_price
@@ -4723,6 +4734,7 @@ ORACLES: dict[str, str] = {
     "esql_sample": ESQL_SAMPLE,
     "esql_lookup_join": ESQL_LOOKUP_JOIN,
     "esql_fork": ESQL_FORK,
+    "esql_eval_fns": ESQL_EVAL_FNS,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,
     # same exhaustive scorer as brute top-k, plus the similarity gate

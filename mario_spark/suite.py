@@ -2621,6 +2621,23 @@ def esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_eval_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL scalar functions in EVAL (TO_UPPER / SUBSTRING / LENGTH),
+    each a 1:1 Catalyst builtin, feeding grouped stats
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM documents "
+        "| EVAL src = TO_UPPER(source) "
+        "| EVAL head = SUBSTRING(text, 1, 10) "
+        "| EVAL hl = LENGTH(head) "
+        "| STATS n = COUNT(*), avg_hl = AVG(hl), mx = MAX(hl) BY src "
+        "| SORT src ASC",
+    )
+
+
 def ann_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES kNN `similarity` cutoff: exact cosine top-10 per query, hits
     below cosine 0.28 dropped (ES's minimum-similarity gate — since
@@ -2971,6 +2988,7 @@ SUITE = {
     "esql_sample": esql_sample,
     "esql_lookup_join": esql_lookup_join,
     "esql_fork": esql_fork,
+    "esql_eval_fns": esql_eval_fns,
     "agg_date_range": agg_date_range,
     "agg_random_sampler": agg_random_sampler,
     "ann_similarity_topk": ann_similarity_topk,
