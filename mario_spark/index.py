@@ -572,7 +572,15 @@ class Index:
             shutil.rmtree(self.paths.delete_gen(g), ignore_errors=True)
 
     # ------------------------------------------------------------- query
-    def search(self, query_terms: DataFrame, k: int = 10) -> DataFrame:
+    def search(
+        self,
+        query_terms: DataFrame,
+        k: int = 10,
+        filter_terms: list[str] | None = None,
+    ) -> DataFrame:
+        """filter_terms = ES filter context (e.g. a filtered alias):
+        docs must contain at least one of the terms (analyzed form);
+        the filter never scores. See wand.search_wand."""
         meta = _read_json(self.paths.meta) or {}
         if meta.get("fields"):
             raise ValueError(
@@ -591,6 +599,7 @@ class Index:
             self.postings(), self.dictionary(), query_terms,
             st["n_docs"], st["avgdl"], k=k,
             deleted_docs=self.deleted_ids(),
+            filter_terms=filter_terms,
         )
 
     def search_multiterm(
@@ -1164,3 +1173,43 @@ class Catalog:
                 )
             return self.open(members[0])
         return self.open(name_or_alias)
+
+    # ------------------------------------------------- filtered aliases
+    @property
+    def _alias_filters_path(self) -> str:
+        return os.path.join(self.root, "alias_filters.json")
+
+    def put_alias_filter(self, alias: str, terms: list[str]) -> None:
+        """ES filtered alias: every search through `alias` applies a
+        terms filter — docs must contain at least one of `terms`
+        (analyzed with the standard analyzer here, as ES does at alias-
+        definition time), in filter context (never scored). Same
+        atomic-rename commit as the alias registry."""
+        from mario_spark.analyze import py_tokenize
+
+        analyzed = sorted(
+            {t for raw in terms for t in py_tokenize(raw)}
+        )
+        if not analyzed:
+            raise ValueError("alias filter needs at least one term")
+        filters = _read_json(self._alias_filters_path) or {}
+        filters[alias] = analyzed
+        _atomic_write_json(self._alias_filters_path, filters)
+
+    def alias_filter(self, alias: str) -> list[str] | None:
+        return (_read_json(self._alias_filters_path) or {}).get(alias)
+
+    def delete_alias_filter(self, alias: str) -> None:
+        filters = _read_json(self._alias_filters_path) or {}
+        filters.pop(alias, None)
+        _atomic_write_json(self._alias_filters_path, filters)
+
+    def search_via(
+        self, name_or_alias: str, query_terms: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Search by index name or through an alias; a filtered alias
+        applies its terms filter (ES alias-filter semantics)."""
+        idx = self.resolve(name_or_alias)
+        return idx.search(
+            query_terms, k=k, filter_terms=self.alias_filter(name_or_alias)
+        )

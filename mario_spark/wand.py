@@ -174,8 +174,16 @@ def _bucket_kernel(
     must_not: dict[int, list[str]] | None = None,
     msm: int = 1,
     deleted: np.ndarray | None = None,
+    filter_terms: list[str] | None = None,
 ) -> pd.DataFrame:
     """Score every query against one dbucket's candidate blocks.
+
+    filter_terms = GLOBAL filter context (ES filtered alias / bool
+    filter terms): a doc must contain AT LEAST ONE filter term to
+    surface, and filter terms never score. All of a doc's postings
+    live in one dbucket, so a bucket containing NO filter term is
+    skipped whole — the filter prunes entire partitions before any
+    decode, and only the filter terms' doc-id streams are ever read.
 
     deleted = GLOBAL tombstone set (sorted unique doc ids): Lucene live-
     docs semantics — deleted docs never surface, but collection stats
@@ -202,6 +210,21 @@ def _bucket_kernel(
     }
     bucket_max = {t: float(td.block_max.max()) for t, td in tds.items()}
 
+    allow: np.ndarray | None = None
+    if filter_terms is not None:
+        fts = [t for t in filter_terms if t in tds]
+        if not fts:
+            # no filter term in this bucket -> no doc here can match
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        parts = [tds[t].full()[0] for t in fts]
+        allow = (
+            parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        )
+
     def _excl_ids(qid: int) -> np.ndarray | None:
         nts = [t for t in must_not.get(qid, []) if t in tds]
         if not nts:
@@ -227,6 +250,9 @@ def _bucket_kernel(
             if excl is not None and ids.size:
                 keep = ~np.isin(ids, excl, assume_unique=True)
                 ids, totals = ids[keep], totals[keep]
+            if allow is not None and ids.size:
+                keep = np.isin(ids, allow, assume_unique=True)
+                ids, totals = ids[keep], totals[keep]
             if ids.size == 0:
                 continue
             order = np.lexsort((ids, -totals))[:k]
@@ -241,8 +267,13 @@ def _bucket_kernel(
         if msm <= 1:
             rare = max(terms, key=lambda t: idf_map[t])
             b_ids, boot = tds[rare].full()
+            # θ must lower-bound the k-th best among docs that can
+            # actually surface: mask both exclusions and the filter
             if excl is not None:
-                boot = boot[~np.isin(b_ids, excl, assume_unique=True)]
+                bmask = ~np.isin(b_ids, excl, assume_unique=True)
+                b_ids, boot = b_ids[bmask], boot[bmask]
+            if allow is not None:
+                boot = boot[np.isin(b_ids, allow, assume_unique=True)]
             theta = (
                 float(np.partition(boot, boot.size - k)[boot.size - k])
                 if boot.size >= k
@@ -274,6 +305,8 @@ def _bucket_kernel(
             keep &= np.bincount(inv) >= msm
         if excl is not None:
             keep &= ~np.isin(uniq, excl, assume_unique=True)
+        if allow is not None:
+            keep &= np.isin(uniq, allow, assume_unique=True)
         if not keep.all():
             uniq, totals = uniq[keep], totals[keep]
         if uniq.size == 0:
@@ -307,6 +340,7 @@ def _run_kernel(
     must_not: dict[int, list[str]] | None = None,
     msm: int = 1,
     deleted: np.ndarray | None = None,
+    filter_terms: list[str] | None = None,
 ) -> DataFrame:
     """Shared execution tail: term-pruned scan -> per-dbucket kernel ->
     per-query rank window over the tiny candidate union. `deleted`
@@ -317,14 +351,16 @@ def _run_kernel(
     # must_not terms ride along in the pruned scan (their ids are the
     # exclusion sets) but never contribute score
     scan_terms = sorted(
-        set(terms).union(t for ts in (must_not or {}).values() for t in ts)
+        set(terms)
+        .union(t for ts in (must_not or {}).values() for t in ts)
+        .union(filter_terms or [])
     )
     cand = postings.filter(F.col("term").isin(scan_terms))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _bucket_kernel(
             pdf, queries, idf_map, avgdl, k, k1, b, conjunctive, must_not,
-            msm, deleted,
+            msm, deleted, filter_terms,
         )
 
     local = cand.groupBy("dbucket").applyInPandas(
@@ -352,8 +388,14 @@ def search_wand(
     must_not_terms: DataFrame | None = None,
     min_should_match: int = 1,
     deleted_docs: DataFrame | None = None,
+    filter_terms: list[str] | None = None,
 ) -> DataFrame:
     """postings x (query_id, term) -> (query_id, rank, doc_id, score).
+
+    filter_terms = ES filter context shared by every query (e.g. a
+    filtered alias's terms filter): a doc must contain at least one
+    filter term; filter terms never score. Buckets containing no
+    filter term are skipped before any decode.
 
     deleted_docs = tombstoned doc ids (Index delete-by-query): excluded
     from every query's results; stats stay stale until compaction, the
@@ -402,7 +444,7 @@ def search_wand(
         deleted = np.unique(arr) if arr.size else None
     return _run_kernel(
         postings, queries, idf_map, ad, k, k1, b, conjunctive,
-        must_not, min_should_match, deleted,
+        must_not, min_should_match, deleted, filter_terms,
     )
 
 

@@ -578,3 +578,64 @@ def test_index_templates(spark, root):
     idx3.ingest(pages)
     meta3 = json.load(open(idx3.paths.meta))
     assert meta3["positions"] is False
+
+
+def test_filtered_alias_search(spark, root):
+    import pyspark.sql.functions as F
+
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 500, seed=11, partitions=4)
+    name = "src9-2026-01-01t00-00-00z"
+    idx = cat.create(name)
+    idx.ingest(pages, segment_docs=256)
+    cat.promote(name, alias="filtered-prod")
+    cat.put_alias_filter("filtered-prod", ["Crawl"])  # analyzed -> crawl
+    assert cat.alias_filter("filtered-prod") == ["crawl"]
+
+    q = query_terms_df(spark, make_pages_query_set(seed=11, n=8))
+    d = build_doc_table(pages).persist()
+    allowed = {
+        r["doc_id"]
+        for r in query.term_frequencies(d)
+        .filter(F.col("term") == "crawl")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(allowed) < 500
+
+    # contract: filtered-alias search == exhaustive ranking restricted
+    # to docs containing a filter term, ranks recomputed
+    full = (
+        query.search_exhaustive(d, q, k=500)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    exp = full[full["doc_id"].isin(allowed)].copy()
+    exp["rank"] = exp.groupby("query_id").cumcount() + 1
+    exp = exp[exp["rank"] <= 10].reset_index(drop=True)
+    got = _canon(cat.search_via("filtered-prod", q, k=10))
+    pd.testing.assert_frame_equal(
+        got,
+        exp[["query_id", "rank", "doc_id", "score"]].astype(got.dtypes),
+        check_exact=False,
+        atol=1e-9,
+    )
+    assert set(got["doc_id"]).issubset(allowed)
+
+    # search by bare index name stays unfiltered
+    unfiltered = _canon(cat.search_via(name, q, k=10))
+    want = _canon(query.search_exhaustive(d, q, k=10))
+    pd.testing.assert_frame_equal(
+        unfiltered, want.astype(unfiltered.dtypes),
+        check_exact=False, atol=1e-9,
+    )
+
+    # removing the filter restores plain alias search
+    cat.delete_alias_filter("filtered-prod")
+    restored = _canon(cat.search_via("filtered-prod", q, k=10))
+    pd.testing.assert_frame_equal(
+        restored, want.astype(restored.dtypes),
+        check_exact=False, atol=1e-9,
+    )
+    d.unpersist()
