@@ -4758,4 +4758,8 @@ ORACLES: dict[str, str] = {
     "terms_lookup_topk": bm25_topk_sql(
         filter_sql="SELECT vec_id AS doc_id FROM embeddings WHERE label = 3"
     ),
+    # filter context = docs containing the filter term, stats untouched
+    "bm25_topk_wand_filtered": bm25_topk_sql(
+        filter_sql="SELECT DISTINCT doc_id FROM tf WHERE term = 'data'"
+    ),
 }

@@ -87,6 +87,21 @@ def bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_wand(post, dic, q, st["n_docs"], st["avgdl"], k=10)
 
 
+def bm25_topk_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered alias / bool filter context on the production WAND
+    path: same query set, but docs must contain the filter term 'data'
+    (unscored); dbuckets holding no 'data' posting are skipped before
+    any block decode (wand._bucket_kernel)."""
+    from mario_spark.wand import search_wand
+
+    post, dic, st = _wand_index(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return search_wand(
+        post, dic, q, st["n_docs"], st["avgdl"], k=10,
+        filter_terms=["data"],
+    )
+
+
 def bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (ES bool-must) BM25 top-10 via the production WAND
     path: a doc must contain every query term; rarest-first sorted
@@ -2989,6 +3004,7 @@ SUITE = {
     "esql_lookup_join": esql_lookup_join,
     "esql_fork": esql_fork,
     "esql_eval_fns": esql_eval_fns,
+    "bm25_topk_wand_filtered": bm25_topk_wand_filtered,
     "agg_date_range": agg_date_range,
     "agg_random_sampler": agg_random_sampler,
     "ann_similarity_topk": ann_similarity_topk,
