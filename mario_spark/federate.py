@@ -33,6 +33,7 @@ def search_indexes(
     query_terms: DataFrame,
     k: int = 10,
     mode: str = "dfs_query_then_fetch",
+    filter_terms: list[str] | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, index, doc_id, score) across `names`.
 
@@ -44,7 +45,7 @@ def search_indexes(
     if mode not in ("dfs_query_then_fetch", "query_then_fetch"):
         raise ValueError(f"unknown mode {mode!r}")
     idxs = [(n, catalog.open(n)) for n in names]
-    return _search_opened(idxs, query_terms, k, mode)
+    return _search_opened(idxs, query_terms, k, mode, filter_terms)
 
 
 def search_clusters(
@@ -70,7 +71,13 @@ def search_clusters(
     return _search_opened(idxs, query_terms, k, mode)
 
 
-def _search_opened(idxs, query_terms: DataFrame, k: int, mode: str) -> DataFrame:
+def _search_opened(
+    idxs,
+    query_terms: DataFrame,
+    k: int,
+    mode: str,
+    filter_terms: list[str] | None = None,
+) -> DataFrame:
     # empty members (fresh rollover targets) contribute nothing —
     # exactly an empty ES index in a multi-index search
     idxs = [
@@ -104,7 +111,7 @@ def _search_opened(idxs, query_terms: DataFrame, k: int, mode: str) -> DataFrame
             dic, n_docs, avgdl = idx.dictionary(), st["n_docs"], st["avgdl"]
         local = search_wand(
             idx.postings(), dic, query_terms, n_docs, avgdl, k=k,
-            deleted_docs=idx.deleted_ids(),
+            deleted_docs=idx.deleted_ids(), filter_terms=filter_terms,
         )
         parts.append(
             local.select(

@@ -1208,8 +1208,22 @@ class Catalog:
         self, name_or_alias: str, query_terms: DataFrame, k: int = 10
     ) -> DataFrame:
         """Search by index name or through an alias; a filtered alias
-        applies its terms filter (ES alias-filter semantics)."""
+        applies its terms filter (ES alias-filter semantics).
+
+        An alias holding MULTIPLE members (the TIMDEX pattern — one
+        index per source behind timdex-prod) searches all of them
+        federated with global stats (dfs_query_then_fetch), like an ES
+        query through a multi-index alias; the result then carries an
+        `index` column attributing each hit. Single-member aliases and
+        bare names return the plain (query_id, rank, doc_id, score)
+        shape."""
+        flt = self.alias_filter(name_or_alias)
+        members = self._read_aliases().get(name_or_alias)
+        if members is not None and len(members) != 1:
+            from mario_spark.federate import search_indexes
+
+            return search_indexes(
+                self, members, query_terms, k=k, filter_terms=flt
+            )
         idx = self.resolve(name_or_alias)
-        return idx.search(
-            query_terms, k=k, filter_terms=self.alias_filter(name_or_alias)
-        )
+        return idx.search(query_terms, k=k, filter_terms=flt)

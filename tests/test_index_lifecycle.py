@@ -639,3 +639,45 @@ def test_filtered_alias_search(spark, root):
         check_exact=False, atol=1e-9,
     )
     d.unpersist()
+
+
+def test_multi_member_alias_search_federates(spark, root):
+    """An alias spanning one index per source (the TIMDEX layout)
+    searches all members with global stats — rank-identical to one
+    combined index over the union corpus."""
+    import pyspark.sql.functions as F
+
+    cat = Catalog(spark, root)
+    pa = pages_df(spark, 300, seed=21, partitions=2)
+    pb = pages_df(spark, 200, seed=22, partitions=2).withColumn(
+        "url", F.concat(F.lit("b-"), F.col("url"))
+    )
+    na, nb = "alma-2026-01-01t00-00-00z", "dspace-2026-01-01t00-00-00z"
+    cat.create(na).ingest(pa)
+    cat.create(nb).ingest(pb)
+    cat.promote(na)
+    cat.promote(nb)
+    assert cat.aliases()[Catalog.DEFAULT_ALIAS] == sorted([na, nb])
+
+    q = query_terms_df(spark, make_pages_query_set(seed=21, n=6))
+    got = cat.search_via(Catalog.DEFAULT_ALIAS, q, k=10)
+    assert set(got.columns) == {"query_id", "rank", "index", "doc_id", "score"}
+    gp = got.toPandas()
+    assert set(gp["index"]) == {na, nb}
+
+    # rank identity vs one combined index over the union corpus: the
+    # combined scorer uses the same global stats dfs mode reconstructs
+    both = pa.unionByName(pb)
+    d = build_doc_table(both)
+    want = (
+        query.search_exhaustive(d, q, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    # doc_ids differ between the per-index and combined builds, so
+    # compare on scores per (query, rank) — the rank-identity signal
+    gs = gp.sort_values(["query_id", "rank"], ignore_index=True)
+    assert len(gs) == len(want)
+    pd.testing.assert_series_equal(
+        gs["score"], want["score"], check_exact=False, atol=1e-9
+    )
