@@ -2674,6 +2674,29 @@ SELECT doc_id, p::BIGINT AS pos, arr[p] AS token
 FROM arrs, unnest(generate_series(1, len(arr))) AS u(p)
 """
 
+MIXTURE_RESAMPLE = """
+WITH g AS (
+  SELECT source AS key, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+),
+z AS (SELECT sum(pow(n_docs, 0.7)) AS z FROM g),
+r AS (
+  SELECT key, n_docs,
+         least(1.0, round(pow(n_docs, 0.7) / z.z, 6) * 300.0 / n_docs) AS rate
+  FROM g CROSS JOIN z
+),
+kept AS (
+  SELECT d.source AS key, count(*)::BIGINT AS n_kept
+  FROM documents d JOIN r ON d.source = r.key
+  WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 13))::BIGINT)::DOUBLE
+        / 4503599627370496.0 < r.rate
+  GROUP BY 1
+)
+SELECT r.key, r.n_docs, round(r.rate, 6) AS rate,
+       coalesce(kept.n_kept, 0)::BIGINT AS n_kept
+FROM r LEFT JOIN kept USING (key)
+"""
+
+
 DOMAIN_MIXTURE_WEIGHTS = """
 WITH g AS (
   SELECT source AS key, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
@@ -4753,6 +4776,7 @@ ORACLES: dict[str, str] = {
     "importance_score": IMPORTANCE_SCORE,
     "analyze_text": ANALYZE_TEXT,
     "domain_mixture_weights": DOMAIN_MIXTURE_WEIGHTS,
+    "mixture_resample": MIXTURE_RESAMPLE,
     "agg_sampler_terms": _sampler_sql(False),
     "agg_diversified_sampler": _sampler_sql(True),
     "terms_lookup_topk": bm25_topk_sql(

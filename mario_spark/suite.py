@@ -1603,6 +1603,49 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix RESAMPLING: materialize the alpha-smoothed domain
+    mixture (domain_mixture_weights) against a fixed doc budget — per
+    source, rate = min(1, weight*budget/n_docs), keep docs on the
+    engine's deterministic md5 coin. The rate table is O(#domains) and
+    broadcasts; the keep decision is a pure map-side filter, so the
+    whole resample is one scan + one tiny agg at any corpus size.
+    Returns per-source (key, n_docs, rate, n_kept)."""
+    from mario_spark.ops.sample import hash_unit
+
+    budget = 300.0
+    d = _documents(spark, sf_dir).select("doc_id", "source")
+    g = d.groupBy(F.col("source").alias("key")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = g.agg(F.sum(F.pow("n_docs", 0.7)).alias("z"))
+    rates = g.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.round(F.pow("n_docs", 0.7) / F.col("z"), 6)
+            * budget
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    kept = (
+        d.join(F.broadcast(rates), d["source"] == rates["key"])
+        .filter(hash_unit("doc_id") < F.col("rate"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "key", "left")
+        .select(
+            "key",
+            "n_docs",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def multifield_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES multi_match type=cross_fields (title^2, contents^1):
     term-centric blended-df scoring — fields.search_cross_fields."""
@@ -2923,6 +2966,7 @@ SUITE = {
     "importance_score": importance_score,
     "analyze_text": analyze_text,
     "domain_mixture_weights": domain_mixture_weights,
+    "mixture_resample": mixture_resample,
     "multifield_cross_topk": multifield_cross_topk,
     "phrase_suggest": phrase_suggest,
     "span_first_topk": span_first_topk,
