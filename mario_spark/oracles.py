@@ -4572,6 +4572,53 @@ FROM g WHERE {pred}
 """
 
 
+def span_multi_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """span_multi(prefix) oracle: the prefix expands to every corpus
+    term LIKE p%, scored as a SpanOr of 1-term chains — freq = summed
+    tf over the expansion, idf = summed idf over the expansion."""
+    from mario_spark.suite import SPAN_MULTI_PREFIXES
+
+    qrows = ", ".join(f"({qid}, '{p}')" for qid, p in SPAN_MULTI_PREFIXES)
+    return f"""
+WITH q(query_id, prefix) AS (VALUES {qrows}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+m AS (
+  SELECT q.query_id::BIGINT AS query_id, dfr.term, dfr.df
+  FROM q JOIN dfr ON dfr.term LIKE q.prefix || '%'
+),
+sidf AS (
+  SELECT m.query_id,
+         sum(ln(1.0 + (st.n_docs - m.df + 0.5) / (m.df + 0.5))) AS sidf
+  FROM m CROSS JOIN st GROUP BY 1
+),
+fr AS (
+  SELECT m.query_id, tf.doc_id, sum(tf.tf) AS freq
+  FROM m JOIN tf USING (term) GROUP BY 1, 2
+),
+sc AS (
+  SELECT fr.query_id, fr.doc_id,
+         round(sidf.sidf * fr.freq * ({k1} + 1.0)
+               / (fr.freq + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)),
+               4) AS score
+  FROM fr
+  JOIN sidf USING (query_id)
+  JOIN dl ON fr.doc_id = dl.doc_id
+  CROSS JOIN st
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4769,6 +4816,7 @@ ORACLES: dict[str, str] = {
     "geo_sort_topk": GEO_SORT_TOPK,
     "geo_polygon_query": geo_polygon_sql(),
     "span_not_topk": span_not_sql(),
+    "span_multi_topk": span_multi_sql(),
     "dup_ngram_frac": DUP_NGRAM_FRAC,
     "agg_percentile_ranks": AGG_PERCENTILE_RANKS,
     "agg_weighted_avg": AGG_WEIGHTED_AVG,

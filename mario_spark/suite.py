@@ -1414,6 +1414,34 @@ def span_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_MULTI_PREFIXES = [(0, "s"), (1, "b"), (2, "c")]
+
+
+def span_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_multi wrapping a prefix query: the prefix rewrites to
+    the index's matching dictionary terms (Lucene's multi-term
+    rewrite — a pushdown-filtered dictionary lookup, collected
+    driver-side like the query set itself), and the expansion becomes a
+    SpanOr of 1-term chains: freq = total occurrences of any matching
+    term, weight idf = Σ idf over the expansion
+    (phrase.search_span_or)."""
+    from mario_spark import phrase as ph
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    queries = []
+    for qid, p in SPAN_MULTI_PREFIXES:
+        terms = sorted(
+            r["term"]
+            for r in dic.filter(F.col("term").startswith(p))
+            .select("term")
+            .collect()
+        )
+        queries.append((qid, [[t] for t in terms]))
+    return ph.search_span_or(
+        post, dic, queries, st["n_docs"], st["avgdl"], k=10
+    )
+
+
 def span_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene SpanNotQuery: include-phrase spans widened by pre=1 /
     post=1 that contain the exclude term are discarded; freq =
@@ -2956,6 +2984,7 @@ SUITE = {
     "near_dedup_survivors": near_dedup_survivors,
     "span_or_topk": span_or_topk,
     "span_not_topk": span_not_topk,
+    "span_multi_topk": span_multi_topk,
     "dup_ngram_frac": dup_ngram_frac,
     "agg_percentile_ranks": agg_percentile_ranks,
     "agg_weighted_avg": agg_weighted_avg,
