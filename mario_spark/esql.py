@@ -16,6 +16,7 @@ The supported subset is the language's core pipeline:
     | GROK <col> "<pattern>"                      %{PRIM:name[:type]} regex primitives
     | INLINESTATS <name> = FN(...) [BY ...]       STATS attached to rows, not collapsing
     | SAMPLE <probability>                        deterministic md5-coin Bernoulli sample
+    | CHANGE_POINT <value> ON <key>               max-deviation row of a series, typed
     | LOOKUP JOIN <table> ON <col>                left join on an equi-key (lookup index)
     | FORK ( <pipe> ... ) ( <pipe> ... )          branch the pipeline; union + _fork tag
     | MV_EXPAND <col>                             one row per value of a multi-value col
@@ -407,6 +408,31 @@ def _apply_stage(
         # one row per element, in place — Generate(explode) keeps
         # the parent partitioning, no shuffle
         df = df.withColumn(col, F.explode(F.col(col)))
+    elif kw == "CHANGE_POINT":
+        # CHANGE_POINT <value> ON <key> (ES|QL 8.18): the row where the
+        # series deviates most from its mean, typed spike/dip — the
+        # deterministic core of ES's test battery (same kernel as the
+        # change_point agg). Runs on the piped table, which at this
+        # point is a reduced series (post-STATS), so the 1-row mean
+        # broadcast and TakeOrderedAndProject finish are O(series).
+        m2 = re.fullmatch(r"(\w+)\s+ON\s+(\w+)", body.strip(), re.IGNORECASE)
+        if not m2 or m2.group(1) not in df.columns or m2.group(2) not in df.columns:
+            raise ValueError(f"ES|QL: bad CHANGE_POINT {body!r}")
+        val, key = m2.groups()
+        stats = df.agg(F.avg(val).alias("_mu"))
+        df = (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn("_dev", F.abs(F.col(val) - F.col("_mu")))
+            .withColumn(
+                "type",
+                F.when(F.col(val) >= F.col("_mu"), F.lit("spike")).otherwise(
+                    F.lit("dip")
+                ),
+            )
+            .orderBy(F.desc("_dev"), F.asc(key))
+            .limit(1)
+            .drop("_mu", "_dev")
+        )
     elif kw == "LOOKUP":
         # LOOKUP JOIN <table> ON <col> (ES|QL 8.18): left join on a
         # SAME-NAMED key in both sides (rename first if they differ),

@@ -4488,6 +4488,17 @@ SELECT src, count(*)::BIGINT AS n, round(avg(hl), 4) AS avg_hl,
 FROM d GROUP BY 1 ORDER BY src ASC
 """
 
+ESQL_CHANGE_POINT = """
+WITH s AS (
+  SELECT user_id, round(sum(value), 4) AS v FROM events GROUP BY 1
+),
+mu AS (SELECT avg(v) AS mu FROM s)
+SELECT user_id, v,
+       CASE WHEN v >= mu.mu THEN 'spike' ELSE 'dip' END AS type
+FROM s CROSS JOIN mu
+ORDER BY abs(v - mu.mu) DESC, user_id ASC LIMIT 1
+"""
+
 ESQL_LOOKUP_JOIN = """
 SELECT c.c_nationkey, count(*)::BIGINT AS n,
        round(sum(o.o_totalprice), 4) AS sum_price
@@ -4804,6 +4815,7 @@ ORACLES: dict[str, str] = {
     "esql_sample": ESQL_SAMPLE,
     "esql_lookup_join": ESQL_LOOKUP_JOIN,
     "esql_fork": ESQL_FORK,
+    "esql_change_point": ESQL_CHANGE_POINT,
     "esql_eval_fns": ESQL_EVAL_FNS,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,

@@ -2676,6 +2676,19 @@ def esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CHANGE_POINT command over a STATS series: the per-user
+    sum_value row deviating most from the series mean, typed spike/dip
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events | STATS v = SUM(value) BY user_id "
+        "| CHANGE_POINT v ON user_id",
+    )
+
+
 def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL LOOKUP JOIN (8.18): orders joined to the customer lookup
     index on a same-named key (RENAME aligns it first), filtered and
@@ -3076,6 +3089,7 @@ SUITE = {
     "esql_sample": esql_sample,
     "esql_lookup_join": esql_lookup_join,
     "esql_fork": esql_fork,
+    "esql_change_point": esql_change_point,
     "esql_eval_fns": esql_eval_fns,
     "bm25_topk_wand_filtered": bm25_topk_wand_filtered,
     "agg_date_range": agg_date_range,
