@@ -523,8 +523,13 @@ class QuerySession:
         field: str | None = None,
         must_not: list[tuple[int, str]] | None = None,
         min_should_match: int = 1,
+        filter_terms: list[str] | None = None,
     ) -> DataFrame:
         """[(query_id, raw text)] -> (query_id, rank, doc_id, score).
+
+        filter_terms: ES filter context (filtered alias) — raw terms,
+        analyzed with the pinned tokenizer; docs must contain at least
+        one, unscored (see search_wand).
 
         must_not: [(query_id, raw text)] analyzed with the same
         tokenizer — ES bool.must_not filter context (see search_wand).
@@ -567,10 +572,19 @@ class QuerySession:
             n_docs, avgdl = (float(v) for v in self.field_stats[field])
         else:
             n_docs, avgdl = self.n_docs, self.avgdl
+        flist: list[str] | None = None
+        if filter_terms:
+            flist = sorted(
+                {t for raw in filter_terms for t in py_tokenize(raw)}
+            )
+            if field is not None:
+                flist = [f"{field}:{t}" for t in flist]
         qlist = [(qid, ts) for qid, ts in sorted(qlist) if ts]
         terms = sorted({t for _, ts in qlist for t in ts})
         all_terms = sorted(
-            set(terms).union(t for ts in nmap.values() for t in ts)
+            set(terms)
+            .union(t for ts in nmap.values() for t in ts)
+            .union(flist or [])
         )
         idf_map = self._idf_for(terms, n_docs)
         if (
@@ -580,11 +594,11 @@ class QuerySession:
         ):
             return self._search_driver(
                 qlist, idf_map, avgdl, k, k1, b, conjunctive,
-                nmap or None, min_should_match,
+                nmap or None, min_should_match, flist,
             )
         return _run_kernel(
             self.postings, qlist, idf_map, avgdl, k, k1, b, conjunctive,
-            nmap or None, min_should_match,
+            nmap or None, min_should_match, filter_terms=flist,
         )
 
     def _search_driver(
@@ -598,6 +612,7 @@ class QuerySession:
         conjunctive: bool,
         must_not: dict[int, list[str]] | None = None,
         msm: int = 1,
+        filter_terms: list[str] | None = None,
     ) -> DataFrame:
         terms = sorted({t for _, ts in qlist for t in ts if t in idf_map})
         spark = self.postings.sparkSession
@@ -605,12 +620,15 @@ class QuerySession:
         if not terms:
             return spark.createDataFrame([], schema)
         scan_terms = sorted(
-            set(terms).union(t for ts in (must_not or {}).values() for t in ts)
+            set(terms)
+            .union(t for ts in (must_not or {}).values() for t in ts)
+            .union(filter_terms or [])
         )
         rows = self.postings.filter(F.col("term").isin(scan_terms)).toPandas()
         parts = [
             _bucket_kernel(
-                g, qlist, idf_map, avgdl, k, k1, b, conjunctive, must_not, msm
+                g, qlist, idf_map, avgdl, k, k1, b, conjunctive, must_not,
+                msm, None, filter_terms,
             )
             for _, g in rows.groupby("dbucket", sort=True)
         ]

@@ -156,3 +156,35 @@ def test_fuzzy_expansion_broadcasts_query_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_query_session_filter_terms_identical_to_cold(spark):
+    """QuerySession filter context (filtered alias) must be
+    bit-identical to search_wand(filter_terms=...) on BOTH routing
+    paths (driver fast path and distributed), and a subset of the
+    unfiltered results' doc space restricted to docs holding a filter
+    term."""
+    from mario_spark.fixtures import make_pages_query_set, query_terms_df
+    from mario_spark.wand import QuerySession, search_wand
+
+    pages = pages_df(spark, 600, seed=13, partitions=4)
+    d = docs.build_doc_table(pages).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st_["n_docs"])
+    qset = make_pages_query_set(seed=13, n=6)
+    qdf = query_terms_df(spark, qset)
+
+    want = _canon(
+        search_wand(
+            post, dic, qdf, st_["n_docs"], st_["avgdl"], k=10,
+            filter_terms=["crawl"],
+        )
+    )
+    assert len(want) > 0
+    sess = QuerySession(post, dic, st_["n_docs"], st_["avgdl"])
+    for lim in (0, 10**9):
+        got = _canon(
+            sess.search(qset, k=10, driver_limit=lim, filter_terms=["Crawl"])
+        )
+        pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d.unpersist()
