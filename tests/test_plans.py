@@ -603,3 +603,59 @@ def test_has_child_pushes_child_filter(spark):
     plan = _plan(has_child_topk(spark, SF_DIR))
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan.replace(" ", "")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_inlinestats_broadcasts_group_table(spark):
+    """ES|QL INLINESTATS joins the reduced group table back to the fact
+    rows as a broadcast — the fact side must never shuffle."""
+    from mario_spark.suite import esql_inlinestats
+
+    plan = _plan(esql_inlinestats(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_polygon_is_pure_scan_predicate(spark):
+    """The unrolled ray-cast must fuse into the scan: no join, no UDF,
+    no exchange before the filter."""
+    from mario_spark.suite import geo_polygon_query
+
+    plan = _plan(geo_polygon_query(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Python" not in plan  # no UDF of any kind
+    assert "codegen id" in plan  # filter runs inside whole-stage codegen
+    assert "Exchange" not in plan  # single scan, zero shuffles
+
+
+def test_geo_sort_topk_is_take_ordered(spark):
+    """Sort-by-_geo_distance top-10 must plan as TakeOrderedAndProject,
+    never a global sort of the corpus."""
+    from mario_spark.suite import geo_sort_topk
+
+    plan = _plan(geo_sort_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_resample_broadcasts_rates(spark):
+    """The O(#domains) rate table must broadcast into the doc scan; the
+    keep decision is a filter, not a shuffle of the docs."""
+    from mario_spark.suite import mixture_resample
+
+    plan = _plan(mixture_resample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_esql_sample_fuses_into_scan(spark):
+    """SAMPLE's md5 coin is a pure projection predicate — single scan,
+    one hash agg, nothing else."""
+    from mario_spark.esql import run_esql
+
+    plan = _plan(
+        run_esql(
+            spark, SF_DIR,
+            'FROM documents | SAMPLE 0.25 | STATS n = COUNT(*) BY lang',
+        )
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # agg partial->final only
