@@ -4,7 +4,8 @@ DataFrames.
 The supported subset is the language's core pipeline:
 
     FROM <table>
-    | WHERE <col> <op> <literal> [AND ...]        op: == != > >= < <=
+    | WHERE <clause> [AND ...]                    clause: <col> <op> <lit> | col IN (...)
+                                                  | col LIKE "pat%" | NOT <clause>
     | EVAL <name> = <col> <arith> <col|literal>   arith: + - * /
     | STATS <name> = FN(<col>|*) [WHERE <cond>] [, ...] [BY <col> [, ...]]
                                                   FN: COUNT SUM AVG MIN MAX MEDIAN
@@ -172,22 +173,55 @@ def _eval(df: DataFrame, body: str) -> DataFrame:
 
 def _cond_expr(body: str):
     """Parse the WHERE condition grammar into a Column (shared by the
-    WHERE stage and per-agg STATS filters)."""
+    WHERE stage and per-agg STATS filters). Clauses are AND-chained;
+    each clause is a comparison, `col IN (lit, ...)`, `col LIKE
+    "pat%"` (ES|QL wildcard semantics: % and _), optionally prefixed
+    with NOT."""
     cond = None
     for clause in re.split(r"\s+AND\s+", body):
+        clause = clause.strip()
+        neg = False
+        mn = re.match(r"NOT\s+(.*)", clause, re.IGNORECASE)
+        if mn:
+            neg, clause = True, mn.group(1).strip()
+        mi = re.fullmatch(
+            r"(\w+)\s+IN\s*\(\s*([^()]+)\)", clause, re.IGNORECASE
+        )
+        ml = re.fullmatch(
+            r"(\w+)\s+LIKE\s+\"([^\"]*)\"", clause, re.IGNORECASE
+        )
         m = re.fullmatch(
             r"(\w+)\s*(==|!=|>=|<=|>|<)\s*(\"[^\"]*\"|-?[\d.]+|\w+)",
-            clause.strip(),
+            clause,
         )
-        if not m:
+        if mi:
+            col, lits = mi.groups()
+            vals = []
+            for tok in lits.split(","):
+                tok = tok.strip()
+                if tok.startswith('"') and tok.endswith('"'):
+                    vals.append(tok[1:-1])
+                elif re.fullmatch(r"-?\d+", tok):
+                    vals.append(int(tok))
+                elif re.fullmatch(r"-?\d+\.\d+", tok):
+                    vals.append(float(tok))
+                else:
+                    raise ValueError(f"ES|QL: bad IN literal {tok!r}")
+            expr = F.col(col).isin(vals)
+        elif ml:
+            expr = F.col(ml.group(1)).like(ml.group(2))
+        elif m:
+            col, op, lit = m.groups()
+            c = F.col(col)
+            lv = _lit(lit)
+            expr = {
+                "==": c == lv, "!=": c != lv, ">": c > lv,
+                ">=": c >= lv, "<": c < lv, "<=": c <= lv,
+            }[op]
+        else:
             raise ValueError(f"ES|QL: bad WHERE clause {clause!r}")
-        col, op, lit = m.groups()
-        c = F.col(col)
-        lv = _lit(lit)
-        expr = {
-            "==": c == lv, "!=": c != lv, ">": c > lv,
-            ">=": c >= lv, "<": c < lv, "<=": c <= lv,
-        }[op]
+        if neg:
+            expr = ~expr
         cond = expr if cond is None else (cond & expr)
     return cond
 

@@ -4499,6 +4499,13 @@ FROM s CROSS JOIN mu
 ORDER BY abs(v - mu.mu) DESC, user_id ASC LIMIT 1
 """
 
+ESQL_WHERE_IN_LIKE = """
+SELECT lang, source, count(*)::BIGINT AS n, round(avg(n_chars), 4) AS avg_chars
+FROM documents
+WHERE lang IN ('en', 'de') AND source LIKE 'src1%' AND NOT n_chars < 100
+GROUP BY 1, 2 ORDER BY lang ASC, source ASC
+"""
+
 ESQL_LOOKUP_JOIN = """
 SELECT c.c_nationkey, count(*)::BIGINT AS n,
        round(sum(o.o_totalprice), 4) AS sum_price
@@ -4816,6 +4823,7 @@ ORACLES: dict[str, str] = {
     "esql_lookup_join": ESQL_LOOKUP_JOIN,
     "esql_fork": ESQL_FORK,
     "esql_change_point": ESQL_CHANGE_POINT,
+    "esql_where_in_like": ESQL_WHERE_IN_LIKE,
     "esql_eval_fns": ESQL_EVAL_FNS,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,

@@ -2689,6 +2689,20 @@ def esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_where_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL WHERE with IN / LIKE / NOT clauses, AND-chained, all
+    pushdown-able scan predicates (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        'FROM documents | WHERE lang IN ("en", "de") '
+        'AND source LIKE "src1%" AND NOT n_chars < 100 '
+        "| STATS n = COUNT(*), avg_chars = AVG(n_chars) BY lang, source "
+        "| SORT lang ASC, source ASC",
+    )
+
+
 def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL LOOKUP JOIN (8.18): orders joined to the customer lookup
     index on a same-named key (RENAME aligns it first), filtered and
@@ -3090,6 +3104,7 @@ SUITE = {
     "esql_lookup_join": esql_lookup_join,
     "esql_fork": esql_fork,
     "esql_change_point": esql_change_point,
+    "esql_where_in_like": esql_where_in_like,
     "esql_eval_fns": esql_eval_fns,
     "bm25_topk_wand_filtered": bm25_topk_wand_filtered,
     "agg_date_range": agg_date_range,
