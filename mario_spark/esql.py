@@ -7,8 +7,9 @@ The supported subset is the language's core pipeline:
     | WHERE <clause> [AND ...]                    clause: <col> <op> <lit> | col IN (...)
                                                   | col LIKE "pat%" | NOT <clause>
     | EVAL <name> = <col> <arith> <col|literal>   arith: + - * /
-    | STATS <name> = FN(<col>|*) [WHERE <cond>] [, ...] [BY <col> [, ...]]
+    | STATS <name> = FN(<col>|*) [WHERE <cond>] [, ...] [BY <key> [, ...]]
                                                   FN: COUNT SUM AVG MIN MAX MEDIAN
+                                                  key: <col> | n = BUCKET(<ts>, 1 day|hour|...)
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
     | KEEP <col> [, ...]
@@ -226,14 +227,63 @@ def _cond_expr(body: str):
     return cond
 
 
+_BUCKET_UNITS = {
+    "minute": "minute", "hour": "hour", "day": "day",
+    "week": "week", "month": "month", "year": "year",
+}
+
+
+def _by_key(spec: str) -> tuple[str, "F.Column"]:
+    """One STATS BY key -> (name, column): a bare column, or the
+    time-series idiom `name = BUCKET(col, 1 unit)` — compiled to
+    date_trunc (formatted back to a string key so the bucket column is
+    engine-portable)."""
+    m = re.fullmatch(
+        r"(\w+)\s*=\s*BUCKET\(\s*(\w+)\s*,\s*1\s+(\w+)\s*\)",
+        spec.strip(),
+        re.IGNORECASE,
+    )
+    if m:
+        name, col, unit = m.group(1), m.group(2), m.group(3).lower()
+        if unit not in _BUCKET_UNITS:
+            raise ValueError(f"ES|QL: unknown BUCKET unit {unit!r}")
+        return name, F.date_format(
+            F.date_trunc(_BUCKET_UNITS[unit], F.col(col).cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+    if not re.fullmatch(r"\w+", spec.strip()):
+        raise ValueError(f"ES|QL: bad BY key {spec!r}")
+    name = spec.strip()
+    return name, F.col(name)
+
+
+def _split_commas(body: str) -> list[str]:
+    """Split on commas at paren depth 0 only (a BUCKET(col, 1 day) key
+    keeps its inner comma)."""
+    out, buf, depth = [], [], 0
+    for ch in body:
+        depth += ch == "("
+        depth -= ch == ")"
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
 def _stats(df: DataFrame, body: str) -> DataFrame:
     if " BY " in body:
         aggs_part, by_part = body.split(" BY ", 1)
-        keys = [k.strip() for k in by_part.split(",")]
+        keys = [
+            c.alias(n)
+            for n, c in (_by_key(k) for k in _split_commas(by_part))
+        ]
     else:
         aggs_part, keys = body, []
     aggs = []
-    for spec in aggs_part.split(","):
+    for spec in _split_commas(aggs_part):
         m = re.fullmatch(
             r"(\w+)\s*=\s*(\w+)\(\s*(\*|\w+)\s*\)"
             r"(?:\s+WHERE\s+(.+))?",
@@ -276,8 +326,13 @@ def _inlinestats(df: DataFrame, body: str) -> DataFrame:
     shuffle)."""
     g = _stats(df, body)
     if " BY " in body:
-        keys = [k.strip() for k in body.split(" BY ", 1)[1].split(",")]
-        return df.join(F.broadcast(g), keys, "left")
+        names = []
+        for spec in _split_commas(body.split(" BY ", 1)[1]):
+            n, c = _by_key(spec)
+            if n not in df.columns:  # computed key (BUCKET): attach it
+                df = df.withColumn(n, c)
+            names.append(n)
+        return df.join(F.broadcast(g), names, "left")
     return df.crossJoin(F.broadcast(g))
 
 

@@ -4506,6 +4506,12 @@ WHERE lang IN ('en', 'de') AND source LIKE 'src1%' AND NOT n_chars < 100
 GROUP BY 1, 2 ORDER BY lang ASC, source ASC
 """
 
+ESQL_BUCKET_STATS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS d,
+       count(*)::BIGINT AS n, round(avg(value), 4) AS avg_v
+FROM events GROUP BY 1 ORDER BY d ASC
+"""
+
 ESQL_LOOKUP_JOIN = """
 SELECT c.c_nationkey, count(*)::BIGINT AS n,
        round(sum(o.o_totalprice), 4) AS sum_price
@@ -4824,6 +4830,7 @@ ORACLES: dict[str, str] = {
     "esql_fork": ESQL_FORK,
     "esql_change_point": ESQL_CHANGE_POINT,
     "esql_where_in_like": ESQL_WHERE_IN_LIKE,
+    "esql_bucket_stats": ESQL_BUCKET_STATS,
     "esql_eval_fns": ESQL_EVAL_FNS,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,

@@ -2703,6 +2703,20 @@ def esql_where_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL time-series STATS BY BUCKET(ts, 1 day): the canonical
+    ES|QL dashboard query — one hash agg on the truncated day
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events "
+        "| STATS n = COUNT(*), avg_v = AVG(value) BY d = BUCKET(ts, 1 day) "
+        "| SORT d ASC",
+    )
+
+
 def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL LOOKUP JOIN (8.18): orders joined to the customer lookup
     index on a same-named key (RENAME aligns it first), filtered and
@@ -3105,6 +3119,7 @@ SUITE = {
     "esql_fork": esql_fork,
     "esql_change_point": esql_change_point,
     "esql_where_in_like": esql_where_in_like,
+    "esql_bucket_stats": esql_bucket_stats,
     "esql_eval_fns": esql_eval_fns,
     "bm25_topk_wand_filtered": bm25_topk_wand_filtered,
     "agg_date_range": agg_date_range,
