@@ -175,3 +175,28 @@ def test_esql_parser_raises_only_valueerror(q):
     except RuntimeError as e:
         # structurally valid FROM reached table resolution — also fine
         assert "reached execution" in str(e)
+
+
+def test_esql_splitters_pure():
+    """Paren-aware splitters: pipes inside FORK branches and commas
+    inside BUCKET() stay with their construct; imbalance raises."""
+    import pytest as _pytest
+
+    from mario_spark.esql import _paren_groups, _split_commas, _split_stages
+
+    assert _split_stages("FROM t | WHERE a == 1") == [
+        "FROM t", "WHERE a == 1"
+    ]
+    assert _split_stages("FROM t | FORK ( WHERE a == 1 | LIMIT 2 ) ( LIMIT 3 )") == [
+        "FROM t", "FORK ( WHERE a == 1 | LIMIT 2 ) ( LIMIT 3 )"
+    ]
+    assert _paren_groups("( A | B ) ( C )") == ["A | B", "C"]
+    assert _split_commas("n = COUNT(*), d = BUCKET(ts, 1 day)") == [
+        "n = COUNT(*)", " d = BUCKET(ts, 1 day)"
+    ]
+    for bad in ["FROM t | FORK ( A", "FROM t )"]:
+        with _pytest.raises(ValueError):
+            _split_stages(bad)
+    for bad in ["( A", "A )", "( A ) junk ( B )"]:
+        with _pytest.raises(ValueError):
+            _paren_groups(bad)
