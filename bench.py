@@ -179,6 +179,11 @@ def main() -> None:
         "esql_stats",
         "lsh_recall_audit",
         "clf_quality_score",
+        "bm25_topk_wand_filtered",  # filter-context WAND (shared index)
+        "span_multi_topk",          # prefix rewrite -> SpanOr (shared pos index)
+        "esql_bucket_stats",
+        "agg_geo_line",
+        "mixture_resample",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())
