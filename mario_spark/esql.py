@@ -26,9 +26,11 @@ The supported subset is the language's core pipeline:
     | DROP <col> [, ...]
 
 EVAL also accepts the multi-value constructor SPLIT(<col>, "<delim>")
-(what MV_EXPAND typically expands) and the common scalar functions
+(what MV_EXPAND typically expands), the conditional
+CASE(cond, value, ..., default), and the common scalar functions
 LENGTH TO_UPPER TO_LOWER TRIM SUBSTRING CONCAT ROUND ABS FLOOR CEIL
-SQRT — each compiled 1:1 to a Catalyst builtin.
+SQRT TO_LONG TO_DOUBLE TO_STRING COALESCE — each compiled 1:1 to a
+Catalyst builtin.
 
 Each pipe stage compiles to exactly one DataFrame operation, so the
 whole pipeline is ONE Catalyst plan — filters fold into the scan,
@@ -86,6 +88,11 @@ _EVAL_FNS = {
     "FLOOR": lambda c: F.floor(c),
     "CEIL": lambda c: F.ceil(c),
     "SQRT": lambda c: F.sqrt(c),
+    "TO_LONG": lambda c: c.cast("long"),
+    "TO_INTEGER": lambda c: c.cast("long"),  # widened, like LENGTH
+    "TO_DOUBLE": lambda c: c.cast("double"),
+    "TO_STRING": lambda c: c.cast("string"),
+    "COALESCE": lambda *cs: F.coalesce(*cs),
 }
 
 
@@ -144,6 +151,25 @@ def _eval(df: DataFrame, body: str) -> DataFrame:
     if ms:
         name, col, delim = ms.groups()
         return df.withColumn(name, F.split(F.col(col), re.escape(delim)))
+    # conditional: name = CASE(cond, value, [cond, value, ...,] default)
+    # — conditions use the WHERE clause grammar; compiles to one
+    # chained when/otherwise (pure codegen)
+    mc = re.fullmatch(
+        r"(\w+)\s*=\s*CASE\(\s*(.+)\)", body.strip(), re.IGNORECASE
+    )
+    if mc:
+        name, argstr = mc.groups()
+        parts = [a.strip() for a in _split_commas(argstr)]
+        if len(parts) < 3 or len(parts) % 2 == 0:
+            raise ValueError(
+                f"ES|QL: CASE needs cond/value pairs plus a default in "
+                f"{body!r}"
+            )
+        expr = None
+        for i in range(0, len(parts) - 1, 2):
+            cond, val = _cond_expr(parts[i]), _lit(parts[i + 1])
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        return df.withColumn(name, expr.otherwise(_lit(parts[-1])))
     # scalar function call: name = FN(arg[, arg...]) — the common ES|QL
     # string/math functions, each a 1:1 Catalyst builtin (codegen)
     mf = re.fullmatch(

@@ -4512,6 +4512,18 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS d,
 FROM events GROUP BY 1 ORDER BY d ASC
 """
 
+ESQL_CASE = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value >= 75.0 THEN 'high'
+              WHEN value >= 25.0 THEN 'mid'
+              ELSE 'low' END AS band
+  FROM events
+)
+SELECT event_type, band, count(*)::BIGINT AS n
+FROM b GROUP BY 1, 2 ORDER BY event_type ASC, band ASC
+"""
+
 ESQL_LOOKUP_JOIN = """
 SELECT c.c_nationkey, count(*)::BIGINT AS n,
        round(sum(o.o_totalprice), 4) AS sum_price
@@ -4831,6 +4843,7 @@ ORACLES: dict[str, str] = {
     "esql_change_point": ESQL_CHANGE_POINT,
     "esql_where_in_like": ESQL_WHERE_IN_LIKE,
     "esql_bucket_stats": ESQL_BUCKET_STATS,
+    "esql_case": ESQL_CASE,
     "esql_eval_fns": ESQL_EVAL_FNS,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,

@@ -2717,6 +2717,21 @@ def esql_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL CASE conditional in EVAL: value banding feeding grouped
+    counts — one chained when/otherwise, pure codegen
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        'FROM events | EVAL band = CASE(value >= 75.0, "high", '
+        'value >= 25.0, "mid", "low") '
+        "| STATS n = COUNT(*) BY event_type, band "
+        "| SORT event_type ASC, band ASC",
+    )
+
+
 def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL LOOKUP JOIN (8.18): orders joined to the customer lookup
     index on a same-named key (RENAME aligns it first), filtered and
@@ -3120,6 +3135,7 @@ SUITE = {
     "esql_change_point": esql_change_point,
     "esql_where_in_like": esql_where_in_like,
     "esql_bucket_stats": esql_bucket_stats,
+    "esql_case": esql_case,
     "esql_eval_fns": esql_eval_fns,
     "bm25_topk_wand_filtered": bm25_topk_wand_filtered,
     "agg_date_range": agg_date_range,
