@@ -1668,6 +1668,22 @@ FROM d
 """
 
 
+def _dedup_keep_best_oracle() -> str:
+    return f"""
+WITH j AS (
+  SELECT c.comp, c.doc_id, q.quality
+  FROM ({DEDUP_COMPONENTS}) c JOIN ({_quality_oracle()}) q USING (doc_id)
+),
+r AS (
+  SELECT comp, doc_id, quality,
+         row_number() OVER (PARTITION BY comp
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT comp, doc_id, quality FROM r WHERE rn = 1
+"""
+
+
 def _clean_corpus_oracle(quality_min: float = 0.65) -> str:
     """Composed C4-style cascade, mirroring ops/pipeline.clean_corpus:
     every stage reuses the verified per-op oracle arithmetic."""
@@ -4712,6 +4728,7 @@ ORACLES: dict[str, str] = {
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
     "dedup_components": DEDUP_COMPONENTS,
+    "dedup_keep_best": _dedup_keep_best_oracle(),
     "simhash64": _simhash_oracle(),
     "simhash_pairs": _simhash_pairs_oracle(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS,

@@ -755,6 +755,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(_documents(spark, sf_dir))
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup with a QUALITY-aware representative: per duplicate
+    cluster keep the highest-quality doc (quality desc, doc_id asc)
+    instead of the arbitrary min-id — the rule real pipelines use
+    (keep the cleanest copy). One comp-partitioned rank window
+    (parallel across clusters) over components x quality."""
+    from mario_spark.ops import dedup, textstats
+
+    d = _documents(spark, sf_dir)
+    comps = dedup.dedup_components(d)
+    q = textstats.quality_score(d).select("doc_id", "quality")
+    j = comps.join(q, "doc_id")
+    w = Window.partitionBy("comp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", "doc_id", "quality")
+    )
+
+
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import dedup
 
@@ -2990,6 +3010,7 @@ SUITE = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_components": dedup_components,
+    "dedup_keep_best": dedup_keep_best,
     "simhash64": simhash64,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
