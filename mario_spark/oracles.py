@@ -1668,6 +1668,49 @@ FROM d
 """
 
 
+def collapse_inner_hits_sql(
+    k: int = 5, inner: int = 3, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """collapse + inner_hits oracle: surviving top-k groups each carry
+    their group's top-`inner` hits. Mirrors suite.collapse_inner_hits."""
+    return f"""
+WITH q(query_id, term) AS (VALUES {_query_values()}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         round(sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ), 4) AS score
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+jr AS (
+  SELECT sc.query_id, sc.doc_id, d.lang, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS inner_rank
+  FROM sc JOIN documents d USING (doc_id)
+),
+grp AS (
+  SELECT query_id, lang,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM jr WHERE inner_rank = 1
+)
+SELECT jr.query_id, grp.rank, jr.lang,
+       jr.inner_rank::BIGINT AS inner_rank, jr.doc_id, jr.score
+FROM jr JOIN grp USING (query_id, lang)
+WHERE grp.rank <= {k} AND jr.inner_rank <= {inner}
+"""
+
+
 def _dedup_keep_best_oracle() -> str:
     return f"""
 WITH j AS (
@@ -4700,6 +4743,7 @@ ORACLES: dict[str, str] = {
     "regexp_topk": regexp_topk_sql(),
     "synonym_topk": synonym_topk_sql(),
     "collapse_topk": collapse_topk_sql(),
+    "collapse_inner_hits": collapse_inner_hits_sql(),
     "bm25_topk_filtered": bm25_topk_sql(
         filter_sql="SELECT doc_id FROM documents WHERE lower(lang) = 'en'"
     ),

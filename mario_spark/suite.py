@@ -281,6 +281,48 @@ def collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES collapse + inner_hits: the top-5 collapsed groups per query
+    (as collapse_topk) each carry their group's top-3 hits. The inner
+    rank window partitions by (query, lang) — parallel; the surviving
+    group list is 5 rows/query, so its join back broadcasts."""
+    from mario_spark.docs import corpus_stats
+
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    tf = query.term_frequencies(d)
+    dfreq = query.doc_frequencies(tf)
+    stats = corpus_stats(d)
+    scored = query.bm25_scores(tf, dfreq, stats, q).withColumn(
+        "score", F.round("score", 4)
+    )
+    langs = _documents(spark, sf_dir).select("doc_id", "lang")
+    j = scored.join(langs, "doc_id")
+    w1 = Window.partitionBy("query_id", "lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("inner_rank", F.row_number().over(w1))
+    best = ranked.filter(F.col("inner_rank") == 1)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    groups = (
+        best.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "lang", "rank")
+    )
+    return (
+        ranked.filter(F.col("inner_rank") <= 3)
+        .join(F.broadcast(groups), ["query_id", "lang"])
+        .select(
+            "query_id",
+            "rank",
+            "lang",
+            F.col("inner_rank").cast("long").alias("inner_rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
 def synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES query-time synonyms with Lucene SynonymQuery scoring: each
     term + its synonyms score as one pseudo-term (tf summed over the
@@ -2994,6 +3036,7 @@ SUITE = {
     "bm25_topk_filtered": bm25_topk_filtered,
     "synonym_topk": synonym_topk,
     "collapse_topk": collapse_topk,
+    "collapse_inner_hits": collapse_inner_hits,
     "bm25_topk_decay": bm25_topk_decay,
     "more_like_this_topk": more_like_this_topk,
     "search_sorted_by_field": search_sorted_by_field,
