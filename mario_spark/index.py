@@ -82,6 +82,16 @@ class Committer:
     def read_json(self, path: str) -> dict | None:
         raise NotImplementedError
 
+    def update_json(self, path: str, fn) -> dict:
+        """Atomic read-modify-write of a shared registry document
+        (aliases, templates, tombstone markers): obj = fn(current).
+        The default is last-writer-wins (correct for a single driver);
+        CAS backends override with a conflict-retry loop so CONCURRENT
+        drivers can mutate the same registry safely."""
+        obj = fn(self.read_json(path))
+        self.commit_json(path, obj)
+        return obj
+
 
 class FileCommitter(Committer):
     def commit_json(self, path: str, obj: dict) -> None:
@@ -97,12 +107,97 @@ class FileCommitter(Committer):
             return json.load(f)
 
 
+class CasCommitter(Committer):
+    """Object-store-shaped backend: every commit is a conditional put
+    keyed on a per-document GENERATION (S3 If-None-Match on a
+    generation key / GCS x-goog-if-generation-match / an Iceberg
+    catalog swap). The sandbox has no object store, so the conditional
+    primitive is modeled with the POSIX equivalent of create-if-absent:
+    os.link to `<path>.g<N>` fails with EEXIST iff another writer
+    already committed generation N — exactly a conditional put's
+    failure mode. What this class proves is the ENGINE-side contract:
+    all registry mutations flow through update_json's
+    read(gen) -> mutate -> put-if(gen+1) loop, retrying on conflict,
+    so a real S3/GCS/Iceberg backend only replaces the two private
+    _put_if/_latest methods.
+    """
+
+    MAX_RETRIES = 32
+
+    def _latest(self, path: str) -> tuple[int, dict | None]:
+        d, base = os.path.split(path)
+        best, body = 0, None
+        if os.path.isdir(d or "."):
+            for f in os.listdir(d or "."):
+                if f.startswith(base + ".g"):
+                    try:
+                        g = int(f[len(base) + 2:])
+                    except ValueError:
+                        continue
+                    if g > best:
+                        best = g
+        if best:
+            with open(f"{path}.g{best}") as fh:
+                body = json.load(fh)
+        return best, body
+
+    def _put_if(self, path: str, gen: int, obj: dict) -> bool:
+        """Conditional put of generation `gen`: True iff we won."""
+        tmp = f"{path}.tmp.{os.getpid()}.{gen}"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+        try:
+            os.link(tmp, f"{path}.g{gen}")  # create-if-absent, atomic
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def commit_json(self, path: str, obj: dict) -> None:
+        # blind overwrite (single-writer documents: segment markers,
+        # index meta) — still generation-sequenced so readers are
+        # never torn
+        for _ in range(self.MAX_RETRIES):
+            gen, _body = self._latest(path)
+            if self._put_if(path, gen + 1, obj):
+                return
+        raise RuntimeError(f"commit contention on {path}")
+
+    def read_json(self, path: str) -> dict | None:
+        return self._latest(path)[1]
+
+    def update_json(self, path: str, fn) -> dict:
+        for _ in range(self.MAX_RETRIES):
+            gen, body = self._latest(path)
+            obj = fn(body)
+            if self._put_if(path, gen + 1, obj):
+                return obj
+        raise RuntimeError(f"update contention on {path}")
+
+
 _COMMITTER = FileCommitter()
+
+
+def set_committer(committer: Committer) -> Committer:
+    """Swap the catalog's commit backend (returns the previous one).
+    This is the single switch that moves all metadata atomicity from
+    POSIX rename to an object-store conditional put."""
+    global _COMMITTER
+    prev = _COMMITTER
+    _COMMITTER = committer
+    return prev
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
     """Single-commit JSON write via the module committer."""
     _COMMITTER.commit_json(path, obj)
+
+
+def _update_json(path: str, fn) -> dict:
+    """Atomic read-modify-write via the module committer (CAS-retried
+    on backends that support generations)."""
+    return _COMMITTER.update_json(path, fn)
 
 
 def _read_json(path: str) -> dict | None:
@@ -912,21 +1007,29 @@ class Catalog:
                 f"unknown template settings {sorted(bad)}; allowed: "
                 f"{sorted(self._TEMPLATE_SETTINGS)}"
             )
-        templates = _read_json(self._templates_path) or {}
-        templates[name] = {
+        entry = {
             "index_patterns": list(index_patterns),
             "settings": dict(settings),
             "priority": int(priority),
         }
-        _atomic_write_json(self._templates_path, templates)
+
+        def mut(templates: dict | None) -> dict:
+            templates = templates or {}
+            templates[name] = entry
+            return templates
+
+        _update_json(self._templates_path, mut)
 
     def templates(self) -> dict:
         return _read_json(self._templates_path) or {}
 
     def delete_template(self, name: str) -> None:
-        templates = self.templates()
-        templates.pop(name, None)
-        _atomic_write_json(self._templates_path, templates)
+        def mut(templates: dict | None) -> dict:
+            templates = templates or {}
+            templates.pop(name, None)
+            return templates
+
+        _update_json(self._templates_path, mut)
 
     def _match_template(self, index_name: str):
         best = None
@@ -946,7 +1049,7 @@ class Catalog:
         idx = Index(self.spark, self.root, name)
         os.makedirs(idx.paths.base, exist_ok=True)
         tpath = os.path.join(idx.paths.base, "_template.json")
-        if _read_json(idx.paths.meta) is None and not os.path.exists(tpath):
+        if _read_json(idx.paths.meta) is None and _read_json(tpath) is None:
             m = self._match_template(name)
             if m is not None:
                 _atomic_write_json(
@@ -979,27 +1082,37 @@ class Catalog:
             raise ValueError(f"multiple current indexes for {source}: {hits}")
         return hits[0] if hits else None
 
-    # A12 — atomic promote: add new, drop previous same-source, ONE commit
+    # A12 — atomic promote: add new, drop previous same-source, ONE
+    # commit. The alias registry is the one document CONCURRENT drivers
+    # mutate, so the mutation runs inside the committer's CAS-retried
+    # read-modify-write (update_json) — two simultaneous promotes of
+    # different sources both land.
     def promote(self, name: str, alias: str = DEFAULT_ALIAS) -> None:
-        aliases = self._read_aliases()
         source = self.source_of(name)
-        members = [
-            m for m in aliases.get(alias, []) if self.source_of(m) != source
-        ]
-        members.append(name)
-        aliases[alias] = sorted(members)
-        _atomic_write_json(self._aliases_path, aliases)
+
+        def mut(aliases: dict | None) -> dict:
+            aliases = aliases or {}
+            members = [
+                m
+                for m in aliases.get(alias, [])
+                if self.source_of(m) != source
+            ]
+            members.append(name)
+            aliases[alias] = sorted(members)
+            return aliases
+
+        _update_json(self._aliases_path, mut)
 
     # A13
     def delete(self, name: str) -> None:
-        aliases = self._read_aliases()
-        changed = False
-        for a, ms in aliases.items():
-            if name in ms:
-                ms.remove(name)
-                changed = True
-        if changed:
-            _atomic_write_json(self._aliases_path, aliases)
+        def mut(aliases: dict | None) -> dict:
+            aliases = aliases or {}
+            for _a, ms in aliases.items():
+                if name in ms:
+                    ms.remove(name)
+            return aliases
+
+        _update_json(self._aliases_path, mut)
         base = os.path.join(self.root, name)
         if os.path.isdir(base):
             shutil.rmtree(base)
@@ -1192,17 +1305,23 @@ class Catalog:
         )
         if not analyzed:
             raise ValueError("alias filter needs at least one term")
-        filters = _read_json(self._alias_filters_path) or {}
-        filters[alias] = analyzed
-        _atomic_write_json(self._alias_filters_path, filters)
+        def mut(filters: dict | None) -> dict:
+            filters = filters or {}
+            filters[alias] = analyzed
+            return filters
+
+        _update_json(self._alias_filters_path, mut)
 
     def alias_filter(self, alias: str) -> list[str] | None:
         return (_read_json(self._alias_filters_path) or {}).get(alias)
 
     def delete_alias_filter(self, alias: str) -> None:
-        filters = _read_json(self._alias_filters_path) or {}
-        filters.pop(alias, None)
-        _atomic_write_json(self._alias_filters_path, filters)
+        def mut(filters: dict | None) -> dict:
+            filters = filters or {}
+            filters.pop(alias, None)
+            return filters
+
+        _update_json(self._alias_filters_path, mut)
 
     def search_via(
         self, name_or_alias: str, query_terms: DataFrame, k: int = 10

@@ -681,3 +681,59 @@ def test_multi_member_alias_search_federates(spark, root):
     pd.testing.assert_series_equal(
         gs["score"], want["score"], check_exact=False, atol=1e-9
     )
+
+
+def test_cas_committer_lifecycle_and_conflicts(spark, root):
+    """The object-store-shaped commit backend (conditional put on a
+    per-document generation) must run the whole catalog lifecycle
+    unchanged, and its CAS retry must merge concurrent registry
+    mutations instead of losing one."""
+    from mario_spark import index as idxmod
+
+    prev = idxmod.set_committer(idxmod.CasCommitter())
+    try:
+        cat = Catalog(spark, root)
+        pages = pages_df(spark, 300, seed=31, partitions=2)
+        cat.put_template("t", ["pages-*"], {"segment_docs": 128})
+        name = "pages-2026-05-01t00-00-00z"
+        idx = cat.create(name)
+        st = idx.ingest(pages)
+        assert st["n_docs"] == 300
+        assert json.loads(
+            json.dumps(idxmod._read_json(idx.paths.meta))
+        )["segment_docs"] == 128  # template applied through CAS reads
+        cat.promote(name)
+        assert cat.current("pages") == name
+        cat.put_alias_filter(Catalog.DEFAULT_ALIAS, ["crawl"])
+        q = query_terms_df(spark, make_pages_query_set(seed=31, n=4))
+        assert cat.search_via(Catalog.DEFAULT_ALIAS, q, k=5).count() > 0
+        res = idx.delete_by_query(["crawl"])
+        assert res["deleted"] > 0
+
+        # CAS conflict: a competing writer commits between our read and
+        # our put; update_json must retry and PRESERVE both mutations
+        path = cat._aliases_path
+        state = {"raced": False}
+
+        def mut(aliases):
+            aliases = dict(aliases or {})
+            if not state["raced"]:
+                state["raced"] = True
+                # competing writer wins the next generation first
+                idxmod._COMMITTER.update_json(
+                    path,
+                    lambda a: {**(a or {}), "other-alias": ["x-1"]},
+                )
+            aliases["my-alias"] = ["y-1"]
+            return aliases
+
+        idxmod._COMMITTER.update_json(path, mut)
+        final = idxmod._read_json(path)
+        assert final["other-alias"] == ["x-1"]  # racer's write survived
+        assert final["my-alias"] == ["y-1"]     # ours landed on retry
+        assert state["raced"]
+
+        cat.delete(name)
+        assert cat.aliases().get(Catalog.DEFAULT_ALIAS, []) == []
+    finally:
+        idxmod.set_committer(prev)
