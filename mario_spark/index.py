@@ -124,6 +124,11 @@ class CasCommitter(Committer):
 
     MAX_RETRIES = 32
 
+    def __init__(self) -> None:
+        import itertools
+
+        self._seq = itertools.count()
+
     def _latest(self, path: str) -> tuple[int, dict | None]:
         d, base = os.path.split(path)
         best, body = 0, None
@@ -143,7 +148,14 @@ class CasCommitter(Committer):
 
     def _put_if(self, path: str, gen: int, obj: dict) -> bool:
         """Conditional put of generation `gen`: True iff we won."""
-        tmp = f"{path}.tmp.{os.getpid()}.{gen}"
+        import threading
+
+        # unique per (process, thread, attempt): concurrent writers of
+        # the same generation must not share a staging file
+        tmp = (
+            f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+            f".{next(self._seq)}"
+        )
         with open(tmp, "w") as f:
             json.dump(obj, f, indent=1, sort_keys=True)
         try:

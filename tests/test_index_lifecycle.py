@@ -737,3 +737,24 @@ def test_cas_committer_lifecycle_and_conflicts(spark, root):
         assert cat.aliases().get(Catalog.DEFAULT_ALIAS, []) == []
     finally:
         idxmod.set_committer(prev)
+
+
+def test_cas_concurrent_promotes_all_land(spark, root):
+    """8 threads promote 8 different sources into the same alias
+    simultaneously through the CAS backend: every member must land
+    (a lost update would drop one silently under last-writer-wins)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mario_spark import index as idxmod
+
+    prev = idxmod.set_committer(idxmod.CasCommitter())
+    try:
+        cat = Catalog(spark, root)
+        names = [f"src{i}-2026-06-01t00-00-00z" for i in range(8)]
+        for n in names:
+            os.makedirs(os.path.join(root, n), exist_ok=True)
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(cat.promote, names))
+        assert cat.aliases()[Catalog.DEFAULT_ALIAS] == sorted(names)
+    finally:
+        idxmod.set_committer(prev)
