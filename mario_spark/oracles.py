@@ -1934,6 +1934,13 @@ FROM documents GROUP BY 1, 2
 ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10
 """
 
+AGG_TERMS_ORDER_METRIC = """
+SELECT source AS key, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY 1
+ORDER BY avg_chars DESC, key ASC LIMIT 8
+"""
+
 AGG_ADJACENCY_MATRIX = """
 WITH c AS (
   SELECT sum(CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_en,
@@ -4814,6 +4821,7 @@ ORACLES: dict[str, str] = {
     "completion_suggest": COMPLETION_SUGGEST,
     "agg_rare_terms": AGG_RARE_TERMS,
     "agg_multi_terms": AGG_MULTI_TERMS,
+    "agg_terms_order_metric": AGG_TERMS_ORDER_METRIC,
     "agg_adjacency_matrix": AGG_ADJACENCY_MATRIX,
     "agg_auto_date_histogram": AGG_AUTO_DATE_HISTOGRAM,
     "agg_geo_distance_rings": AGG_GEO_DISTANCE_RINGS,

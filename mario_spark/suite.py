@@ -1094,6 +1094,18 @@ def agg_cardinality_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.cardinality_kmv(e, "event_type", "user_id", k=256)
 
 
+def agg_terms_order_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg ordered by a sub-aggregation metric (order:
+    {avg_chars: desc}, size 8): bucket ranking driven by the metric,
+    not doc_count — one hash agg + TakeOrderedAndProject."""
+    d = _documents(spark, sf_dir)
+    g = d.groupBy(F.col("source").alias("key")).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return g.orderBy(F.desc("avg_chars"), F.asc("key")).limit(8)
+
+
 def agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms: terms overrepresented in the foreground
     (docs containing 'join') vs the whole corpus, scored by JLH =
@@ -3094,6 +3106,7 @@ SUITE = {
     "geo_bbox": geo_bbox,
     "agg_rare_terms": agg_rare_terms,
     "agg_multi_terms": agg_multi_terms,
+    "agg_terms_order_metric": agg_terms_order_metric,
     "agg_adjacency_matrix": agg_adjacency_matrix,
     "agg_auto_date_histogram": agg_auto_date_histogram,
     "agg_geo_distance_rings": agg_geo_distance_rings,
