@@ -188,3 +188,57 @@ def test_query_session_filter_terms_identical_to_cold(spark):
         )
         pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
     d.unpersist()
+
+
+def test_filter_and_must_not_compose(spark):
+    """filter_terms (global allow) and must_not (per-query exclude)
+    applied TOGETHER on the WAND path must equal the exhaustive ranking
+    restricted to allowed-minus-excluded docs."""
+    from mario_spark.fixtures import make_pages_query_set, query_terms_df
+    from mario_spark.wand import search_wand
+
+    pages = pages_df(spark, 500, seed=17, partitions=4)
+    d = docs.build_doc_table(pages).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st_["n_docs"])
+    qset = make_pages_query_set(seed=17, n=5)
+    qdf = query_terms_df(spark, qset)
+
+    import pyspark.sql.functions as F
+
+    tf = query.term_frequencies(d)
+    doc_sets = {
+        t: {r["doc_id"] for r in tf.filter(F.col("term") == t)
+            .select("doc_id").distinct().collect()}
+        for t in ("crawl", "web")
+    }
+    nmap = spark.createDataFrame(
+        [(qid, "web") for qid, _ in qset], "query_id long, term string"
+    )
+
+    full = (
+        query.search_exhaustive(d, qdf, k=500)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    keep = full["doc_id"].isin(doc_sets["crawl"]) & ~full["doc_id"].isin(
+        doc_sets["web"]
+    )
+    exp = full[keep].copy()
+    exp["rank"] = exp.groupby("query_id").cumcount() + 1
+    exp = exp[exp["rank"] <= 10].reset_index(drop=True)
+
+    got = (
+        search_wand(
+            post, dic, qdf, st_["n_docs"], st_["avgdl"], k=10,
+            must_not_terms=nmap, filter_terms=["crawl"],
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, exp[["query_id", "rank", "doc_id", "score"]].astype(got.dtypes),
+        check_exact=False, atol=1e-9,
+    )
+    d.unpersist()
