@@ -207,18 +207,40 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         from mario_spark.fixtures import query_terms_df
 
-        idx = cat.resolve(args.index)
         if args.phrase:
+            idx = cat.resolve(args.index)
             res = idx.search_phrase([(0, " ".join(args.text))], k=args.k)
         elif args.kind == "query_string":
+            idx = cat.resolve(args.index)
             res = idx.search_query_string([(0, " ".join(args.text))], k=args.k)
         elif args.kind != "match":
+            idx = cat.resolve(args.index)
             res = idx.search_multiterm(
                 [(0, " ".join(args.text))], kind=args.kind, k=args.k
             )
         else:
+            # match goes through search_via so alias semantics apply:
+            # an alias filter restricts results, a multi-member alias
+            # federates across its members (dfs_query_then_fetch) —
+            # resolve only AFTER, since resolve() rejects multi-member
             q = query_terms_df(spark, [(0, " ".join(args.text))])
-            res = idx.search(q, k=args.k)
+            res = cat.search_via(args.index, q, k=args.k)
+            if "index" in res.columns:  # federated: attribute hits
+                docs_u = None
+                for m in cat._read_aliases().get(args.index, []):
+                    dm = cat.open(m).docs().select("doc_id", "url")
+                    docs_u = dm if docs_u is None else docs_u.unionByName(dm)
+                out = (
+                    res.join(docs_u, "doc_id").orderBy("rank").collect()
+                )
+                for r in out:
+                    print(json.dumps({
+                        "rank": r["rank"], "index": r["index"],
+                        "doc_id": r["doc_id"], "score": r["score"],
+                        "url": r["url"],
+                    }))
+                return 0
+            idx = cat.resolve(args.index)
         docs = idx.docs().select("doc_id", "url")
         out = (
             res.join(F.broadcast(docs.join(res.select("doc_id"), "doc_id")), "doc_id")

@@ -758,3 +758,47 @@ def test_cas_concurrent_promotes_all_land(spark, root):
         assert cat.aliases()[Catalog.DEFAULT_ALIAS] == sorted(names)
     finally:
         idxmod.set_committer(prev)
+
+
+def test_cli_query_through_alias_semantics(spark, root, capsys):
+    """CLI match queries honor alias semantics: a filtered alias
+    restricts hits; a multi-member alias federates and attributes each
+    hit to its member index."""
+    import pyspark.sql.functions as F
+
+    from mario_spark import cli
+
+    cat = Catalog(spark, root)
+    pa = pages_df(spark, 200, seed=41, partitions=2)
+    pb = pages_df(spark, 150, seed=42, partitions=2).withColumn(
+        "url", F.concat(F.lit("b-"), F.col("url"))
+    )
+    na, nb = "alma-2026-01-01t00-00-00z", "dspace-2026-01-01t00-00-00z"
+    cat.create(na).ingest(pa)
+    cat.create(nb).ingest(pb)
+    cat.promote(na)
+
+    # filtered single-member alias: every hit's doc contains the term
+    cat.put_alias_filter(Catalog.DEFAULT_ALIAS, ["crawl"])
+    cli.main(["--root", root, "query", "-i", Catalog.DEFAULT_ALIAS, "data"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines
+    crawl_docs = {
+        r["doc_id"]
+        for r in query.term_frequencies(build_doc_table(pa))
+        .filter(F.col("term") == "crawl")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert all(json.loads(ln)["doc_id"] in crawl_docs for ln in lines)
+    cat.delete_alias_filter(Catalog.DEFAULT_ALIAS)
+
+    # multi-member alias: federated output carries the member index
+    cat.promote(nb)
+    cli.main(["--root", root, "query", "-i", Catalog.DEFAULT_ALIAS, "data"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines
+    idxs = {json.loads(ln)["index"] for ln in lines}
+    assert idxs.issubset({na, nb}) and len(idxs) >= 1
+    assert all("url" in json.loads(ln) for ln in lines)
