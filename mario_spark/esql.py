@@ -9,6 +9,7 @@ The supported subset is the language's core pipeline:
     | EVAL <name> = <col> <arith> <col|literal>   arith: + - * /
     | STATS <name> = FN(<col>|*) [WHERE <cond>] [, ...] [BY <key> [, ...]]
                                                   FN: COUNT SUM AVG MIN MAX MEDIAN
+                                                  COUNT_DISTINCT PERCENTILE(col, p)
                                                   key: <col> | n = BUCKET(<ts>, 1 day|hour|...)
     | SORT <col> [ASC|DESC] [, ...]
     | LIMIT <n>
@@ -55,7 +56,7 @@ _TABLES = (
 ).split()
 
 _CMP = {"==": "=", "!=": "!=", ">=": ">=", "<=": "<=", ">": ">", "<": "<"}
-_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN"}
+_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "COUNT_DISTINCT", "PERCENTILE"}
 
 # GROK primitive -> regex fragment (the commonly-used subset of the
 # logstash pattern library; each must be group-free so numbered capture
@@ -311,13 +312,14 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
     aggs = []
     for spec in _split_commas(aggs_part):
         m = re.fullmatch(
-            r"(\w+)\s*=\s*(\w+)\(\s*(\*|\w+)\s*\)"
+            r"(\w+)\s*=\s*(\w+)\(\s*(\*|\w+)"
+            r"(?:\s*,\s*([\d.]+))?\s*\)"
             r"(?:\s+WHERE\s+(.+))?",
             spec.strip(),
         )
         if not m:
             raise ValueError(f"ES|QL: bad STATS {spec!r}")
-        name, fn, col, flt = m.groups()
+        name, fn, col, arg, flt = m.groups()
         fn = fn.upper()
         if fn not in _FNS:
             raise ValueError(f"ES|QL: unknown function {fn}")
@@ -329,6 +331,16 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
             src = F.when(_cond_expr(flt), src)
         if fn == "COUNT":
             aggs.append(F.count(src).cast("long").alias(name))
+        elif fn == "COUNT_DISTINCT":
+            aggs.append(F.countDistinct(src).cast("long").alias(name))
+        elif fn == "PERCENTILE":
+            if arg is None:
+                raise ValueError(f"ES|QL: PERCENTILE needs a percent arg")
+            aggs.append(
+                F.round(
+                    F.percentile(src, F.lit(float(arg) / 100.0)), 4
+                ).alias(name)
+            )
         elif fn == "SUM":
             aggs.append(F.round(F.sum(src), 4).alias(name))
         elif fn == "AVG":

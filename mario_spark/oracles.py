@@ -4590,6 +4590,12 @@ SELECT event_type, band, count(*)::BIGINT AS n
 FROM b GROUP BY 1, 2 ORDER BY event_type ASC, band ASC
 """
 
+ESQL_COUNT_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS users,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY 1 ORDER BY event_type ASC
+"""
+
 ESQL_LOOKUP_JOIN = """
 SELECT c.c_nationkey, count(*)::BIGINT AS n,
        round(sum(o.o_totalprice), 4) AS sum_price
@@ -4913,6 +4919,7 @@ ORACLES: dict[str, str] = {
     "esql_where_in_like": ESQL_WHERE_IN_LIKE,
     "esql_bucket_stats": ESQL_BUCKET_STATS,
     "esql_case": ESQL_CASE,
+    "esql_count_distinct": ESQL_COUNT_DISTINCT,
     "esql_eval_fns": ESQL_EVAL_FNS,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,

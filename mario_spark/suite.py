@@ -2806,6 +2806,21 @@ def esql_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL COUNT_DISTINCT + PERCENTILE stats per event_type — one
+    hash agg; exact distinct (ES uses HLL, ours is exact — documented
+    divergence in the engine's favor) (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events "
+        "| STATS users = COUNT_DISTINCT(user_id), "
+        "p90 = PERCENTILE(value, 90) BY event_type "
+        "| SORT event_type ASC",
+    )
+
+
 def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL LOOKUP JOIN (8.18): orders joined to the customer lookup
     index on a same-named key (RENAME aligns it first), filtered and
@@ -3213,6 +3228,7 @@ SUITE = {
     "esql_where_in_like": esql_where_in_like,
     "esql_bucket_stats": esql_bucket_stats,
     "esql_case": esql_case,
+    "esql_count_distinct": esql_count_distinct,
     "esql_eval_fns": esql_eval_fns,
     "bm25_topk_wand_filtered": bm25_topk_wand_filtered,
     "agg_date_range": agg_date_range,
