@@ -997,6 +997,69 @@ def eql_sequence(
     )
 
 
+def eql_sequence_until(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    first_type: str,
+    second_type: str,
+    until_type: str,
+    maxspan_sec: int,
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES EQL `sequence by K with maxspan=Ns [t1] [t2] until [u]`:
+    EQL's expiry rule — a matched (t1 -> nearest t2) pair is DISCARDED
+    when an until-event of the same key fires strictly between the two
+    (the pending sequence state expires before completing).
+
+    Plan shape: the eql_sequence core (scan-filtered sides, key hash
+    join, min_by nearest follower) keeps both timestamps, then the
+    expiry check is ONE more key-equi join with the range predicate as
+    a post-join filter — run AFTER the pair table is reduced to
+    <= |t1| rows, so the until join's left side is already small."""
+    a = events.filter(F.col(type_col) == first_type).select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("first_id"),
+        F.col(ts_col).cast("timestamp").alias("a_ts"),
+    )
+    bs = events.filter(F.col(type_col) == second_type).select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("second_id"),
+        F.col(ts_col).cast("timestamp").alias("b_ts"),
+    )
+    gap = F.col("b_ts").cast("double") - F.col("a_ts").cast("double")
+    pairs = (
+        a.join(bs, "k")
+        .filter((F.col("b_ts") > F.col("a_ts")) & (gap <= maxspan_sec))
+        .groupBy("k", "first_id", "a_ts")
+        .agg(
+            F.min_by(
+                F.struct("b_ts", "second_id"), F.struct("b_ts", "second_id")
+            ).alias("m")
+        )
+        .select(
+            "k",
+            "first_id",
+            "a_ts",
+            F.col("m.second_id").alias("second_id"),
+            F.col("m.b_ts").alias("b_ts"),
+        )
+    )
+    u = events.filter(F.col(type_col) == until_type).select(
+        F.col(key_col).alias("uk"),
+        F.col(ts_col).cast("timestamp").alias("u_ts"),
+    )
+    cond = (
+        (pairs["k"] == u["uk"])
+        & (u["u_ts"] > pairs["a_ts"])
+        & (u["u_ts"] < pairs["b_ts"])
+    )
+    return pairs.join(u, cond, "left_anti").select(
+        F.col("k").alias(key_col), "first_id", "second_id"
+    )
+
+
 def transform_pivot(
     events: DataFrame, key_col: str, ts_col: str, value_col: str
 ) -> DataFrame:

@@ -3553,6 +3553,36 @@ FROM m
 """
 
 
+EQL_SEQUENCE_UNTIL = """
+WITH a AS (
+  SELECT user_id AS k, event_id AS first_id, ts AS a_ts
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id AS k, event_id AS second_id, ts AS b_ts
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT a.k, a.first_id, a.a_ts, b.second_id, b.b_ts
+  FROM a JOIN b USING (k)
+  WHERE b.b_ts > a.a_ts AND epoch(b.b_ts) - epoch(a.a_ts) <= 21600
+),
+rk AS (
+  SELECT k, first_id, a_ts, second_id, b_ts,
+         row_number() OVER (PARTITION BY k, first_id
+                            ORDER BY b_ts, second_id) AS rn
+  FROM j
+),
+p AS (SELECT k, first_id, a_ts, second_id, b_ts FROM rk WHERE rn = 1)
+SELECT p.k AS user_id, p.first_id, p.second_id
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM events u
+  WHERE u.event_type = 'error' AND u.user_id = p.k
+    AND u.ts > p.a_ts AND u.ts < p.b_ts
+)
+"""
+
 EQL_SEQUENCE_VP = """
 WITH a AS (
   SELECT user_id AS k, event_id AS first_id, ts AS a_ts
@@ -4879,6 +4909,7 @@ ORACLES: dict[str, str] = {
     "agg_normalize": AGG_NORMALIZE,
     "agg_rate": AGG_RATE,
     "eql_sequence_vp": EQL_SEQUENCE_VP,
+    "eql_sequence_until": EQL_SEQUENCE_UNTIL,
     "ann_hard_negatives": hard_negatives_sql(),
     "linear_hybrid_topk": linear_hybrid_sql(),
     "transform_pivot_users": TRANSFORM_PIVOT_USERS,

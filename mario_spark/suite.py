@@ -2324,6 +2324,18 @@ def eql_sequence_vp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eql_sequence_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL sequence with until: view -> nearest purchase within 6h,
+    expired when an error fires between them
+    (ops/aggs.eql_sequence_until)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.eql_sequence_until(
+        e, "user_id", "ts", "view", "purchase", "error", maxspan_sec=21600
+    )
+
+
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: nearest different-label
     vectors per anchor, re-ranked from a 50-deep cosine window
@@ -3188,6 +3200,7 @@ SUITE = {
     "agg_normalize": agg_normalize,
     "agg_rate": agg_rate,
     "eql_sequence_vp": eql_sequence_vp,
+    "eql_sequence_until": eql_sequence_until,
     "ann_hard_negatives": ann_hard_negatives,
     "linear_hybrid_topk": linear_hybrid_topk,
     "transform_pivot_users": transform_pivot_users,
