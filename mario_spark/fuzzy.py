@@ -94,6 +94,7 @@ def suggest_terms(
     inputs: list[str],
     max_edits: int = 2,
     size: int = 3,
+    mode: str = "always",
 ) -> DataFrame:
     """ES term suggester ("did you mean"): for each input term, the
     top-`size` dictionary terms within `max_edits` CLASSIC Levenshtein
@@ -102,7 +103,12 @@ def suggest_terms(
     then term ASC. One dictionary pass against the broadcast inputs;
     the cheap length-difference band prunes before the DP distance
     runs, all JVM-side codegen (F.levenshtein). Returns
-    (input, rank, suggestion, dist, df)."""
+    (input, rank, suggestion, dist, df).
+
+    mode="popular" (ES suggest_mode=popular): only suggest terms MORE
+    frequent than the input term — the input's own df (0 when absent
+    from the index) gates every candidate. The gate is one broadcast
+    join of the tiny input-df table; everything else is unchanged."""
     spark = dictionary.sparkSession
     inp = spark.createDataFrame([(t,) for t in inputs], "input string")
     cand = (
@@ -113,6 +119,18 @@ def suggest_terms(
         .withColumn("dist", F.levenshtein("input", "term").cast("long"))
         .filter((F.col("dist") >= 1) & (F.col("dist") <= max_edits))
     )
+    if mode == "popular":
+        in_df = inp.join(
+            dictionary.select(F.col("term").alias("input"),
+                              F.col("df").alias("input_df")),
+            "input",
+            "left",
+        ).withColumn("input_df", F.coalesce("input_df", F.lit(0)))
+        cand = cand.join(F.broadcast(in_df), "input").filter(
+            F.col("df") > F.col("input_df")
+        )
+    elif mode != "always":
+        raise ValueError(f"unknown suggest mode {mode!r}")
     from pyspark.sql import Window
 
     w = Window.partitionBy("input").orderBy(

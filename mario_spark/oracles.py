@@ -968,6 +968,35 @@ FROM rk WHERE rank <= 3
 """
 
 
+def _term_suggest_popular_oracle() -> str:
+    return """
+WITH %s,
+tfp AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM tfp GROUP BY 1),
+inp(input) AS (VALUES ('part'), ('sort')),
+ind AS (
+  SELECT inp.input, coalesce(dfr.df, 0) AS input_df
+  FROM inp LEFT JOIN dfr ON dfr.term = inp.input
+),
+cand AS (
+  SELECT ind.input, dfr.term, dfr.df,
+         levenshtein(ind.input, dfr.term)::BIGINT AS dist
+  FROM dfr CROSS JOIN ind
+  WHERE levenshtein(ind.input, dfr.term) BETWEEN 1 AND 2
+    AND dfr.df > ind.input_df
+),
+rk AS (
+  SELECT input,
+         row_number() OVER (PARTITION BY input
+                            ORDER BY dist ASC, df DESC, term ASC) AS rank,
+         term AS suggestion, dist, df
+  FROM cand
+)
+SELECT input, rank::BIGINT AS rank, suggestion, dist, df
+FROM rk WHERE rank <= 3
+""" % _TOKS_CTE
+
+
 def _qs_oracle() -> str:
     from mario_spark.fixtures import DOCUMENTS_QS_SET
     from mario_spark.qs import query_string_sql
@@ -4834,6 +4863,7 @@ ORACLES: dict[str, str] = {
     "agg_date_histogram": AGG_DATE_HISTOGRAM,
     "query_string_topk": _qs_oracle(),
     "term_suggest": _term_suggest_oracle(),
+    "term_suggest_popular": _term_suggest_popular_oracle(),
     "repetition_stats": REPETITION_STATS,
     "url_dedup": URL_DEDUP,
     "stratified_sample": STRATIFIED_SAMPLE,

@@ -1176,6 +1176,20 @@ def term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.suggest_terms(dfreq, DOCUMENTS_SUGGEST_SET, max_edits=2, size=3)
 
 
+def term_suggest_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester suggest_mode=popular: only corrections MORE
+    document-frequent than the input term surface (inputs here are real
+    index terms, so the df gate visibly prunes)
+    (fuzzy.suggest_terms(mode="popular"))."""
+    from mario_spark import fuzzy
+
+    d = _doc_table(spark, sf_dir)
+    dfreq = query.doc_frequencies(query.term_frequencies(d))
+    return fuzzy.suggest_terms(
+        dfreq, ["part", "sort"], max_edits=2, size=3, mode="popular"
+    )
+
+
 def query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES query_string mini-language (bare=should, +must, -must_not,
     quotes=phrase) compiled onto BM25: Lucene BooleanQuery matching
@@ -3121,6 +3135,7 @@ SUITE = {
     "agg_composite_page": agg_composite_page,
     "query_string_topk": query_string_topk,
     "term_suggest": term_suggest,
+    "term_suggest_popular": term_suggest_popular,
     "agg_histogram_nchars": agg_histogram_nchars,
     "agg_extended_stats": agg_extended_stats,
     "agg_filters": agg_filters,
