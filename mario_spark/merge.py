@@ -312,3 +312,104 @@ def maybe_merge(
     full = set(sel) == set(index.paths.committed_segments())
     purge = full and index.deleted_ids() is not None
     return compact_segments(index, sel, purge_deletes=purge)
+
+
+def reshard(catalog, src: str, dst: str, range_width: int) -> "Index":
+    """ES _split / _shrink: rewrite an index onto a DIFFERENT dbucket
+    grid (`range_width` = docs per bucket ≈ shard size). Doc ids are
+    grid-independent, so queries over the resharded index are
+    rank-identical (asserted in tests) — exactly ES's resize contract.
+
+    Spark-first shape: stream-decode the compressed postings to tf
+    rows (mapInPandas, never through the driver), ONE salted
+    repartitionByRange onto the NEW (term, dbucket) grid re-encodes,
+    the docs table copies unchanged, and the dictionary re-derives from
+    the encoded blocks. Commit protocol is the engine's usual: payloads
+    first, the _seg.json marker last, so a crashed reshard leaves an
+    invisible target.
+
+    Tombstones must be purged first (compact_segments): a reshard is a
+    full rewrite, so carrying live-docs masks through it would bake
+    stale stats silently.
+    """
+    from mario_spark.postings import dictionary_from_postings, encode_tf_rows
+
+    s = catalog.open(src)
+    p = s.paths
+    committed = p.committed_segments()
+    if not committed:
+        raise ValueError(f"index '{src}' has no committed segments")
+    if s.deleted_ids() is not None:
+        raise ValueError(
+            "index has tombstones; run compact_segments (purge) before "
+            "resharding"
+        )
+    meta = dict(_read_json(p.meta) or {})
+    mans = [_read_json(p.seg_meta(g)) or {} for g in committed]
+    doc_hi = max(m["doc_hi"] for m in mans)
+    sp = catalog.spark
+
+    tf_rows = decode_to_tf_rows(s.postings())
+    enc = encode_tf_rows(tf_rows, range_width)
+
+    import math
+
+    d = catalog.create(dst)
+    seg_docs = int(math.ceil(doc_hi / range_width) * range_width)
+    meta.update(
+        {
+            "name": dst,
+            "range_width": range_width,
+            "segment_docs": max(seg_docs, range_width),
+            "resharded_from": src,
+        }
+    )
+    _atomic_write_json(d.paths.meta, meta)
+    seg_dir = d.paths.seg(0)
+    os.makedirs(seg_dir, exist_ok=True)
+    enc.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
+    written = sp.read.parquet(os.path.join(seg_dir, "postings"))
+    dictionary_from_postings(written).write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "dictionary")
+    )
+    s.docs().write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+    os.makedirs(os.path.join(d.paths.base, "manifest"), exist_ok=True)
+    (
+        written.groupBy("dbucket")
+        .agg(
+            F.sum("n").cast("long").alias("postings"),
+            F.count("*").cast("long").alias("blocks"),
+            (
+                F.sum(F.octet_length("doc_ids"))
+                + F.sum(F.octet_length("tfs"))
+                + F.sum(F.octet_length("lens"))
+            )
+            .cast("long")
+            .alias("payload_bytes"),
+        )
+        .withColumn("segment", F.lit(0))
+        .withColumn(
+            "doc_lo", F.lit(min(m["doc_lo"] for m in mans)).cast("long")
+        )
+        .withColumn("doc_hi", F.lit(doc_hi).cast("long"))
+        .write.mode("overwrite")
+        .parquet(d.paths.manifest(0))
+    )
+    marker = {
+        "status": "committed",
+        "n_docs": sum(m["n_docs"] for m in mans),
+        "sum_len": sum(m["sum_len"] for m in mans),
+        "doc_lo": min(m["doc_lo"] for m in mans),
+        "doc_hi": doc_hi,
+        "resharded_from": src,
+    }
+    fs_all: dict[str, dict] = {}
+    for m in mans:
+        for f, st in (m.get("field_stats") or {}).items():
+            a = fs_all.setdefault(f, {"n_docs": 0, "sum_len": 0})
+            a["n_docs"] += st["n_docs"]
+            a["sum_len"] += st["sum_len"]
+    if fs_all:
+        marker["field_stats"] = fs_all
+    _atomic_write_json(d.paths.seg_meta(0), marker)
+    return d

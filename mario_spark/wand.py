@@ -255,7 +255,11 @@ def _bucket_kernel(
                 ids, totals = ids[keep], totals[keep]
             if ids.size == 0:
                 continue
-            order = np.lexsort((ids, -totals))[:k]
+            # local selection must use the GLOBAL ranking criterion
+            # (4dp-rounded score, doc_id asc) — sorting on raw floats
+            # here can drop a doc that ties at the k-th rounded score,
+            # making results depend on the dbucket grid
+            order = np.lexsort((ids, -np.floor(totals * 1e4 + 0.5)))[:k]
             out_q.append(np.full(order.size, qid, dtype=np.int64))
             out_d.append(ids[order].astype(np.int64))
             out_s.append(totals[order])
@@ -311,7 +315,8 @@ def _bucket_kernel(
             uniq, totals = uniq[keep], totals[keep]
         if uniq.size == 0:
             continue
-        order = np.lexsort((uniq, -totals))[:k]
+        # same rounded-criterion local selection as the conjunctive path
+        order = np.lexsort((uniq, -np.floor(totals * 1e4 + 0.5)))[:k]
         out_q.append(np.full(order.size, qid, dtype=np.int64))
         out_d.append(uniq[order].astype(np.int64))
         out_s.append(totals[order])

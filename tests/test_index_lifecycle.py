@@ -802,3 +802,37 @@ def test_cli_query_through_alias_semantics(spark, root, capsys):
     idxs = {json.loads(ln)["index"] for ln in lines}
     assert idxs.issubset({na, nb}) and len(idxs) >= 1
     assert all("url" in json.loads(ln) for ln in lines)
+
+
+def test_reshard_rank_identical_and_regridded(spark, root):
+    """ES _split/_shrink analogue: rewriting onto a finer AND a coarser
+    dbucket grid must keep every query rank-identical while actually
+    changing the bucket layout."""
+    from mario_spark.merge import reshard
+
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 600, seed=51, partitions=4)
+    src = "pages-2026-07-01t00-00-00z"
+    idx = cat.create(src)
+    idx.ingest(pages, segment_docs=256, range_width=128)
+    q = query_terms_df(spark, make_pages_query_set(seed=51, n=8))
+    want = _canon(idx.search(q, k=10))
+    n_buckets_src = idx.postings().select("dbucket").distinct().count()
+
+    for rw in (64, 512):  # split (finer) and shrink (coarser)
+        dst = f"resharded-{rw}-2026-07-01t00-00-00z"
+        d = reshard(cat, src, dst, range_width=rw)
+        got = _canon(d.search(q, k=10))
+        pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+        nb = d.postings().select("dbucket").distinct().count()
+        assert nb != n_buckets_src  # the grid genuinely changed
+        st = d.stats()
+        assert st["n_docs"] == 600 and st["segments"] == 1
+        # manifest metrics re-derived from the new layout
+        man = d.manifest().toPandas()
+        assert man["postings"].sum() == d.postings().toPandas()["n"].sum()
+
+    # tombstones block resharding until purged
+    idx.delete_by_query(["crawl"])
+    with pytest.raises(ValueError, match="tombstones"):
+        reshard(cat, src, "x-2026-07-01t00-00-00z", range_width=64)
