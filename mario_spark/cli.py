@@ -1,6 +1,6 @@
 """CLI mirroring mario's command surface (A17/A18:
 /root/reference/cmd/mario/main.go:34-222 — subcommands aliases,
-indexes, ping, ingest, promote, reindex, delete; plus our engine-native
+indexes, ping, ingest, promote, reindex, delete; plus our engine-native (incl. reshard)
 query and merge). Deploys via `spark-submit --py-files mario_spark.zip
 -m mario_spark.cli ...` or plain `python -m mario_spark.cli`.
 
@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("delete")
     p.add_argument("-i", "--index", required=True)
+
+    p = sub.add_parser("reshard")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-d", "--destination", required=True)
+    p.add_argument("--range-width", type=int, required=True,
+                   help="docs per dbucket on the new grid (ES _split/_shrink)")
 
     p = sub.add_parser("query")
     p.add_argument("-i", "--index", required=True, help="index name or alias")
@@ -249,6 +255,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in out:
             print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"], "url": r["url"]}))
+    elif args.cmd == "reshard":
+        from mario_spark.merge import reshard
+
+        d = reshard(cat, args.index, args.destination, args.range_width)
+        print(json.dumps({"index": args.destination, **d.stats()}))
     elif args.cmd == "merge":
         from mario_spark.merge import compact_segments
 
