@@ -968,6 +968,15 @@ FROM rk WHERE rank <= 3
 """
 
 
+TERMS_ENUM = f"""
+WITH {_TOKS_CTE},
+tfp AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM tfp GROUP BY 1)
+SELECT term, df FROM dfr WHERE term LIKE 's%'
+ORDER BY term ASC LIMIT 10
+"""
+
+
 def _term_suggest_popular_oracle() -> str:
     return """
 WITH %s,
@@ -4864,6 +4873,7 @@ ORACLES: dict[str, str] = {
     "query_string_topk": _qs_oracle(),
     "term_suggest": _term_suggest_oracle(),
     "term_suggest_popular": _term_suggest_popular_oracle(),
+    "terms_enum": TERMS_ENUM,
     "repetition_stats": REPETITION_STATS,
     "url_dedup": URL_DEDUP,
     "stratified_sample": STRATIFIED_SAMPLE,

@@ -1176,6 +1176,21 @@ def term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.suggest_terms(dfreq, DOCUMENTS_SUGGEST_SET, max_edits=2, size=3)
 
 
+def terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _terms_enum API: up to 10 index terms starting with a prefix,
+    lexicographic order, with doc frequencies — a pushdown-filtered
+    dictionary scan + TakeOrderedAndProject (the dictionary is ~30x
+    smaller than the tf stream, so this never touches postings)."""
+    d = _doc_table(spark, sf_dir)
+    dfreq = query.doc_frequencies(query.term_frequencies(d))
+    return (
+        dfreq.filter(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("term"))
+        .limit(10)
+    )
+
+
 def term_suggest_popular(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES term suggester suggest_mode=popular: only corrections MORE
     document-frequent than the input term surface (inputs here are real
@@ -3136,6 +3151,7 @@ SUITE = {
     "query_string_topk": query_string_topk,
     "term_suggest": term_suggest,
     "term_suggest_popular": term_suggest_popular,
+    "terms_enum": terms_enum,
     "agg_histogram_nchars": agg_histogram_nchars,
     "agg_extended_stats": agg_extended_stats,
     "agg_filters": agg_filters,
