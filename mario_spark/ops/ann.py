@@ -875,3 +875,63 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
     )
+
+
+def bitsig_sql(vec_col: str, dims: int = 64, dialect: str = "spark") -> str:
+    """Generated SQL: sign-bit binarization of a float vector into a
+    16-hex signature — ES dense_vector element_type=bit (8.14): each
+    dimension contributes one bit (value > 0), 32x smaller than float32
+    and compared by hamming distance. The SAME generator emits the
+    Spark expression and the DuckDB oracle (only array indexing
+    differs), so both engines produce bit-identical signatures in pure
+    codegen."""
+    assert dims == 64, "16-hex signature covers exactly 64 dims"
+    outs = []
+    for p in range(16):
+        bits = []
+        for b in range(4):
+            i = 4 * p + b + 1
+            el = (
+                f"element_at({vec_col}, {i})"
+                if dialect == "spark"
+                else f"{vec_col}[{i}]"
+            )
+            bits.append(f"(case when {el} > 0 then {1 << b} else 0 end)")
+        outs.append(
+            f"substr('0123456789abcdef', ({' + '.join(bits)}) + 1, 1)"
+        )
+    return "concat(" + ", ".join(outs) + ")"
+
+
+def bit_hamming_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """-> (query_id, rank, vec_id, hamming): exact hamming top-k over
+    bit-quantized vectors (ES knn on element_type=bit). Self-matches
+    excluded; ties break on vec_id asc.
+
+    100TB shape: signatures are 8 bytes/vector (the scan reads ONLY
+    them), the query signatures broadcast, and hamming is a codegen
+    popcount chain (ops.dedup.hamming_sql) — no floats move after the
+    one-time binarization. The same banded-LSH trick as simhash_pairs
+    confines candidate generation when the query side is also large."""
+    from mario_spark.ops.dedup import hamming_sql
+
+    sig = F.expr(bitsig_sql("embedding", dialect="spark"))
+    s = embeddings.select("vec_id", sig.alias("sig"))
+    qs = s.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    j = s.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ham = F.expr(hamming_sql("qsig", "sig", dialect="spark"))
+    r = j.withColumn("hamming", ham.cast("long"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    return (
+        r.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "hamming")
+    )

@@ -4795,6 +4795,29 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+def _bit_hamming_oracle(k: int = 10) -> str:
+    from mario_spark.ops.ann import bitsig_sql
+    from mario_spark.ops.dedup import hamming_sql
+
+    sig = bitsig_sql("embedding", dialect="duckdb")
+    ham = hamming_sql("q.qsig", "s.sig", dialect="duckdb")
+    return f"""
+WITH s AS (SELECT vec_id, {sig} AS sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, sig AS qsig FROM s WHERE vec_id IN (0,1,2,3,4)),
+h AS (
+  SELECT q.query_id, s.vec_id, ({ham})::BIGINT AS hamming
+  FROM q, s WHERE s.vec_id <> q.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS rank
+  FROM h
+)
+SELECT query_id, rank, vec_id, hamming FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -4995,6 +5018,7 @@ ORACLES: dict[str, str] = {
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,
     # same exhaustive scorer as brute top-k, plus the similarity gate
+    "ann_bit_hamming_topk": _bit_hamming_oracle(),
     "ann_similarity_topk": ANN_BRUTE_TOPK.replace(
         "WHERE rank <= 10", "WHERE rank <= 10 AND cos >= 0.28"
     ),

@@ -919,6 +919,17 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_topk(e, ANN_QUERY_IDS, k=10)
 
 
+def ann_bit_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES kNN over bit vectors (dense_vector element_type=bit, 8.14):
+    sign-bit 64-bit signatures, exact hamming top-10 per query — 8
+    bytes/vector scanned, popcount in codegen
+    (ops/ann.bit_hamming_topk)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.bit_hamming_topk(e, ANN_QUERY_IDS, k=10)
+
+
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import ann
 
@@ -3278,6 +3289,7 @@ SUITE = {
     "agg_date_range": agg_date_range,
     "agg_random_sampler": agg_random_sampler,
     "ann_similarity_topk": ann_similarity_topk,
+    "ann_bit_hamming_topk": ann_bit_hamming_topk,
     "agg_geo_line": agg_geo_line,
     "agg_bucket_script": agg_bucket_script,
     "geo_sort_topk": geo_sort_topk,
