@@ -935,3 +935,54 @@ def bit_hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "hamming")
     )
+
+
+def _cos64_expr(a: str, b: str) -> "F.Column":
+    """Exact cosine of two 64-dim float arrays as ONE codegen
+    expression, mirroring the oracle's normalize-then-dot form term by
+    term (ascending i) so the two engines agree bitwise."""
+    sa = (
+        f"sqrt(aggregate({a}, 0D, (acc, x) -> "
+        f"acc + cast(x as double) * cast(x as double)))"
+    )
+    sb = (
+        f"sqrt(aggregate({b}, 0D, (acc, x) -> "
+        f"acc + cast(x as double) * cast(x as double)))"
+    )
+    return F.expr(
+        f"aggregate(sequence(1, 64), 0D, (acc, i) -> acc + "
+        f"(cast(element_at({a}, i) as double) / {sa}) * "
+        f"(cast(element_at({b}, i) as double) / {sb}))"
+    )
+
+
+def bit_rescore_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    window: int = 30,
+) -> DataFrame:
+    """ES bit-vector serving shape: hamming over 8-byte sign
+    signatures picks the top-`window` candidates, exact float cosine
+    re-ranks them to top-k — bits decide the candidate set, floats
+    decide the order (the same two-phase contract as int8_rescore).
+    Returns (query_id, rank, vec_id, cos). The rescore join touches
+    only window*|queries| rows, so full vectors are read for a
+    vanishing fraction of the corpus."""
+    cand = bit_hamming_topk(embeddings, query_ids, k=window).select(
+        "query_id", "vec_id"
+    )
+    qv = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    j = (
+        cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(_cos64_expr("qe", "embedding"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )

@@ -4818,6 +4818,46 @@ SELECT query_id, rank, vec_id, hamming FROM rk WHERE rank <= {k}
 """
 
 
+def _bit_rescore_oracle(k: int = 10, window: int = 30) -> str:
+    from mario_spark.ops.ann import bitsig_sql
+    from mario_spark.ops.dedup import hamming_sql
+
+    sig = bitsig_sql("embedding", dialect="duckdb")
+    ham = hamming_sql("q.qsig", "s.sig", dialect="duckdb")
+    cos = _COS64.format(A="qv.qe", B="e2.embedding")
+    return f"""
+WITH s AS (SELECT vec_id, {sig} AS sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, sig AS qsig FROM s WHERE vec_id IN (0,1,2,3,4)),
+h AS (
+  SELECT q.query_id, s.vec_id, ({ham})::BIGINT AS hamming
+  FROM q, s WHERE s.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, vec_id ASC) AS rn
+    FROM h
+  ) WHERE rn <= {window}
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id IN (0,1,2,3,4)),
+sc AS (
+  SELECT c.query_id, c.vec_id, round({cos}, 4) AS cos
+  FROM cand c
+  JOIN embeddings e2 ON e2.vec_id = c.vec_id
+  JOIN qv ON qv.query_id = c.query_id
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
@@ -5019,6 +5059,7 @@ ORACLES: dict[str, str] = {
     "agg_random_sampler": AGG_RANDOM_SAMPLER,
     # same exhaustive scorer as brute top-k, plus the similarity gate
     "ann_bit_hamming_topk": _bit_hamming_oracle(),
+    "ann_bit_rescore": _bit_rescore_oracle(),
     "ann_similarity_topk": ANN_BRUTE_TOPK.replace(
         "WHERE rank <= 10", "WHERE rank <= 10 AND cos >= 0.28"
     ),

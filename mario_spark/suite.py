@@ -930,6 +930,15 @@ def ann_bit_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bit_hamming_topk(e, ANN_QUERY_IDS, k=10)
 
 
+def ann_bit_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bit-vector kNN + float rescore: hamming candidates (window
+    30), exact-cosine final order (ops/ann.bit_rescore_topk)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.bit_rescore_topk(e, ANN_QUERY_IDS, k=10, window=30)
+
+
 def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import ann
 
@@ -3290,6 +3299,7 @@ SUITE = {
     "agg_random_sampler": agg_random_sampler,
     "ann_similarity_topk": ann_similarity_topk,
     "ann_bit_hamming_topk": ann_bit_hamming_topk,
+    "ann_bit_rescore": ann_bit_rescore,
     "agg_geo_line": agg_geo_line,
     "agg_bucket_script": agg_bucket_script,
     "geo_sort_topk": geo_sort_topk,
