@@ -176,6 +176,7 @@ def main() -> None:
         "ann_pq_topk",
         "ann_int8_rescore",
         "ann_ivfpq_topk",
+        "ann_bit_rescore",
         "esql_stats",
         "lsh_recall_audit",
         "clf_quality_score",
