@@ -168,3 +168,60 @@ def test_stateful_custom_operator_matches_batch(spark, tmp_path):
     for k in b:
         assert g[k][0] == b[k][0]
         assert abs(g[k][1] - b[k][1]) < 1e-6
+
+
+def test_streaming_upsert_cdc_shape(spark, tmp_path):
+    """CDC-style streaming ingest: a later micro-batch RE-SENDS some
+    urls with changed text; foreachBatch(upsert) must leave exactly one
+    live version per url — the latest — and searches must reflect it."""
+    import pyspark.sql.functions as F
+
+    from mario_spark.fixtures import pages_df, query_terms_df
+    from mario_spark.index import Catalog
+
+    base = pages_df(spark, 300, seed=9, partitions=2)
+    updated = (
+        base.orderBy("url")
+        .limit(30)
+        .withColumn("text", F.concat(F.lit("zzzcdc marker "), F.col("text")))
+    )
+    src = str(tmp_path / "cdc_stream")
+    # batch files arrive in order: full corpus, then the update wave
+    base.coalesce(1).write.parquet(src)
+    updated.coalesce(1).write.mode("append").parquet(src)
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    idx = cat.create("cdc-2026-01-01t00-00-00z")
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def fb(batch_df, batch_id):
+        if batch_df.count():
+            idx.upsert(batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # one live version per url
+    live = idx.docs()
+    dele = idx.deleted_ids()
+    if dele is not None:
+        live = live.join(dele, "doc_id", "left_anti")
+    assert live.count() == 300
+    assert live.select("url").distinct().count() == 300
+
+    # the update wave is searchable; exactly the 30 re-sent urls match
+    hits = idx.search(
+        query_terms_df(spark, [(0, "zzzcdc")]), k=100
+    ).join(idx.docs(), "doc_id")
+    upd_urls = {r["url"] for r in updated.select("url").collect()}
+    assert {r["url"] for r in hits.collect()} == upd_urls
