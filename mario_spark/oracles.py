@@ -4664,6 +4664,14 @@ SELECT event_type, count(DISTINCT user_id)::BIGINT AS users,
 FROM events GROUP BY 1 ORDER BY event_type ASC
 """
 
+ESQL_WHERE_DATES = """
+SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 4) AS avg_v
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1 ORDER BY event_type ASC
+"""
+
 ESQL_LOOKUP_JOIN = """
 SELECT c.c_nationkey, count(*)::BIGINT AS n,
        round(sum(o.o_totalprice), 4) AS sum_price
@@ -5054,6 +5062,7 @@ ORACLES: dict[str, str] = {
     "esql_bucket_stats": ESQL_BUCKET_STATS,
     "esql_case": ESQL_CASE,
     "esql_count_distinct": ESQL_COUNT_DISTINCT,
+    "esql_where_dates": ESQL_WHERE_DATES,
     "esql_eval_fns": ESQL_EVAL_FNS,
     "agg_date_range": AGG_DATE_RANGE,
     "agg_random_sampler": AGG_RANDOM_SAMPLER,

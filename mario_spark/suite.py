@@ -2882,6 +2882,21 @@ def esql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_where_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL WHERE over timestamps: string literals compare against the
+    ts column (implicit timestamp cast — pushdown-able range scan)
+    (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        'FROM events | WHERE ts >= "2024-01-10 00:00:00" '
+        'AND ts < "2024-01-20 00:00:00" '
+        "| STATS n = COUNT(*), avg_v = AVG(value) BY event_type "
+        "| SORT event_type ASC",
+    )
+
+
 def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL LOOKUP JOIN (8.18): orders joined to the customer lookup
     index on a same-named key (RENAME aligns it first), filtered and
@@ -3293,6 +3308,7 @@ SUITE = {
     "esql_bucket_stats": esql_bucket_stats,
     "esql_case": esql_case,
     "esql_count_distinct": esql_count_distinct,
+    "esql_where_dates": esql_where_dates,
     "esql_eval_fns": esql_eval_fns,
     "bm25_topk_wand_filtered": bm25_topk_wand_filtered,
     "agg_date_range": agg_date_range,
