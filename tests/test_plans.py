@@ -659,3 +659,25 @@ def test_esql_sample_fuses_into_scan(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # agg partial->final only
+
+
+def test_bit_hamming_broadcasts_queries(spark):
+    """Bit-vector kNN: the 5-row query-signature side must broadcast
+    (never a shuffled cartesian), and the signature math stays in
+    codegen (no Python)."""
+    from mario_spark.suite import ann_bit_hamming_topk
+
+    plan = _plan(ann_bit_hamming_topk(spark, SF_DIR))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_collapse_inner_hits_broadcasts_groups(spark):
+    """collapse+inner_hits: the 5-groups-per-query survivor list joins
+    back as a broadcast; no global (unpartitioned) sort appears."""
+    from mario_spark.suite import collapse_inner_hits
+
+    plan = _plan(collapse_inner_hits(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
