@@ -29,9 +29,23 @@ The supported subset is the language's core pipeline:
 EVAL also accepts the multi-value constructor SPLIT(<col>, "<delim>")
 (what MV_EXPAND typically expands), the conditional
 CASE(cond, value, ..., default), and the common scalar functions
-LENGTH TO_UPPER TO_LOWER TRIM SUBSTRING CONCAT ROUND ABS FLOOR CEIL
-SQRT TO_LONG TO_DOUBLE TO_STRING COALESCE — each compiled 1:1 to a
-Catalyst builtin.
+LENGTH TO_UPPER TO_LOWER TRIM LTRIM RTRIM SUBSTRING CONCAT ROUND ABS
+FLOOR CEIL SQRT POW LOG10 EXP GREATEST LEAST TO_LONG TO_DOUBLE
+TO_STRING COALESCE STARTS_WITH ENDS_WITH REPLACE LEFT RIGHT LOCATE
+REVERSE — each compiled 1:1 to a Catalyst builtin — plus the
+multi-value family MV_COUNT MV_MIN MV_MAX MV_SUM MV_AVG MV_SORT
+MV_DEDUPE MV_CONCAT (array builtins / HOFs, still codegen) and the
+date functions DATE_TRUNC(1 unit, col), DATE_FORMAT("fmt", col),
+DATE_DIFF("unit", a, b) (complete units of epoch difference) and
+DATE_EXTRACT("part", col).
+
+WHERE supports OR with SQL precedence (AND binds tighter), IS NULL /
+IS NOT NULL, and RLIKE "<regex>" alongside IN / LIKE / NOT. STATS adds
+TOP(col, n, "asc"|"desc"), VALUES(col) (sorted for engine-stable
+hashing; ES|QL leaves multivalue order undefined), STD_DEV (population,
+like extended_stats std_deviation), and WEIGHTED_AVG(value, weight).
+SORT accepts NULLS FIRST / NULLS LAST. A pipeline may also start with
+ROW name = literal, ... (a one-row literal source) instead of FROM.
 
 Each pipe stage compiles to exactly one DataFrame operation, so the
 whole pipeline is ONE Catalyst plan — filters fold into the scan,
@@ -56,7 +70,10 @@ _TABLES = (
 ).split()
 
 _CMP = {"==": "=", "!=": "!=", ">=": ">=", "<=": "<=", ">": ">", "<": "<"}
-_FNS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "COUNT_DISTINCT", "PERCENTILE"}
+_FNS = {
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "MEDIAN", "COUNT_DISTINCT",
+    "PERCENTILE", "TOP", "VALUES", "STD_DEV", "WEIGHTED_AVG",
+}
 
 # GROK primitive -> regex fragment (the commonly-used subset of the
 # logstash pattern library; each must be group-free so numbered capture
@@ -94,7 +111,53 @@ _EVAL_FNS = {
     "TO_DOUBLE": lambda c: c.cast("double"),
     "TO_STRING": lambda c: c.cast("string"),
     "COALESCE": lambda *cs: F.coalesce(*cs),
+    "LTRIM": lambda c: F.ltrim(c),
+    "RTRIM": lambda c: F.rtrim(c),
+    "POW": lambda a, b: F.pow(a, b),
+    "LOG10": lambda c: F.log10(c),
+    "EXP": lambda c: F.exp(c),
+    "GREATEST": lambda *cs: F.greatest(*cs),
+    "LEAST": lambda *cs: F.least(*cs),
+    "STARTS_WITH": lambda c, p: c.startswith(p),
+    "ENDS_WITH": lambda c, s: c.endswith(s),
+    "REPLACE": lambda c, a, b: F.replace(c, a, b),
+    # ES|QL LOCATE(string, substring) -> 1-based position, 0 if absent
+    "LEFT": lambda c, n: F.substring(c, 1, n),
+    "RIGHT": lambda c, n: F.when(n >= F.length(c), c).otherwise(
+        F.substring(c, -n, n)
+    ),
+    "LOCATE": lambda s, sub: F.position(sub, s).cast("long"),
+    "REVERSE": lambda c: F.reverse(c),
+    # multi-value family: array builtins/HOFs, all whole-stage codegen.
+    # MV_COUNT of NULL is NULL (ES|QL contract), of [] is 0.
+    "MV_COUNT": lambda c: F.when(c.isNotNull(), F.size(c).cast("long")),
+    "MV_MIN": lambda c: F.array_min(c),
+    "MV_MAX": lambda c: F.array_max(c),
+    "MV_SUM": lambda c: F.round(
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+    ),
+    "MV_AVG": lambda c: F.when(
+        F.size(c) > 0,
+        F.round(
+            F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double"))
+            / F.size(c),
+            4,
+        ),
+    ),
+    "MV_SORT": lambda c: F.sort_array(c),
+    "MV_DEDUPE": lambda c: F.array_sort(F.array_distinct(c)),
 }
+
+# DATE_EXTRACT parts and DATE_DIFF units (seconds per unit — DATE_DIFF
+# is complete units of epoch difference, the subtract-and-convert
+# reading of the ES|QL contract; calendar-aware day boundaries belong
+# to DATE_TRUNC/BUCKET).
+_DATE_PARTS = {
+    "year": F.year, "month": F.month, "day": F.dayofmonth,
+    "hour": F.hour, "minute": F.minute, "second": F.second,
+    "dayofweek": F.dayofweek,
+}
+_DIFF_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
 def _grok(df: DataFrame, body: str) -> DataFrame:
@@ -129,6 +192,8 @@ def _grok(df: DataFrame, body: str) -> DataFrame:
 
 
 def _lit(tok: str):
+    if tok.upper() == "NULL":
+        return F.lit(None)
     if tok.startswith('"') and tok.endswith('"'):
         return F.lit(tok[1:-1])
     if re.fullmatch(r"-?\d+", tok):
@@ -152,6 +217,78 @@ def _eval(df: DataFrame, body: str) -> DataFrame:
     if ms:
         name, col, delim = ms.groups()
         return df.withColumn(name, F.split(F.col(col), re.escape(delim)))
+    # MV_CONCAT(col, "delim") — array_join's delimiter is a plan-time
+    # string, so this can't ride the generic Column-arg path
+    mj = re.fullmatch(
+        r"(\w+)\s*=\s*MV_CONCAT\(\s*(\w+)\s*,\s*\"([^\"]*)\"\s*\)",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if mj:
+        name, col, delim = mj.groups()
+        return df.withColumn(name, F.array_join(F.col(col), delim))
+    # date functions with plan-time unit/format/part arguments
+    md = re.fullmatch(
+        r"(\w+)\s*=\s*DATE_TRUNC\(\s*1\s+(\w+)\s*,\s*(\w+)\s*\)",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if md:
+        name, unit, col = md.groups()
+        if unit.lower() not in _BUCKET_UNITS:
+            raise ValueError(f"ES|QL: unknown DATE_TRUNC unit {unit!r}")
+        return df.withColumn(
+            name,
+            F.date_format(
+                F.date_trunc(unit.lower(), F.col(col).cast("timestamp")),
+                "yyyy-MM-dd HH:mm:ss",
+            ),
+        )
+    md = re.fullmatch(
+        r"(\w+)\s*=\s*DATE_FORMAT\(\s*\"([^\"]+)\"\s*,\s*(\w+)\s*\)",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if md:
+        name, fmt, col = md.groups()
+        return df.withColumn(
+            name, F.date_format(F.col(col).cast("timestamp"), fmt)
+        )
+    md = re.fullmatch(
+        r"(\w+)\s*=\s*DATE_DIFF\(\s*\"(\w+)\"\s*,\s*(\w+)\s*,\s*(\w+)\s*\)",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if md:
+        name, unit, a, b = md.groups()
+        if unit.lower() not in _DIFF_SECONDS:
+            raise ValueError(f"ES|QL: unknown DATE_DIFF unit {unit!r}")
+        secs = _DIFF_SECONDS[unit.lower()]
+        delta = F.unix_timestamp(F.col(b).cast("timestamp")) - F.unix_timestamp(
+            F.col(a).cast("timestamp")
+        )
+        # complete units, toward zero (ES|QL: negative when b < a)
+        return df.withColumn(
+            name,
+            (
+                F.signum(delta) * F.floor(F.abs(delta) / F.lit(secs))
+            ).cast("long"),
+        )
+    md = re.fullmatch(
+        r"(\w+)\s*=\s*DATE_EXTRACT\(\s*\"(\w+)\"\s*,\s*(\w+)\s*\)",
+        body.strip(),
+        re.IGNORECASE,
+    )
+    if md:
+        name, part, col = md.groups()
+        if part.lower() not in _DATE_PARTS:
+            raise ValueError(f"ES|QL: unknown DATE_EXTRACT part {part!r}")
+        return df.withColumn(
+            name,
+            _DATE_PARTS[part.lower()](F.col(col).cast("timestamp")).cast(
+                "long"
+            ),
+        )
     # conditional: name = CASE(cond, value, [cond, value, ...,] default)
     # — conditions use the WHERE clause grammar; compiles to one
     # chained when/otherwise (pure codegen)
@@ -174,12 +311,12 @@ def _eval(df: DataFrame, body: str) -> DataFrame:
     # scalar function call: name = FN(arg[, arg...]) — the common ES|QL
     # string/math functions, each a 1:1 Catalyst builtin (codegen)
     mf = re.fullmatch(
-        r"(\w+)\s*=\s*([A-Za-z_]+)\(\s*([^()]*)\)", body.strip()
+        r"(\w+)\s*=\s*([A-Za-z_]\w*)\(\s*([^()]*)\)", body.strip()
     )
     if mf and mf.group(2).upper() in _EVAL_FNS:
         name, fn, argstr = mf.group(1), mf.group(2).upper(), mf.group(3)
         args = [
-            _lit(a.strip()) for a in argstr.split(",") if a.strip() != ""
+            _lit(a.strip()) for a in _split_args(argstr) if a.strip() != ""
         ]
         try:
             return df.withColumn(name, _EVAL_FNS[fn](*args))
@@ -199,12 +336,37 @@ def _eval(df: DataFrame, body: str) -> DataFrame:
     return df.withColumn(name, expr)
 
 
+def _split_args(argstr: str) -> list[str]:
+    """Split a function-call argument list on commas outside quotes
+    (REPLACE(text, ",", ";") keeps its quoted commas)."""
+    out, buf, in_q = [], [], False
+    for ch in argstr:
+        if ch == '"':
+            in_q = not in_q
+        if ch == "," and not in_q:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if in_q:
+        raise ValueError(f"ES|QL: unbalanced quote in {argstr!r}")
+    out.append("".join(buf))
+    return out
+
+
 def _cond_expr(body: str):
     """Parse the WHERE condition grammar into a Column (shared by the
-    WHERE stage and per-agg STATS filters). Clauses are AND-chained;
-    each clause is a comparison, `col IN (lit, ...)`, `col LIKE
-    "pat%"` (ES|QL wildcard semantics: % and _), optionally prefixed
-    with NOT."""
+    WHERE stage and per-agg STATS filters). OR splits at the top with
+    SQL precedence (AND binds tighter); each AND-chained clause is a
+    comparison, `col IN (lit, ...)`, `col LIKE "pat%"` (ES|QL wildcard
+    semantics: % and _), `col RLIKE "regex"`, `col IS [NOT] NULL`,
+    optionally prefixed with NOT."""
+    parts = re.split(r"\s+OR\s+", body)
+    if len(parts) > 1:
+        expr = _cond_expr(parts[0])
+        for p in parts[1:]:
+            expr = expr | _cond_expr(p)
+        return expr
     cond = None
     for clause in re.split(r"\s+AND\s+", body):
         clause = clause.strip()
@@ -218,11 +380,22 @@ def _cond_expr(body: str):
         ml = re.fullmatch(
             r"(\w+)\s+LIKE\s+\"([^\"]*)\"", clause, re.IGNORECASE
         )
+        mr = re.fullmatch(
+            r"(\w+)\s+RLIKE\s+\"([^\"]*)\"", clause, re.IGNORECASE
+        )
+        mnull = re.fullmatch(
+            r"(\w+)\s+IS\s+(NOT\s+)?NULL", clause, re.IGNORECASE
+        )
         m = re.fullmatch(
             r"(\w+)\s*(==|!=|>=|<=|>|<)\s*(\"[^\"]*\"|-?[\d.]+|\w+)",
             clause,
         )
-        if mi:
+        if mnull:
+            c = F.col(mnull.group(1))
+            expr = c.isNotNull() if mnull.group(2) else c.isNull()
+        elif mr:
+            expr = F.col(mr.group(1)).rlike(mr.group(2))
+        elif mi:
             col, lits = mi.groups()
             vals = []
             for tok in lits.split(","):
@@ -313,13 +486,14 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
     for spec in _split_commas(aggs_part):
         m = re.fullmatch(
             r"(\w+)\s*=\s*(\w+)\(\s*(\*|\w+)"
-            r"(?:\s*,\s*([\d.]+))?\s*\)"
+            r"(?:\s*,\s*(\"\w+\"|[\w.]+))?"
+            r"(?:\s*,\s*(\"\w+\"|[\w.]+))?\s*\)"
             r"(?:\s+WHERE\s+(.+))?",
             spec.strip(),
         )
         if not m:
             raise ValueError(f"ES|QL: bad STATS {spec!r}")
-        name, fn, col, arg, flt = m.groups()
+        name, fn, col, arg, arg2, flt = m.groups()
         fn = fn.upper()
         if fn not in _FNS:
             raise ValueError(f"ES|QL: unknown function {fn}")
@@ -329,7 +503,38 @@ def _stats(df: DataFrame, body: str) -> DataFrame:
         src = F.col(col) if col != "*" else F.lit(1)
         if flt:
             src = F.when(_cond_expr(flt), src)
-        if fn == "COUNT":
+        if fn == "TOP":
+            # TOP(col, n, "asc"|"desc"): the n extreme values as a
+            # multivalue — collect_list skips masked (null) inputs;
+            # sort_array makes the result order-deterministic
+            order = (arg2 or '"desc"').strip('"').lower()
+            if arg is None or order not in ("asc", "desc"):
+                raise ValueError(f"ES|QL: bad TOP spec {spec!r}")
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_list(src), asc=order == "asc"),
+                    1,
+                    int(arg),
+                ).alias(name)
+            )
+        elif fn == "VALUES":
+            # ES|QL leaves multivalue order undefined; sorted here for
+            # engine-stable hashing
+            aggs.append(F.array_sort(F.collect_set(src)).alias(name))
+        elif fn == "STD_DEV":
+            aggs.append(F.round(F.stddev_pop(src), 4).alias(name))
+        elif fn == "WEIGHTED_AVG":
+            if arg is None or not re.fullmatch(r"\w+", arg):
+                raise ValueError(f"ES|QL: WEIGHTED_AVG needs a weight column")
+            w = F.col(arg)
+            if flt:
+                w = F.when(_cond_expr(flt), w)
+            aggs.append(
+                F.round(
+                    F.sum(src * F.col(arg)) / F.sum(w), 4
+                ).alias(name)
+            )
+        elif fn == "COUNT":
             aggs.append(F.count(src).cast("long").alias(name))
         elif fn == "COUNT_DISTINCT":
             aggs.append(F.countDistinct(src).cast("long").alias(name))
@@ -426,10 +631,23 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     stages = _split_stages(query.strip())
     if not stages:
         raise ValueError("ES|QL: empty query")
+    mrow = re.fullmatch(r"ROW\s+(.+)", stages[0], re.IGNORECASE | re.DOTALL)
     m = re.fullmatch(r"FROM\s+(\w+)", stages[0], re.IGNORECASE)
-    if not m or m.group(1) not in _TABLES:
+    if mrow:
+        # ROW name = literal, ...: a one-row literal source
+        cols = []
+        for part in _split_args(mrow.group(1)):
+            m2 = re.fullmatch(
+                r"(\w+)\s*=\s*(\"[^\"]*\"|-?[\d.]+)", part.strip()
+            )
+            if not m2:
+                raise ValueError(f"ES|QL: bad ROW field {part!r}")
+            cols.append(_lit(m2.group(2)).alias(m2.group(1)))
+        df = spark.range(1).select(*cols)
+    elif m and m.group(1) in _TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{m.group(1)}.parquet")
+    else:
         raise ValueError(f"ES|QL: bad FROM {stages[0]!r}")
-    df = spark.read.parquet(f"{sf_dir}/{m.group(1)}.parquet")
     for stage in stages[1:]:
         df = _apply_stage(spark, sf_dir, df, stage)
     return df
@@ -451,12 +669,26 @@ def _apply_stage(
     elif kw == "SORT":
         order = []
         for part in body.split(","):
-            toks = part.split()
-            c = F.col(toks[0])
+            m2 = re.fullmatch(
+                r"(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?",
+                part.strip(),
+                re.IGNORECASE,
+            )
+            if not m2:
+                raise ValueError(f"ES|QL: bad SORT key {part!r}")
+            col, direc, nulls = m2.groups()
+            desc = (direc or "ASC").upper() == "DESC"
+            # ES|QL default: nulls sort last under ASC, first under DESC
+            # (nulls are "largest") — same as Spark's default
+            nulls = (nulls or ("FIRST" if desc else "LAST")).upper()
+            c = F.col(col)
             order.append(
-                c.desc()
-                if len(toks) > 1 and toks[1].upper() == "DESC"
-                else c.asc()
+                {
+                    (False, "FIRST"): c.asc_nulls_first(),
+                    (False, "LAST"): c.asc_nulls_last(),
+                    (True, "FIRST"): c.desc_nulls_first(),
+                    (True, "LAST"): c.desc_nulls_last(),
+                }[(desc, nulls)]
             )
         df = df.orderBy(*order)
     elif kw == "LIMIT":

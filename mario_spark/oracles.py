@@ -4633,6 +4633,79 @@ FROM s CROSS JOIN mu
 ORDER BY abs(v - mu.mu) DESC, user_id ASC LIMIT 1
 """
 
+ESQL_WHERE_OR = """
+SELECT source, count(*)::BIGINT AS n,
+       list_sort(list(DISTINCT lang)) AS langs
+FROM documents
+WHERE (lang = 'en' AND regexp_matches(source, 'src[13]'))
+   OR (lang = 'de' AND n_chars >= 1000)
+GROUP BY 1 ORDER BY source ASC
+"""
+
+ESQL_NULL_SORT = """
+SELECT doc_id,
+       CASE WHEN n_chars >= 2000 THEN n_chars ELSE NULL END AS big
+FROM documents
+ORDER BY big DESC NULLS LAST, doc_id ASC
+LIMIT 20
+"""
+
+ESQL_DATE_FNS = """
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m') AS mon,
+         EXTRACT(hour FROM ts)::BIGINT AS hh,
+         floor((epoch(ts) - epoch(date_trunc('day', ts))) / 3600)::BIGINT AS hrs
+  FROM events
+)
+SELECT mon, count(*)::BIGINT AS n, max(hh)::BIGINT AS mx_h,
+       round(avg(hrs), 4) AS avg_hrs
+FROM d GROUP BY 1 ORDER BY mon ASC
+"""
+
+ESQL_STRING_FNS = """
+WITH d AS (
+  SELECT starts_with(source, 'src1') AS sw,
+         replace(source, 'src', 'S') AS s2,
+         reverse(right(replace(source, 'src', 'S'), 2)) AS rev,
+         strpos(text, 'the')::BIGINT AS pos
+  FROM documents
+)
+SELECT sw, s2, rev, count(*)::BIGINT AS n, max(pos)::BIGINT AS mx_pos
+FROM d GROUP BY 1, 2, 3 ORDER BY s2 ASC, sw ASC
+"""
+
+ESQL_MV_FNS = """
+SELECT vec_id,
+       len(embedding)::BIGINT AS n,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS s,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE))
+             / len(embedding), 4) AS a
+FROM embeddings
+ORDER BY vec_id ASC LIMIT 100
+"""
+
+ESQL_MV_TEXT = """
+SELECT doc_id,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS nu
+FROM documents
+ORDER BY nu DESC, doc_id ASC LIMIT 50
+"""
+
+ESQL_STATS_EXT = """
+SELECT event_type,
+       (list_sort(list(value), 'DESC'))[1:3] AS top_v,
+       round(stddev_pop(value), 4) AS sd,
+       round(sum(value * event_id) / sum(event_id), 4) AS wa
+FROM events GROUP BY 1 ORDER BY event_type ASC
+"""
+
+ESQL_ROW_MATH = """
+SELECT power(7, 2) AS p,
+       greatest(2.5, power(7, 2))::DOUBLE AS g,
+       'llo' AS r,
+       round(log10(7), 4) AS lg
+"""
+
 ESQL_WHERE_IN_LIKE = """
 SELECT lang, source, count(*)::BIGINT AS n, round(avg(n_chars), 4) AS avg_chars
 FROM documents
@@ -5059,6 +5132,14 @@ ORACLES: dict[str, str] = {
     "esql_fork": ESQL_FORK,
     "esql_change_point": ESQL_CHANGE_POINT,
     "esql_where_in_like": ESQL_WHERE_IN_LIKE,
+    "esql_where_or": ESQL_WHERE_OR,
+    "esql_null_sort": ESQL_NULL_SORT,
+    "esql_date_fns": ESQL_DATE_FNS,
+    "esql_string_fns": ESQL_STRING_FNS,
+    "esql_mv_fns": ESQL_MV_FNS,
+    "esql_mv_text": ESQL_MV_TEXT,
+    "esql_stats_ext": ESQL_STATS_EXT,
+    "esql_row_math": ESQL_ROW_MATH,
     "esql_bucket_stats": ESQL_BUCKET_STATS,
     "esql_case": ESQL_CASE,
     "esql_count_distinct": ESQL_COUNT_DISTINCT,

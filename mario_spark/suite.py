@@ -2945,6 +2945,142 @@ def esql_eval_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_where_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL WHERE with OR at SQL precedence (AND binds tighter) plus
+    RLIKE, and a VALUES() multivalue aggregate (sorted for engine-
+    stable hashing) — all one scan + one hash agg (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM documents "
+        '| WHERE lang == "en" AND source RLIKE "src[13]" '
+        'OR lang == "de" AND n_chars >= 1000 '
+        "| STATS n = COUNT(*), langs = VALUES(lang) BY source "
+        "| SORT source ASC",
+    )
+
+
+def esql_null_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL NULL literal in CASE, IS NOT NULL filtering semantics via
+    COUNT of a nullable column, and SORT ... NULLS LAST under a LIMIT
+    (TakeOrderedAndProject with explicit null ordering)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM documents "
+        "| EVAL big = CASE(n_chars >= 2000, n_chars, NULL) "
+        "| KEEP doc_id, big "
+        "| SORT big DESC NULLS LAST, doc_id ASC "
+        "| LIMIT 20",
+    )
+
+
+def esql_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL date functions: DATE_TRUNC(1 day), DATE_EXTRACT("hour"),
+    DATE_FORMAT("yyyy-MM"), DATE_DIFF("hour", day, ts) — each a
+    Catalyst date builtin; the pipeline stays one scan + one agg."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events "
+        "| EVAL day = DATE_TRUNC(1 day, ts) "
+        '| EVAL hh = DATE_EXTRACT("hour", ts) '
+        '| EVAL mon = DATE_FORMAT("yyyy-MM", ts) '
+        '| EVAL hrs = DATE_DIFF("hour", day, ts) '
+        "| STATS n = COUNT(*), mx_h = MAX(hh), avg_hrs = AVG(hrs) BY mon "
+        "| SORT mon ASC",
+    )
+
+
+def esql_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL string functions: STARTS_WITH / REPLACE / LEFT / RIGHT /
+    LOCATE / REVERSE, all 1:1 Catalyst builtins feeding one agg."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM documents "
+        '| EVAL sw = STARTS_WITH(source, "src1") '
+        '| EVAL s2 = REPLACE(source, "src", "S") '
+        '| EVAL r2 = RIGHT(s2, 2) '
+        '| EVAL rev = REVERSE(r2) '
+        '| EVAL pos = LOCATE(text, "the") '
+        "| STATS n = COUNT(*), mx_pos = MAX(pos) BY sw, s2, rev "
+        "| SORT s2 ASC, sw ASC",
+    )
+
+
+def esql_mv_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multi-value functions over a real array column
+    (embeddings.embedding): MV_COUNT / MV_SUM / MV_AVG / MV_MIN /
+    MV_MAX — array builtins + HOF folds, whole-stage codegen, rounded
+    4dp (sum accumulates in list order as double on both engines)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM embeddings "
+        "| EVAL n = MV_COUNT(embedding) "
+        "| EVAL s = MV_SUM(embedding) "
+        "| EVAL a = MV_AVG(embedding) "
+        "| KEEP vec_id, n, s, a "
+        "| SORT vec_id ASC "
+        "| LIMIT 100",
+    )
+
+
+def esql_mv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL MV_DEDUPE + MV_COUNT over SPLIT tokens: distinct-token
+    count per doc, top 50 (TakeOrderedAndProject)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM documents "
+        '| EVAL toks = SPLIT(text, " ") '
+        "| EVAL ded = MV_DEDUPE(toks) "
+        "| EVAL nu = MV_COUNT(ded) "
+        "| KEEP doc_id, nu "
+        "| SORT nu DESC, doc_id ASC "
+        "| LIMIT 50",
+    )
+
+
+def esql_stats_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL extended aggregates: TOP(col, n, "desc") multivalue,
+    STD_DEV (population, like extended_stats), WEIGHTED_AVG(v, w) —
+    all in ONE hash agg."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM events "
+        '| STATS top_v = TOP(value, 3, "desc"), sd = STD_DEV(value), '
+        "wa = WEIGHTED_AVG(value, event_id) BY event_type "
+        "| SORT event_type ASC",
+    )
+
+
+def esql_row_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ROW literal source + math/string scalars (POW, GREATEST,
+    RIGHT, LOG10) — a pipeline with no table scan at all."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        'ROW a = 7, b = 2.5, s = "hello" '
+        "| EVAL p = POW(a, 2) "
+        "| EVAL g = GREATEST(b, p) "
+        "| EVAL r = RIGHT(s, 3) "
+        "| EVAL lg0 = LOG10(a) "
+        "| EVAL lg = ROUND(lg0, 4) "
+        "| KEEP p, g, r, lg",
+    )
+
+
 def ann_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES kNN `similarity` cutoff: exact cosine top-10 per query, hits
     below cosine 0.28 dropped (ES's minimum-similarity gate — since
@@ -3305,6 +3441,14 @@ SUITE = {
     "esql_fork": esql_fork,
     "esql_change_point": esql_change_point,
     "esql_where_in_like": esql_where_in_like,
+    "esql_where_or": esql_where_or,
+    "esql_null_sort": esql_null_sort,
+    "esql_date_fns": esql_date_fns,
+    "esql_string_fns": esql_string_fns,
+    "esql_mv_fns": esql_mv_fns,
+    "esql_mv_text": esql_mv_text,
+    "esql_stats_ext": esql_stats_ext,
+    "esql_row_math": esql_row_math,
     "esql_bucket_stats": esql_bucket_stats,
     "esql_case": esql_case,
     "esql_count_distinct": esql_count_distinct,

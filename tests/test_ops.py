@@ -181,6 +181,78 @@ def test_esql_rejects_malformed(spark):
         run_esql(spark, SF, "FROM documents | WHERE lang LIKE 'x'")
 
 
+def test_esql_round2d_grammar(spark):
+    """Round-2d ES|QL additions: ROW source, string/math scalars with
+    edge semantics pinned (RIGHT longer than the string, LOCATE miss =
+    0, DATE_DIFF sign), MV functions, OR precedence, NULLS ordering."""
+    from mario_spark.esql import run_esql
+
+    SF = "/root/testdata/sf0.001"
+    r = run_esql(
+        spark, SF,
+        'ROW s = "ab", t = "hello world" '
+        "| EVAL r = RIGHT(s, 5) "
+        '| EVAL miss = LOCATE(t, "zz") '
+        '| EVAL hit = LOCATE(t, "world") '
+        '| EVAL rep = REPLACE(t, "l", "L")',
+    ).collect()[0]
+    assert r["r"] == "ab"  # RIGHT(n >= len) returns the whole string
+    assert r["miss"] == 0 and r["hit"] == 7
+    assert r["rep"] == "heLLo worLd"
+
+    d = run_esql(
+        spark, SF,
+        'ROW a = "2024-01-02 06:30:00", b = "2024-01-01 00:00:00" '
+        '| EVAL fwd = DATE_DIFF("hour", b, a) '
+        '| EVAL back = DATE_DIFF("day", a, b)',
+    ).collect()[0]
+    assert d["fwd"] == 30 and d["back"] == -1  # complete units, signed
+
+    mv = run_esql(
+        spark, SF,
+        'ROW t = "c a b a" | EVAL xs = SPLIT(t, " ") '
+        "| EVAL n = MV_COUNT(xs) | EVAL ded = MV_DEDUPE(xs) "
+        '| EVAL srt = MV_SORT(xs) | EVAL j = MV_CONCAT(ded, "-") '
+        "| EVAL mn = MV_MIN(xs)",
+    ).collect()[0]
+    assert mv["n"] == 4 and mv["ded"] == ["a", "b", "c"]
+    assert mv["srt"] == ["a", "a", "b", "c"] and mv["j"] == "a-b-c"
+    assert mv["mn"] == "a"
+
+    # OR binds looser than AND: en-docs OR (de AND impossible) == en-docs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_en = docs.filter("lang = 'en'").count()
+    got = run_esql(
+        spark, SF,
+        'FROM documents | WHERE lang == "en" '
+        'OR lang == "de" AND n_chars < 0 | STATS n = COUNT(*)',
+    ).collect()[0]["n"]
+    assert got == n_en
+
+    # SORT ... NULLS FIRST puts the null rows ahead under a LIMIT
+    nf = run_esql(
+        spark, SF,
+        "FROM documents | EVAL v = CASE(n_chars < 0, n_chars, NULL) "
+        "| KEEP doc_id, v | SORT v ASC NULLS FIRST, doc_id ASC | LIMIT 3",
+    ).collect()
+    assert all(row["v"] is None for row in nf)
+
+    # STATS TOP asc + WEIGHTED_AVG with a per-agg WHERE mask
+    st = run_esql(
+        spark, SF,
+        "FROM documents | STATS "
+        'low3 = TOP(n_chars, 3, "asc"), '
+        "wa = WEIGHTED_AVG(n_chars, doc_id) WHERE doc_id > 0",
+    ).collect()[0]
+    pdf = docs.toPandas()
+    assert list(st["low3"]) == sorted(pdf["n_chars"])[:3]
+    m = pdf[pdf["doc_id"] > 0]
+    exp = round(
+        float((m["n_chars"] * m["doc_id"]).sum() / m["doc_id"].sum()), 4
+    )
+    assert abs(st["wa"] - exp) < 1e-9
+
+
 def test_rank_eval_dedupes_judgments(spark):
     """Duplicate judgment rows must not double-count hits/DCG."""
     from mario_spark.ops import evalx
