@@ -1255,3 +1255,71 @@ def bucket_script_daily(
         "n_match",
         F.round(F.col("n_match") / F.col("doc_count"), 4).alias("rate"),
     )
+
+
+# --------------------------------------------------------------- ip_range
+def ipv4_to_long(col) -> "F.Column":
+    """Dotted-quad IPv4 string -> numeric (long) form, pure codegen —
+    the comparable representation ES's `ip` field type indexes."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.split(c, r"\.")
+    return (
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
+    )
+
+
+def _cidr_bounds(cidr: str) -> tuple[int, int]:
+    """CIDR "a.b.c.d/p" -> [lo, hi) numeric bounds (python-side: range
+    literals fold into the plan as constants)."""
+    net, prefix = cidr.split("/")
+    a, b, c, d = (int(x) for x in net.split("."))
+    lo = a * 16777216 + b * 65536 + c * 256 + d
+    span = 1 << (32 - int(prefix))
+    if lo % span:
+        raise ValueError(f"CIDR {cidr!r} not aligned to /{prefix}")
+    return lo, lo + span
+
+
+def ip_range_agg(
+    df: DataFrame,
+    ip_col: str,
+    ranges: list[tuple[str, str | None, str | None]],
+    masks: list[str] = (),
+) -> DataFrame:
+    """ES ip_range agg: one bucket per (key, from, to) — from inclusive,
+    to exclusive, open ends allowed — plus CIDR `mask` buckets (keyed by
+    the mask itself, ES's convention). Ranges may overlap, so like
+    date_range this is conditional sums in ONE single-scan hash agg,
+    unpivoted with stack; the numeric comparisons run on the codegen
+    ipv4_to_long form."""
+    ipl = ipv4_to_long(ip_col)
+    entries: list[tuple[str, int | None, int | None]] = []
+    for key, lo, hi in ranges:
+        entries.append(
+            (
+                key,
+                None if lo is None else _cidr_bounds(lo + "/32")[0],
+                None if hi is None else _cidr_bounds(hi + "/32")[0],
+            )
+        )
+    for cidr in masks:
+        lo, hi = _cidr_bounds(cidr)
+        entries.append((cidr, lo, hi))
+    sums = []
+    for i, (_, lo, hi) in enumerate(entries):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ipl >= lo)
+        if hi is not None:
+            cond = cond & (ipl < hi)
+        sums.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+        )
+    row = df.agg(*sums)
+    stack = ", ".join(f"'{key}', _b{i}" for i, (key, _, _) in enumerate(entries))
+    return row.select(
+        F.expr(f"stack({len(entries)}, {stack}) AS (key, doc_count)")
+    )

@@ -732,3 +732,73 @@ def lsh_audit(
             ).alias("precision"),
         )
     )
+
+
+# --------------------------------------------------------- Bloom membership
+BLOOM_K = 3  # hash probes per doc
+BLOOM_M = 65536  # bit-array size
+
+
+def _bloom_positions(
+    documents: DataFrame, k: int, m: int
+) -> DataFrame:
+    """(doc_id, pos) — the k Bloom probe positions of each doc's text.
+    Probe i = md5("i#" || text) folded to [0, m): independent-enough
+    hash family, deterministic across runs AND engines (the oracle
+    computes the identical positions), pure codegen."""
+    probes = [
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}#"), F.col("text"))), 1, 13),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        ).alias(f"_p{i}")
+        for i in range(k)
+    ]
+    return documents.select("doc_id", *probes).select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"_p{i}") for i in range(k)])).alias("pos"),
+    )
+
+
+def bloom_membership(
+    documents: DataFrame,
+    ref_pred,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Bloom-filter membership dedup: flag candidate docs whose every
+    probe position is set by the reference corpus (`ref_pred` rows).
+    Returns (doc_id, n_hits, bloom_dup) for every NON-reference doc —
+    bloom_dup true iff all k probes hit (exact duplicates of a
+    reference doc always flag; false-positive rate ~(n_ref*k/m)^k).
+
+    Scale shape: the filter itself is the reduced artifact — the
+    reference corpus collapses to <= m distinct bit positions (a 8KB
+    bitmap at m=2^16; even m=2^32 is a 512MB broadcast, the standard
+    production size), explicitly broadcast into the probe join, so the
+    candidate side streams map-side with ONE doc_id aggregation after.
+    Text never crosses a shuffle — positions are 8-byte longs. This is
+    the Bloom shape CCNet/Dolma use for cross-snapshot URL/content
+    dedup where a sorted join over 10^12 keys per snapshot would
+    dominate the pipeline.
+    """
+    bits = (
+        _bloom_positions(documents.filter(ref_pred), k, m)
+        .select("pos")
+        .distinct()
+    )
+    cand = _bloom_positions(documents.filter(~ref_pred), k, m)
+    hits = cand.join(F.broadcast(bits), "pos", "leftsemi")
+    per_doc = cand.select("doc_id").distinct().join(
+        hits.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_hits")),
+        "doc_id",
+        "left",
+    )
+    return per_doc.select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) == k).alias("bloom_dup"),
+    )

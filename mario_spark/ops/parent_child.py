@@ -102,3 +102,36 @@ def has_parent(
     return children.join(
         F.broadcast(p), children[child_fk] == p["_pk"]
     ).drop("_pk")
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    bucket_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """ES `children` aggregation: a terms bucket on a PARENT field whose
+    sub-aggregations run over each bucket's CHILD documents (the
+    inverse direction of has_child — buckets come from parents, metrics
+    from children).
+
+    Spark-first shape: project the parent dim to (key, bucket) only,
+    join it onto the children (the projected dim is small — AQE
+    broadcasts it; forcing broadcast here would be wrong for genuinely
+    large parent tables), then ONE hash agg by bucket. The shuffle
+    carries (bucket, partial count, partial sum) — map-side combine
+    reduces each task to O(#buckets) rows regardless of child count.
+    """
+    dim = parents.select(
+        F.col(parent_key).alias("_pk"), F.col(bucket_col).alias("bucket")
+    )
+    joined = children.join(dim, children[child_fk] == dim["_pk"])
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.round(F.sum(metric_col), 4).alias("sum_metric"),
+        )
+    )

@@ -462,3 +462,77 @@ def hashed_linear_quality(
             F.count("*").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ----------------------------------------------------------- BPE training
+def bpe_train(
+    documents: DataFrame, n_merges: int = 5, top_guard: int = 1
+) -> list[tuple[str, str]]:
+    """Train `n_merges` BPE merge rules over the corpus (Sennrich et al.
+    2016) — the full iterative loop, where bpe_pair_counts is one step.
+
+    Each iteration: re-tokenize every doc under the merges learned so
+    far (an Arrow-batched pandas UDF — the merge list broadcasts with
+    the closure), count adjacent symbol pairs corpus-wide in ONE hash
+    agg (shuffle bounded by the pair alphabet, never documents), take
+    the argmax on the driver (a 1-row collect — the only driver-side
+    data is the winning pair), append it to the rule list. O(n_merges)
+    Spark jobs; each job's shuffle is alphabet-sized, so the loop costs
+    n_merges scans — the canonical distributed-BPE shape (the scan is
+    the irreducible cost; at 10^12 docs you train on a sample).
+
+    Ties break lexicographically (count desc, pair asc) so the learned
+    rules are deterministic across runs, partitionings, and engines.
+    Returns the merge rules in learned order.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    merges: list[tuple[str, str]] = []
+
+    def _apply_merges(texts: pd.Series, rules: list[tuple[str, str]]) -> pd.Series:
+        def one(t: str) -> list[str]:
+            syms = list(t)
+            for a, b in rules:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+        return texts.map(lambda t: one(t or ""))
+
+    base = documents.select("text")
+    for _ in range(n_merges):
+        rules = list(merges)  # bind current rules into the UDF closure
+        tok = F.pandas_udf(
+            lambda s: _apply_merges(s, rules), ArrayType(StringType())
+        )
+        syms = base.select(tok("text").alias("syms")).filter(
+            F.size("syms") >= 2
+        )
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "p -> struct(syms[p - 1] AS a, syms[p] AS b))"
+                )
+            ).alias("pr")
+        )
+        top = (
+            pairs.groupBy("pr.a", "pr.b")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(top_guard)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append((top[0]["a"], top[0]["b"]))
+    return merges

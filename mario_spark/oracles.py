@@ -4706,6 +4706,59 @@ SELECT power(7, 2) AS p,
        round(log10(7), 4) AS lg
 """
 
+BLOOM_DECONTAMINATE = """
+WITH probes AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(i.i || '#' || text), 1, 13))::BIGINT % 65536) AS pos
+  FROM documents, (VALUES ('0'), ('1'), ('2')) i(i)
+),
+bits AS (SELECT DISTINCT pos FROM probes WHERE source = 'src1'),
+cand AS (SELECT doc_id, pos FROM probes WHERE source != 'src1')
+SELECT c.doc_id,
+       count(b.pos)::BIGINT AS n_hits,
+       count(b.pos) = 3 AS bloom_dup
+FROM cand c LEFT JOIN bits b USING (pos)
+GROUP BY 1
+"""
+
+TRAINING_ORDER = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('ep0#' || doc_id::VARCHAR) AS k,
+         (('0x' || substr(md5('ep0#' || doc_id::VARCHAR), 1, 13))::BIGINT % 8)
+           AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)::BIGINT AS pos
+FROM keyed
+"""
+
+AGG_IP_RANGE = """
+WITH ips AS (
+  SELECT 10 * 16777216
+         + (user_id % 64) * 65536
+         + (floor(event_id / 256)::BIGINT % 256) * 256
+         + (event_id % 256) AS ipl
+  FROM events
+)
+SELECT 'low' AS key, count(*) FILTER (ipl < 168820736)::BIGINT AS doc_count FROM ips
+UNION ALL
+SELECT 'mid', count(*) FILTER (ipl >= 168820736 AND ipl < 170917888) FROM ips
+UNION ALL
+SELECT 'high', count(*) FILTER (ipl >= 170917888) FROM ips
+UNION ALL
+SELECT '10.32.0.0/11', count(*) FILTER (ipl >= 169869312 AND ipl < 171966464)
+FROM ips
+"""
+
+AGG_CHILDREN = """
+SELECT c.c_mktsegment AS bucket, count(*)::BIGINT AS doc_count,
+       round(sum(o.o_totalprice), 4) AS sum_metric
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
 ESQL_WHERE_IN_LIKE = """
 SELECT lang, source, count(*)::BIGINT AS n, round(avg(n_chars), 4) AS avg_chars
 FROM documents
@@ -5140,6 +5193,10 @@ ORACLES: dict[str, str] = {
     "esql_mv_text": ESQL_MV_TEXT,
     "esql_stats_ext": ESQL_STATS_EXT,
     "esql_row_math": ESQL_ROW_MATH,
+    "bloom_decontaminate": BLOOM_DECONTAMINATE,
+    "training_order": TRAINING_ORDER,
+    "agg_ip_range": AGG_IP_RANGE,
+    "agg_children": AGG_CHILDREN,
     "esql_bucket_stats": ESQL_BUCKET_STATS,
     "esql_case": ESQL_CASE,
     "esql_count_distinct": ESQL_COUNT_DISTINCT,

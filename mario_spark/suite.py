@@ -3081,6 +3081,110 @@ def esql_row_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup (ops/dedup.bloom_membership):
+    source 'src1' is the reference corpus; every other doc is probed
+    against its k=3/m=65536 Bloom bit set. The bit set is the reduced,
+    broadcastable artifact — the CCNet/Dolma cross-snapshot dedup
+    shape. Exact duplicates of reference docs always flag; the oracle
+    computes the identical probe positions, so false positives match
+    bit-for-bit too."""
+    from mario_spark.ops.dedup import bloom_membership
+
+    return bloom_membership(
+        _documents(spark, sf_dir), F.col("source") == "src1"
+    )
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    reproducible (shard, pos) for epoch 0 — shard = md5 fold mod 8,
+    pos = rank of the SAME md5 key within the shard. No global sort:
+    the rank window partitions by shard (8-way parallel), which is the
+    whole point — at 10^12 docs you shuffle within shards and
+    interleave shards at read time, never ordering the corpus
+    globally. Seeded by the key prefix 'ep0#', so epoch 1 is a
+    different-but-reproducible permutation."""
+    d = _documents(spark, sf_dir).select("doc_id")
+    key = F.md5(F.concat(F.lit("ep0#"), F.col("doc_id").cast("string")))
+    keyed = d.select(
+        "doc_id",
+        key.alias("k"),
+        F.pmod(
+            F.conv(F.substring(key, 1, 13), 16, 10).cast("long"), F.lit(8)
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def agg_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range agg (the `ip` field type): range buckets with open
+    ends plus a CIDR mask bucket, conditional sums in one single-scan
+    hash agg (ops/aggs.ip_range_agg). The ip column is derived
+    deterministically from event ids (dotted-quad in 10/8), standing in
+    for an indexed ip field."""
+    from mario_spark.ops import aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit(10),
+            F.pmod(F.col("user_id"), F.lit(64)).cast("string"),
+            F.pmod(F.floor(F.col("event_id") / 256), F.lit(256)).cast("string"),
+            F.pmod(F.col("event_id"), F.lit(256)).cast("string"),
+        ),
+    )
+    return aggs.ip_range_agg(
+        ev,
+        "ip",
+        ranges=[
+            ("low", None, "10.16.0.0"),
+            ("mid", "10.16.0.0", "10.48.0.0"),
+            ("high", "10.48.0.0", None),
+        ],
+        masks=["10.32.0.0/11"],
+    )
+
+
+def agg_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `children` aggregation: terms bucket on a parent field
+    (customer.c_mktsegment) with metrics over each bucket's child docs
+    (orders) — ops/parent_child.children_agg; one join + one hash
+    agg."""
+    from mario_spark.ops.parent_child import children_agg
+
+    return children_agg(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        parent_key="c_custkey",
+        child_fk="o_custkey",
+        bucket_col="c_mktsegment",
+        metric_col="o_totalprice",
+    ).orderBy("bucket")
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training (ops/textstats.bpe_train): 5
+    merge rules learned over the corpus char stream, one alphabet-
+    bounded hash agg per iteration, deterministic tie-breaks. The
+    feedback loop (each rule changes the next tokenization) is not
+    SQL-expressible, so this entry has no oracle — pytest pins it
+    against a pure-python reference instead."""
+    from mario_spark.ops.textstats import bpe_train
+
+    merges = bpe_train(_documents(spark, sf_dir), n_merges=5)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
 def ann_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES kNN `similarity` cutoff: exact cosine top-10 per query, hits
     below cosine 0.28 dropped (ES's minimum-similarity gate — since
@@ -3449,6 +3553,11 @@ SUITE = {
     "esql_mv_text": esql_mv_text,
     "esql_stats_ext": esql_stats_ext,
     "esql_row_math": esql_row_math,
+    "bloom_decontaminate": bloom_decontaminate,
+    "training_order": training_order,
+    "agg_ip_range": agg_ip_range,
+    "agg_children": agg_children,
+    "bpe_train_merges": bpe_train_merges,
     "esql_bucket_stats": esql_bucket_stats,
     "esql_case": esql_case,
     "esql_count_distinct": esql_count_distinct,

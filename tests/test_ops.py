@@ -267,3 +267,68 @@ def test_rank_eval_dedupes_judgments(spark):
     assert out["hits"] == 1 and out["n_rel"] == 1
     assert out["precision"] == 0.5 and out["recall"] == 1.0
     assert out["mrr"] == 1.0 and out["ndcg"] == 1.0
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed BPE loop must learn the exact rule sequence a
+    single-process reference implementation learns (count desc, pair
+    asc tie-break), including the feedback step where rule k changes
+    the pair counts rule k+1 sees."""
+    from collections import Counter
+
+    from mario_spark.ops.textstats import bpe_train
+
+    texts = ["abab", "abcc", "ccab", "ababab"]
+
+    def ref_train(corpus, n):
+        rules = []
+        for _ in range(n):
+            cnt = Counter()
+            for t in corpus:
+                syms = list(t)
+                for a, b in rules:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b); i += 2
+                        else:
+                            out.append(syms[i]); i += 1
+                    syms = out
+                cnt.update(zip(syms, syms[1:]))
+            if not cnt:
+                break
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            rules.append(best)
+        return rules
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, n_merges=4)
+    assert got == ref_train(texts, 4)
+    # first rule sanity: 'ab' dominates this corpus
+    assert got[0] == ("a", "b")
+
+
+def test_bloom_membership_flags_planted_duplicates(spark):
+    """Docs byte-identical to a reference doc must flag (a Bloom filter
+    has no false negatives); a clearly novel doc must not flag on a
+    sparse filter."""
+    from pyspark.sql import functions as F
+
+    from mario_spark.ops.dedup import bloom_membership
+
+    rows = [
+        (0, "the quick brown fox", "ref"),
+        (1, "lorem ipsum dolor sit", "ref"),
+        (2, "the quick brown fox", "train"),   # exact dup of doc 0
+        (3, "completely novel text here", "train"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: (r["n_hits"], r["bloom_dup"])
+        for r in bloom_membership(df, F.col("source") == "ref").collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2] == (3, True)
+    # 2 ref docs * 3 probes over 2^16 bits -> P(any single probe hit)
+    # ~1e-4; all-3 false positive is ~1e-12, so doc 3 must be clean
+    assert out[3][1] is False

@@ -681,3 +681,17 @@ def test_collapse_inner_hits_broadcasts_groups(spark):
     plan = _plan(collapse_inner_hits(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_and_training_order_plan_shapes(spark):
+    """Bloom membership must broadcast the bit set into a left-semi
+    join (the candidate side streams map-side); the training-order rank
+    window must partition by shard — never Exchange SinglePartition."""
+    from mario_spark.suite import bloom_decontaminate, training_order
+
+    plan = _plan(bloom_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    plan = _plan(training_order(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
