@@ -562,8 +562,12 @@ class Index:
         return st
 
     # ------------------------------------------------------------- reads
-    def _seg_paths(self, sub: str) -> list[str]:
-        segs = self.paths.committed_segments()
+    def _seg_paths(
+        self, sub: str, segments: list[int] | None = None
+    ) -> list[str]:
+        segs = (
+            self.paths.committed_segments() if segments is None else segments
+        )
         if not segs:
             raise ValueError(
                 f"index '{self.paths.name}' has no committed segments "
@@ -571,15 +575,15 @@ class Index:
             )
         return [os.path.join(self.paths.seg(s), sub) for s in segs]
 
-    def postings(self) -> DataFrame:
-        return self.spark.read.parquet(*self._seg_paths("postings"))
+    def postings(self, segments: list[int] | None = None) -> DataFrame:
+        return self.spark.read.parquet(*self._seg_paths("postings", segments))
 
     def docs(self) -> DataFrame:
         return self.spark.read.parquet(*self._seg_paths("docs"))
 
-    def dictionary(self) -> DataFrame:
+    def dictionary(self, segments: list[int] | None = None) -> DataFrame:
         """Union of segment dictionaries; df is additive (doc-disjoint)."""
-        d = self.spark.read.parquet(*self._seg_paths("dictionary"))
+        d = self.spark.read.parquet(*self._seg_paths("dictionary", segments))
         return d.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
 
     def manifest(self) -> DataFrame:
@@ -592,10 +596,14 @@ class Index:
             *[self.paths.manifest(s) for s in segs]
         )
 
-    def stats(self) -> dict:
-        """Collection stats by summing segment commit markers (no scan)."""
+    def stats(self, segments: list[int] | None = None) -> dict:
+        """Collection stats by summing segment commit markers (no scan).
+        `segments` restricts to a pinned list (PIT snapshot)."""
+        segs = (
+            self.paths.committed_segments() if segments is None else segments
+        )
         n, s = 0, 0
-        for seg in self.paths.committed_segments():
+        for seg in segs:
             m = _read_json(self.paths.seg_meta(seg)) or {}
             n += m.get("n_docs", 0)
             s += m.get("sum_len", 0)
@@ -603,8 +611,26 @@ class Index:
         return {
             "n_docs": n,
             "avgdl": (s / n) if n else 0.0,
-            "segments": len(self.paths.committed_segments()),
+            "segments": len(segs),
             "n_deleted": int(dels.get("n_deleted", 0)),
+        }
+
+    # --------------------------------------------------- point in time
+    def open_pit(self) -> dict:
+        """ES point-in-time (PIT): pin the CURRENT committed segment
+        list and tombstone generations. A search passed this handle
+        sees exactly this snapshot — segments and tombstone generation
+        files are immutable once committed, so pinning the two lists
+        pins the data; later appends, upserts, and deletes stay
+        invisible until the caller drops the handle. (ES keeps segment
+        refcounts server-side; here the handle is just the pinned
+        lists, and validity lasts as long as a purging compaction
+        hasn't physically removed the pinned files — same contract as
+        ES's PIT keep_alive.)"""
+        marker = _read_json(self.paths.deletes_marker) or {}
+        return {
+            "segments": list(self.paths.committed_segments()),
+            "delete_gens": list(marker.get("generations", [])),
         }
 
     # ----------------------------------------------------------- deletes
@@ -656,13 +682,18 @@ class Index:
         _atomic_write_json(self.paths.deletes_marker, marker)
         return {"deleted": int(n_new), "total_deleted": marker["n_deleted"]}
 
-    def deleted_ids(self) -> DataFrame | None:
-        """Union of committed tombstone generations, or None."""
-        marker = _read_json(self.paths.deletes_marker)
-        if not marker or not marker.get("generations"):
+    def deleted_ids(
+        self, generations: list[int] | None = None
+    ) -> DataFrame | None:
+        """Union of committed tombstone generations, or None.
+        `generations` restricts to a pinned list (PIT snapshot)."""
+        if generations is None:
+            marker = _read_json(self.paths.deletes_marker)
+            generations = (marker or {}).get("generations", [])
+        if not generations:
             return None
         return self.spark.read.parquet(
-            *[self.paths.delete_gen(g) for g in marker["generations"]]
+            *[self.paths.delete_gen(g) for g in generations]
         ).select("doc_id").distinct()
 
     def clear_deletes(self) -> None:
@@ -684,28 +715,40 @@ class Index:
         query_terms: DataFrame,
         k: int = 10,
         filter_terms: list[str] | None = None,
+        pit: dict | None = None,
     ) -> DataFrame:
         """filter_terms = ES filter context (e.g. a filtered alias):
         docs must contain at least one of the terms (analyzed form);
-        the filter never scores. See wand.search_wand."""
+        the filter never scores. See wand.search_wand.
+
+        pit = a handle from open_pit(): the search runs against the
+        pinned segment/tombstone snapshot, so concurrent appends,
+        upserts, and deletes don't shift results between pages (the ES
+        PIT + search_after pagination contract)."""
         meta = _read_json(self.paths.meta) or {}
         if meta.get("fields"):
             raise ValueError(
                 f"index '{self.paths.name}' is field-scoped; "
                 "use search_field(field, ...)"
             )
+        segs = pit["segments"] if pit is not None else None
+        live_segs = (
+            segs if segs is not None else self.paths.committed_segments()
+        )
         # an index with zero committed segments (fresh rollover target,
         # crashed-before-first-commit) returns empty results, like an
         # empty ES index — every other accessor keeps the loud error
-        if not self.paths.committed_segments():
+        if not live_segs:
             return self.spark.createDataFrame(
                 [], "query_id long, rank long, doc_id long, score double"
             )
-        st = self.stats()
+        st = self.stats(segments=segs)
         return search_wand(
-            self.postings(), self.dictionary(), query_terms,
+            self.postings(segs), self.dictionary(segs), query_terms,
             st["n_docs"], st["avgdl"], k=k,
-            deleted_docs=self.deleted_ids(),
+            deleted_docs=self.deleted_ids(
+                pit["delete_gens"] if pit is not None else None
+            ),
             filter_terms=filter_terms,
         )
 

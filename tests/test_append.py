@@ -129,3 +129,32 @@ def test_tiered_merge_policy(spark, tmp_path):
 
     # no tier is over-full any more
     assert select_tiered_merge(idx2, max_per_tier=4, tier_factor=10.0) is None
+
+
+def test_pit_search_is_snapshot_stable(spark, tmp_path):
+    """ES point-in-time contract: a search through a PIT handle opened
+    before an append + delete returns the exact pre-mutation results,
+    while a plain search sees the mutations."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    pages = pages_df(spark, 400, seed=31, partitions=4).persist()
+    doc_num = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    idx = cat.create("pit-2026-01-01t00-00-00z")
+    idx.ingest(pages.filter(doc_num < 300), segment_docs=256)
+
+    q = query_terms_df(spark, make_pages_query_set(seed=31, n=8))
+    pit = idx.open_pit()
+    before = _canon(idx.search(q, k=10))
+
+    # mutate: append 100 docs, then tombstone every doc holding the
+    # first query's first term (delete_by_query)
+    idx.append(pages.filter(doc_num >= 300))
+    qset = make_pages_query_set(seed=31, n=8)
+    victim_term = qset[0][1].split()[0].lower()
+    idx.delete_by_query([victim_term])
+
+    pinned = _canon(idx.search(q, k=10, pit=pit))
+    pd.testing.assert_frame_equal(pinned, before, check_exact=False, atol=1e-9)
+
+    live = _canon(idx.search(q, k=10))
+    assert not live.equals(before)
+    pages.unpersist()
