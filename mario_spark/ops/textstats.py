@@ -315,12 +315,18 @@ def lm_cross_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
     Plan shape: tokenize once (JVM regexp), bigram expansion via a
     guarded sequence transform (sequence(2, 1) is descending, not
-    empty — the ADVICE.md trap), TWO count aggs (bigram + unigram
-    tables, both map-side combinable), then one hash join of doc
-    bigrams against the count tables and a per-doc agg. The count
-    tables shuffle on their own keys — at web scale they are large but
-    flat (vocab^2-bounded), never skewed by document length; V rides
-    in as a broadcast 1-row frame, no collect.
+    empty — the ADVICE.md trap), then the token stream is REDUCED
+    FIRST: one (doc_id, prev, w) count agg (map-side combinable — the
+    only shuffle the raw stream ever takes). The corpus bigram table
+    derives from that reduced frame by a second, bigram-keyed agg; the
+    log-prob table is c2 x uni joined at BIGRAM-VOCAB size (never the
+    token stream), and the per-doc score is a weighted avg
+    sum(n*lp)/sum(n) over each doc's DISTINCT bigrams. Unigram counts
+    take their own map-side-combined agg; V rides in as a broadcast
+    1-row frame, no collect. Versus joining the raw bigram stream
+    against the count tables (the naive shape), the stream is shuffled
+    once instead of three times and both joins shrink to
+    vocab^2-bounded inputs.
     """
     arr = F.regexp_extract_all(
         F.lower(text_col), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
@@ -341,16 +347,27 @@ def lm_cross_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").cast("double").alias("c1"))
     )
     vocab = uni.agg(F.count("*").cast("double").alias("v"))
-    c2 = bg.groupBy("prev", "w").agg(F.count("*").cast("double").alias("c2"))
-    return (
-        bg.join(c2, ["prev", "w"])
-        .join(uni, "prev")
+    db = bg.groupBy("doc_id", "prev", "w").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    c2 = db.groupBy("prev", "w").agg(F.sum("n").alias("c2"))
+    lp_tab = (
+        c2.join(uni, "prev")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "lp", F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+        .select(
+            "prev",
+            "w",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
         )
+    )
+    return (
+        db.join(lp_tab, ["prev", "w"])
         .groupBy("doc_id")
-        .agg(F.round(-F.avg("lp"), 4).alias("ce"))
+        .agg(
+            F.round(
+                -(F.sum(F.col("n") * F.col("lp")) / F.sum("n")), 4
+            ).alias("ce")
+        )
     )
 
 

@@ -3230,13 +3230,15 @@ bg AS (
 ),
 uni AS (SELECT term AS prev, count(*)::DOUBLE AS c1 FROM toks0 GROUP BY 1),
 voc AS (SELECT count(*)::DOUBLE AS v FROM uni),
-c2 AS (SELECT prev, w, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1, 2)
-SELECT bg.doc_id,
-       round(-avg(ln((c2.c2 + 1.0) / (uni.c1 + voc.v))), 4) AS ce
-FROM bg
-JOIN c2 USING (prev, w)
-JOIN uni USING (prev)
-CROSS JOIN voc
+db AS (SELECT doc_id, prev, w, count(*)::DOUBLE AS n FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT prev, w, sum(n) AS c2 FROM db GROUP BY 1, 2),
+lp AS (
+  SELECT prev, w, ln((c2.c2 + 1.0) / (uni.c1 + voc.v)) AS lp
+  FROM c2 JOIN uni USING (prev) CROSS JOIN voc
+)
+SELECT db.doc_id,
+       round(-(sum(db.n * lp.lp) / sum(db.n)), 4) AS ce
+FROM db JOIN lp USING (prev, w)
 GROUP BY 1
 """
 
@@ -3474,14 +3476,16 @@ bg AS (
 ),
 uni AS (SELECT term AS prev, count(*)::DOUBLE AS c1 FROM toks0 GROUP BY 1),
 voc AS (SELECT count(*)::DOUBLE AS v FROM uni),
-c2 AS (SELECT prev, w, count(*)::DOUBLE AS c2 FROM bg GROUP BY 1, 2),
+db AS (SELECT doc_id, prev, w, count(*)::DOUBLE AS n FROM bg GROUP BY 1, 2, 3),
+c2 AS (SELECT prev, w, sum(n) AS c2 FROM db GROUP BY 1, 2),
+lp AS (
+  SELECT prev, w, ln((c2.c2 + 1.0) / (uni.c1 + voc.v)) AS lp
+  FROM c2 JOIN uni USING (prev) CROSS JOIN voc
+),
 ce AS (
-  SELECT bg.doc_id,
-         round(-avg(ln((c2.c2 + 1.0) / (uni.c1 + voc.v))), 4) AS ce
-  FROM bg
-  JOIN c2 USING (prev, w)
-  JOIN uni USING (prev)
-  CROSS JOIN voc
+  SELECT db.doc_id,
+         round(-(sum(db.n * lp.lp) / sum(db.n)), 4) AS ce
+  FROM db JOIN lp USING (prev, w)
   GROUP BY 1
 ),
 cuts AS (

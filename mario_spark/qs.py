@@ -98,9 +98,13 @@ def search_query_string(
     spark = documents.sparkSession
     parsed = [(qid, parse_query_string(s)) for qid, s in queries]
 
+    # persisted: the tokenize pandas UDF is the expensive pass, and
+    # docs_t feeds tf, dl, AND the fused chain scan — cache once, read
+    # three times (partitions cache as the first stage computes them,
+    # so this helps even within the single final action)
     docs_t = documents.select(
         "doc_id", tokenize_udf(F.col("text")).alias("arr")
-    ).filter(F.size("arr") > 0)
+    ).filter(F.size("arr") > 0).persist()
     dl = docs_t.select("doc_id", F.size("arr").cast("double").alias("len"))
     st = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -157,20 +161,32 @@ def search_query_string(
                 "query_id", "clause_id", "kind", "doc_id", F.col("tf").alias("ctf")
             )
         )
-    for qid, clauses in parsed:
-        for cid, (kind, terms) in enumerate(clauses):
-            if len(terms) == 1:
-                continue
-            ctf = _chain_ctf_expr(F.col("arr"), terms)
-            parts.append(
-                docs_t.select(
-                    F.lit(qid).cast("long").alias("query_id"),
-                    F.lit(cid).cast("int").alias("clause_id"),
-                    F.lit(kind).alias("kind"),
-                    "doc_id",
-                    ctf.cast("double").alias("ctf"),
-                ).filter(F.col("ctf") > 0)
+    # every multi-term chain evaluates in ONE shared pass over the
+    # tokenized corpus (an array-of-structs explode), instead of one
+    # full scan + re-tokenize per chain — the count of corpus scans is
+    # O(1) in the number of queries/phrases
+    chain_structs = [
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.lit(cid).cast("int").alias("clause_id"),
+            F.lit(kind).alias("kind"),
+            _chain_ctf_expr(F.col("arr"), terms).cast("double").alias("ctf"),
+        )
+        for qid, clauses in parsed
+        for cid, (kind, terms) in enumerate(clauses)
+        if len(terms) > 1
+    ]
+    if chain_structs:
+        parts.append(
+            docs_t.select(
+                "doc_id", F.explode(F.array(*chain_structs)).alias("c")
             )
+            .filter(F.col("c.ctf") > 0)
+            .select(
+                "c.query_id", "c.clause_id", "c.kind", "doc_id",
+                F.col("c.ctf").alias("ctf"),
+            )
+        )
     if not parts:
         # every query analyzed to zero scoring clauses (empty string,
         # operators only, pure negation): Lucene matches nothing
@@ -579,9 +595,13 @@ def search_simple_query_string(
     spark = documents.sparkSession
     parsed = [(qid, parse_simple_query_string(s)) for qid, s in queries]
 
+    # persisted: the tokenize pandas UDF is the expensive pass, and
+    # docs_t feeds tf, dl, AND the fused chain scan — cache once, read
+    # three times (partitions cache as the first stage computes them,
+    # so this helps even within the single final action)
     docs_t = documents.select(
         "doc_id", tokenize_udf(F.col("text")).alias("arr")
-    ).filter(F.size("arr") > 0)
+    ).filter(F.size("arr") > 0).persist()
     dl = docs_t.select("doc_id", F.size("arr").cast("double").alias("len"))
     st = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -663,18 +683,31 @@ def search_simple_query_string(
                 F.lit(True).alias("is_prefix"),
             )
         )
-    for qid, did, cid, neg, terms in chains:
-        ctf = _chain_ctf_expr(F.col("arr"), terms)
-        parts.append(
-            docs_t.select(
+    # all phrase chains in ONE shared corpus pass (see
+    # search_query_string — same fused array-of-structs explode)
+    if chains:
+        chain_structs = [
+            F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
                 F.lit(did).cast("int").alias("did"),
                 F.lit(cid).cast("int").alias("cid"),
                 F.lit(bool(neg)).alias("neg"),
-                "doc_id",
-                ctf.cast("double").alias("ctf"),
+                _chain_ctf_expr(F.col("arr"), terms)
+                .cast("double")
+                .alias("ctf"),
+            )
+            for qid, did, cid, neg, terms in chains
+        ]
+        parts.append(
+            docs_t.select(
+                "doc_id", F.explode(F.array(*chain_structs)).alias("c")
+            )
+            .filter(F.col("c.ctf") > 0)
+            .select(
+                "c.query_id", "c.did", "c.cid", "c.neg", "doc_id",
+                F.col("c.ctf").alias("ctf"),
                 F.lit(False).alias("is_prefix"),
-            ).filter(F.col("ctf") > 0)
+            )
         )
     if not parts:
         return spark.createDataFrame(
