@@ -809,31 +809,35 @@ def search_intervals_match(
     (tiny), embarrassingly parallel, no shuffle before the final
     per-query top-k window.
     """
-    per_q = []
+    # all queries evaluate in ONE pass over the positional doc table
+    # (array-of-structs explode) — one scan total, not one per query
+    structs = []
     for qid, t1, t2, g in queries:
         p1 = F.col("pos_map").getItem(t1)
         p2 = F.col("pos_map").getItem(t2)
-        matches = F.size(
-            F.filter(
-                p1,
-                lambda a: F.exists(
-                    p2,
-                    lambda b: (b > a) & (b - a - 1 <= F.lit(int(g))),
-                ),
-            )
-        )
-        per_q.append(
-            docs_pos.filter(p1.isNotNull() & p2.isNotNull())
-            .select(
+        matches = F.when(
+            p1.isNotNull() & p2.isNotNull(),
+            F.size(
+                F.filter(
+                    p1,
+                    lambda a: F.exists(
+                        p2,
+                        lambda b: (b > a) & (b - a - 1 <= F.lit(int(g))),
+                    ),
+                )
+            ),
+        ).otherwise(F.lit(0))
+        structs.append(
+            F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
-                "doc_id",
                 matches.cast("long").alias("matches"),
             )
-            .filter(F.col("matches") > 0)
         )
-    out = per_q[0]
-    for p in per_q[1:]:
-        out = out.unionByName(p)
+    out = (
+        docs_pos.select("doc_id", F.explode(F.array(*structs)).alias("q"))
+        .filter(F.col("q.matches") > 0)
+        .select("q.query_id", "doc_id", F.col("q.matches").alias("matches"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("matches"), F.asc("doc_id")
     )
