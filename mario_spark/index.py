@@ -931,6 +931,21 @@ class Index:
             deleted_docs=self.deleted_ids(),
         )
 
+    def mget(self, urls: list[str]) -> DataFrame:
+        """ES _mget by _id (the url IS the _id, matching the reference's
+        TimdexRecordId convention): stored doc fields for the requested
+        urls. Live-docs semantics — tombstoned versions (deletes,
+        superseded upserts) are excluded, so after an upsert exactly the
+        newest version returns. The url list is a driver-side literal
+        pushed into the scan as an In filter (partition/row-group
+        pruning at scale); no shuffle unless tombstones exist."""
+        out = self.docs().filter(F.col("url").isin(list(urls)))
+        dele = self.deleted_ids()
+        if dele is not None:
+            out = out.join(dele, "doc_id", "left_anti")
+        cols = [c for c in ("doc_id", "url", "lang", "len") if c in out.columns]
+        return out.select(*cols)
+
     def search_query_string(
         self, queries: list[tuple[int, str]], k: int = 10
     ) -> DataFrame:
@@ -1401,3 +1416,62 @@ class Catalog:
             )
         idx = self.resolve(name_or_alias)
         return idx.search(query_terms, k=k, filter_terms=flt)
+
+    # ---------------------------------------------------- search templates
+    # ES stored search templates (_scripts/<id> + search_template API):
+    # a query_string source with {{param}} mustache placeholders,
+    # stored in the catalog registry with the same CAS-safe
+    # read-modify-write as aliases/templates, rendered + executed at
+    # search time. The mustache subset is {{var}} substitution with
+    # strict binding (an unbound placeholder raises, like ES rendering
+    # a template whose required param is missing).
+    _TPL_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+    @property
+    def _scripts_path(self) -> str:
+        return os.path.join(self.root, "scripts.json")
+
+    def put_search_template(self, name: str, source: str) -> None:
+        def mut(scripts: dict | None) -> dict:
+            scripts = scripts or {}
+            scripts[name] = source
+            return scripts
+
+        _update_json(self._scripts_path, mut)
+
+    def get_search_template(self, name: str) -> str:
+        scripts = _read_json(self._scripts_path) or {}
+        if name not in scripts:
+            raise ValueError(f"no search template {name!r}")
+        return scripts[name]
+
+    @classmethod
+    def render_search_template(cls, source: str, params: dict) -> str:
+        unbound = [
+            m for m in cls._TPL_RE.findall(source) if m not in params
+        ]
+        if unbound:
+            raise ValueError(
+                f"unbound template params {sorted(set(unbound))}"
+            )
+        return cls._TPL_RE.sub(
+            lambda m: str(params[m.group(1)]), source
+        )
+
+    def search_template(
+        self,
+        name_or_alias: str,
+        template: str,
+        params_per_query: list[tuple[int, dict]],
+        k: int = 10,
+    ) -> DataFrame:
+        """Render the stored template once per (query_id, params) pair
+        and run the batch through the index's query_string engine (the
+        template source is query_string syntax, ES's most common
+        templated query)."""
+        src = self.get_search_template(template)
+        rendered = [
+            (qid, self.render_search_template(src, params))
+            for qid, params in params_per_query
+        ]
+        return self.resolve(name_or_alias).search_query_string(rendered, k=k)

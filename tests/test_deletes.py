@@ -269,3 +269,69 @@ def test_upsert_replaces_same_url(spark, root):
     assert st3["n_deleted"] == 0
     assert st3["n_docs"] == n0
     assert idx.search(q, k=100).count() == 40
+
+
+def test_mget_live_docs_semantics(spark, root):
+    """_mget by url: requested docs come back with stored fields;
+    tombstoned versions are invisible (after an upsert exactly the
+    newest version of each url returns)."""
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 300, seed=9, partitions=4)
+    idx = cat.create("pages-2026-01-03t00-00-00z")
+    idx.ingest(pages, segment_docs=256)
+
+    urls = [r["url"] for r in pages.orderBy("url").limit(5).collect()]
+    got = idx.mget(urls).toPandas()
+    assert sorted(got["url"]) == sorted(urls)
+    assert set(got.columns) == {"doc_id", "url", "lang", "len"}
+
+    # upsert one of them: mget returns ONE row for that url (the new
+    # version, with its new doc_id and new length)
+    batch = (
+        pages.filter(F.col("url") == urls[0])
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra words here")))
+    )
+    old_row = got[got["url"] == urls[0]].iloc[0]
+    idx.upsert(batch)
+    got2 = idx.mget(urls).toPandas()
+    assert len(got2) == 5
+    row = got2[got2["url"] == urls[0]].iloc[0]
+    assert row["doc_id"] != old_row["doc_id"]
+    assert row["len"] == old_row["len"] + 3
+
+
+def test_search_template_renders_and_matches_direct(spark, root):
+    """Stored search template: CAS-registered source, strict {{param}}
+    binding, and execution identical to the directly-written
+    query_string batch."""
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 300, seed=13, partitions=4)
+    idx = cat.create("pages-2026-01-04t00-00-00z")
+    idx.ingest(pages, segment_docs=256, positions=True)
+
+    cat.put_search_template("find", '+{{must}} "{{p1}} {{p2}}" -{{not}}')
+    src = cat.get_search_template("find")
+    assert cat.render_search_template(
+        src, {"must": "a", "p1": "b", "p2": "c", "not": "d"}
+    ) == '+a "b c" -d'
+    with pytest.raises(ValueError, match="unbound template params"):
+        cat.render_search_template(src, {"must": "a"})
+
+    # pick real corpus words so the search returns hits
+    words = [
+        r["term"]
+        for r in idx.dictionary().orderBy(F.desc("df")).limit(4).collect()
+    ]
+    params = {"must": words[0], "p1": words[1], "p2": words[2], "not": words[3]}
+    got = _canon(
+        cat.search_template(
+            "pages-2026-01-04t00-00-00z", "find", [(0, params)], k=10
+        )
+    )
+    direct = _canon(
+        idx.search_query_string(
+            [(0, f'+{words[0]} "{words[1]} {words[2]}" -{words[3]}')], k=10
+        )
+    )
+    pd.testing.assert_frame_equal(got, direct)
+    assert len(got) > 0
