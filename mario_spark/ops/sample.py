@@ -99,3 +99,28 @@ def pack_sequences(
         (cum - F.col("n_tokens")).cast("long").alias("start_offset"),
         F.floor((cum - F.col("n_tokens")) / seq_len).cast("long").alias("chunk_id"),
     )
+
+
+def cap_per_host(
+    documents_with_host: DataFrame,
+    n_per_host: int,
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Per-host document cap (the Dolma/RefinedWeb curation rule: no
+    single domain may dominate the training mix): keep the top
+    `n_per_host` docs of each host by quality, deterministic doc_id
+    tie-break. The rank window partitions BY HOST — embarrassingly
+    parallel, no global sort; hosts are the natural unit of skew, and a
+    mega-host's window is still bounded by that host's docs within its
+    hash partition (salting is unnecessary because the output is capped
+    at n_per_host rows per host anyway — rank beyond the cap is
+    filtered before any downstream shuffle)."""
+    w = Window.partitionBy("host").orderBy(
+        F.desc(quality_col), F.asc("doc_id")
+    )
+    return (
+        documents_with_host.withColumn(
+            "host_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("host_rank") <= n_per_host)
+    )

@@ -4756,6 +4756,54 @@ SELECT '10.32.0.0/11', count(*) FILTER (ipl >= 169869312 AND ipl < 171966464)
 FROM ips
 """
 
+HOST_CAP_KEEP = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         printf('host%d.example.com', doc_id % 37) AS host
+  FROM documents
+),
+r AS (
+  SELECT doc_id, host,
+         row_number() OVER (
+           PARTITION BY host ORDER BY n_chars DESC, doc_id ASC
+         )::BIGINT AS host_rank
+  FROM d
+)
+SELECT doc_id, host, host_rank FROM r WHERE host_rank <= 5
+"""
+
+def _cluster_mixture_oracle() -> str:
+    from mario_spark.ops.ann import DEFAULT_CENTROID_IDS
+
+    cids = ", ".join(str(c) for c in DEFAULT_CENTROID_IDS)
+    sq = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+        " * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  WHERE vec_id IN ({cids})
+),
+dist AS (
+  SELECT e.vec_id, c.cell, {sq} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+rk AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM dist
+),
+cnt AS (
+  SELECT cell, count(*)::BIGINT AS n FROM rk WHERE rn = 1 GROUP BY 1
+),
+tot AS (SELECT sum(pow(n, 0.7)) AS t FROM cnt)
+SELECT cell, n, round(pow(n, 0.7) / tot.t, 6) AS weight
+FROM cnt CROSS JOIN tot ORDER BY cell
+"""
+
+
 AGG_CHILDREN = """
 SELECT c.c_mktsegment AS bucket, count(*)::BIGINT AS doc_count,
        round(sum(o.o_totalprice), 4) AS sum_metric
@@ -5201,6 +5249,8 @@ ORACLES: dict[str, str] = {
     "training_order": TRAINING_ORDER,
     "agg_ip_range": AGG_IP_RANGE,
     "agg_children": AGG_CHILDREN,
+    "host_cap_keep": HOST_CAP_KEEP,
+    "cluster_mixture_weights": _cluster_mixture_oracle(),
     "esql_bucket_stats": ESQL_BUCKET_STATS,
     "esql_case": ESQL_CASE,
     "esql_count_distinct": ESQL_COUNT_DISTINCT,

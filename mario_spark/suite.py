@@ -3169,6 +3169,60 @@ def agg_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def host_cap_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (Dolma/RefinedWeb curation): keep the top
+    5 docs per host by n_chars (doc_id tie-break) — host derived
+    deterministically from doc_id (the corpus has no url column), rank
+    window partitioned by host (ops/sample.cap_per_host)."""
+    from mario_spark.ops.sample import cap_per_host
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.format_string("host%d.example.com", F.col("doc_id") % 37).alias(
+            "host"
+        ),
+    )
+    return cap_per_host(d, n_per_host=5, quality_col="n_chars").select(
+        "doc_id", "host", "host_rank"
+    )
+
+
+def cluster_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balance sampling weights (DoReMi-lite over EMBEDDING
+    clusters instead of source labels): assign every vector to its
+    nearest pinned centroid (the IVF sampled-centroid assignment —
+    broadcast centroid dim, deterministic (d, cell) tie-break), then
+    weight each cluster ∝ n^0.7 normalized. One broadcast crossJoin +
+    one rank window (partitioned by vec_id) + one tiny agg."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = e.filter(F.col("vec_id").isin(ann.DEFAULT_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    dist = e.crossJoin(F.broadcast(cents)).withColumn(
+        "d", ann._sq_l2("embedding", "cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    assign = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    cnt = assign.groupBy("cell").agg(F.count("*").cast("long").alias("n"))
+    tot = cnt.agg(F.sum(F.pow("n", F.lit(0.7))).alias("t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n",
+            F.round(F.pow("n", F.lit(0.7)) / F.col("t"), 6).alias("weight"),
+        )
+        .orderBy("cell")
+    )
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer training (ops/textstats.bpe_train): 5
     merge rules learned over the corpus char stream, one alphabet-
@@ -3558,6 +3612,8 @@ SUITE = {
     "agg_ip_range": agg_ip_range,
     "agg_children": agg_children,
     "bpe_train_merges": bpe_train_merges,
+    "host_cap_keep": host_cap_keep,
+    "cluster_mixture_weights": cluster_mixture_weights,
     "esql_bucket_stats": esql_bucket_stats,
     "esql_case": esql_case,
     "esql_count_distinct": esql_count_distinct,
