@@ -802,3 +802,106 @@ def bloom_membership(
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) == k).alias("bloom_dup"),
     )
+
+
+# ----------------------------------- exact-substring dedup (span removal)
+def exact_substring_dedup(documents: DataFrame, n: int = DECON_N) -> DataFrame:
+    """Exact-substring deduplication WITH span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    rewrite step; `dup_ngram_stats` is only the doc-level signal): a
+    token n-gram occurrence is cut iff its digest appears more than
+    once in the corpus AND it is not the globally FIRST occurrence
+    (smallest (doc_id, pos) — the suffix-array implementation's
+    keep-one rule; within-doc repeats count too). Tokens covered by any
+    cut gram are removed, contiguous removals merge into maximal spans,
+    and the doc is rewritten from the surviving tokens.
+    -> (doc_id, n_tokens, n_removed, n_spans, clean_hash) where
+    clean_hash = md5 of the space-joined surviving token stream
+    (md5('') for token-less or fully-cut docs).
+
+    Scale shape: the GRAM stream (the n-times-corpus-sized part) crosses
+    shuffles as md5 digests + packed int keys only — one first-occurrence
+    min-agg, one digest-keyed join-back, one doc_id agg of cut positions.
+    The token array then crosses exactly ONE exchange: the doc_id rewrite
+    join, which is irreducible for a rewrite op (its OUTPUT is
+    corpus-sized; any engine must re-unite text with the globally-decided
+    cut list once — the positions side is the small one). The span/rewrite
+    math is per-doc array algebra over SORTED cut positions: coverage via
+    fixed-width interval union, survivors via complement intervals between
+    shifted borders — O(tokens + cuts) per doc inside whole-stage codegen,
+    no per-token membership scan.
+    """
+    gram_expr = F.expr(
+        f"transform(sequence(1, size(arr) - {n - 1}), "
+        f"p -> md5(concat_ws(' ', slice(arr, p, {n}))))"
+    )
+    base = documents.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"[\p{L}\p{N}]+"), F.lit(0)
+        ).alias("arr"),
+    )
+    occ = (
+        base.filter(F.size("arr") >= n)
+        .select("doc_id", F.posexplode(gram_expr).alias("p0", "digest"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),
+            "digest",
+            # same packing as chunk_dedup_stats: pos < 2^20 under doc_id
+            (F.shiftleft(F.col("doc_id"), 20) + F.col("p0") + 1)
+            .cast("long")
+            .alias("okey"),
+        )
+    )
+    first = occ.groupBy("digest").agg(
+        F.min("okey").alias("first_okey"), F.count("*").alias("occ_cnt")
+    )
+    cuts = (
+        occ.join(first, "digest")
+        .filter((F.col("occ_cnt") > 1) & (F.col("okey") > F.col("first_okey")))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
+    joined = (
+        base.join(cuts, "doc_id", "left")
+        .withColumn(
+            "ps2", F.coalesce(F.col("ps"), F.expr("array_repeat(1, 0)"))
+        )
+        .withColumn(
+            "cov",
+            F.expr(
+                "sort_array(array_distinct(flatten("
+                f"transform(ps2, p -> sequence(p, p + {n - 1})))))"
+            ),
+        )
+        .withColumn(
+            "borders", F.expr("concat(array(0), cov, array(size(arr) + 1))")
+        )
+        .withColumn(
+            "kept",
+            F.expr(
+                "flatten(zip_with("
+                "slice(borders, 1, size(borders) - 1), "
+                "slice(borders, 2, size(borders) - 1), "
+                "(a, b) -> CASE WHEN b - a > 1 THEN sequence(a + 1, b - 1) "
+                "ELSE array_repeat(1, 0) END))"
+            ),
+        )
+    )
+    spans_expr = (
+        "CASE WHEN size(cov) = 0 THEN 0 ELSE 1 + size(filter("
+        "zip_with(slice(cov, 2, size(cov) - 1), slice(cov, 1, size(cov) - 1),"
+        " (a, b) -> a - b), d -> d > 1)) END"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_tokens"),
+        F.size("cov").cast("long").alias("n_removed"),
+        F.expr(spans_expr).cast("long").alias("n_spans"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(kept, i -> element_at(arr, i))")
+            )
+        ).alias("clean_hash"),
+    )

@@ -124,3 +124,38 @@ def cap_per_host(
         )
         .filter(F.col("host_rank") <= n_per_host)
     )
+
+
+def host_reputation(
+    documents_with_host: DataFrame,
+    quality_col: str = "quality",
+    drop_quantile: float = 0.25,
+) -> DataFrame:
+    """Host-level reputation filter (the domain-granularity half of
+    RefinedWeb/Dolma curation, complementing the per-host doc cap):
+    aggregate each host's mean quality and doc count, then mark every
+    host whose mean falls below the corpus-wide `drop_quantile` of
+    host means as dropped — removing a spammy DOMAIN outright rather
+    than scoring its docs one by one.
+    -> (host, n_docs, mean_q, keep).
+
+    Scale shape: one host-keyed hash agg (map-side combinable; the
+    host table at web scale is ~1e8 rows — far too big to broadcast,
+    and nothing here needs to), one 1-row exact-percentile agg over
+    the host MEANS broadcast back as a literal-sized crossJoin, one
+    codegen comparison. Docs never re-shuffle; callers semi-join kept
+    hosts against the corpus on the host key.
+    """
+    hosts = documents_with_host.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg(quality_col), 4).alias("mean_q"),
+    )
+    cut = hosts.agg(
+        F.percentile("mean_q", F.lit(drop_quantile)).alias("cut")
+    )
+    return hosts.crossJoin(F.broadcast(cut)).select(
+        "host",
+        "n_docs",
+        "mean_q",
+        (F.col("mean_q") >= F.col("cut")).alias("keep"),
+    )

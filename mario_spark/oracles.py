@@ -4804,6 +4804,81 @@ FROM cnt CROSS JOIN tot ORDER BY cell
 """
 
 
+EXACT_SUBSTRING_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS arr
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS p,
+         md5(array_to_string(arr[i:i+7], ' ')) AS digest,
+         (doc_id * 1048576 + i)::BIGINT AS okey
+  FROM base, unnest(generate_series(1, len(arr) - 7)) AS t(i)
+  WHERE len(arr) >= 8
+),
+first AS (
+  SELECT digest, min(okey) AS first_okey, count(*) AS occ_cnt
+  FROM occ GROUP BY 1
+),
+cuts AS (
+  SELECT o.doc_id, o.p
+  FROM occ o JOIN first f USING (digest)
+  WHERE f.occ_cnt > 1 AND o.okey > f.first_okey
+),
+cov AS (
+  SELECT DISTINCT doc_id, j AS pos
+  FROM cuts, unnest(generate_series(p, p + 7)) AS t(j)
+),
+covw AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM cov
+),
+covstats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_removed,
+         sum(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_spans
+  FROM covw GROUP BY 1
+),
+toks AS (
+  SELECT b.doc_id, i, arr[i] AS tok
+  FROM base b, unnest(generate_series(1, len(arr))) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.i
+  WHERE c.pos IS NULL
+),
+clean AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+  FROM kept GROUP BY 1
+)
+SELECT b.doc_id,
+       len(b.arr)::BIGINT AS n_tokens,
+       coalesce(s.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(c.clean_hash, md5('')) AS clean_hash
+FROM base b
+LEFT JOIN covstats s USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
+"""
+
+HOST_REPUTATION_FILTER = """
+WITH d AS (
+  SELECT n_chars::DOUBLE AS quality,
+         printf('host%d.example.com', doc_id % 37) AS host
+  FROM documents
+),
+hosts AS (
+  SELECT host, count(*)::BIGINT AS n_docs,
+         round(avg(quality), 4) AS mean_q
+  FROM d GROUP BY 1
+),
+cut AS (SELECT quantile_cont(mean_q, 0.25) AS cut FROM hosts)
+SELECT host, n_docs, mean_q, (mean_q >= cut.cut) AS keep
+FROM hosts CROSS JOIN cut
+"""
+
 AGG_CHILDREN = """
 SELECT c.c_mktsegment AS bucket, count(*)::BIGINT AS doc_count,
        round(sum(o.o_totalprice), 4) AS sum_metric
@@ -5251,6 +5326,8 @@ ORACLES: dict[str, str] = {
     "agg_children": AGG_CHILDREN,
     "host_cap_keep": HOST_CAP_KEEP,
     "cluster_mixture_weights": _cluster_mixture_oracle(),
+    "exact_substring_dedup": EXACT_SUBSTRING_DEDUP,
+    "host_reputation_filter": HOST_REPUTATION_FILTER,
     "esql_bucket_stats": ESQL_BUCKET_STATS,
     "esql_case": ESQL_CASE,
     "esql_count_distinct": ESQL_COUNT_DISTINCT,

@@ -3223,6 +3223,35 @@ def cluster_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with span REMOVAL (Lee et al. 2022): cut
+    every non-first occurrence of a corpus-duplicated token 8-gram,
+    merge contiguous cuts into maximal spans, rewrite each doc from the
+    surviving tokens (ops/dedup.exact_substring_dedup). clean_hash
+    fingerprints the rewritten doc so the oracle checks the REWRITE,
+    not just the counts."""
+    from mario_spark.ops import dedup
+
+    return dedup.exact_substring_dedup(_documents(spark, sf_dir), n=8)
+
+
+def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-reputation domain filter (RefinedWeb/Dolma): per-host mean
+    quality (proxy: n_chars) + doc count; hosts below the 25th
+    percentile of host means are dropped outright
+    (ops/sample.host_reputation). Host derived deterministically from
+    doc_id (same synthetic host grid as host_cap_keep)."""
+    from mario_spark.ops.sample import host_reputation
+
+    d = _documents(spark, sf_dir).select(
+        F.col("n_chars").cast("double").alias("quality"),
+        F.format_string("host%d.example.com", F.col("doc_id") % 37).alias(
+            "host"
+        ),
+    )
+    return host_reputation(d, quality_col="quality", drop_quantile=0.25)
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer training (ops/textstats.bpe_train): 5
     merge rules learned over the corpus char stream, one alphabet-
@@ -3614,6 +3643,8 @@ SUITE = {
     "bpe_train_merges": bpe_train_merges,
     "host_cap_keep": host_cap_keep,
     "cluster_mixture_weights": cluster_mixture_weights,
+    "exact_substring_dedup": exact_substring_dedup,
+    "host_reputation_filter": host_reputation_filter,
     "esql_bucket_stats": esql_bucket_stats,
     "esql_case": esql_case,
     "esql_count_distinct": esql_count_distinct,
