@@ -185,6 +185,7 @@ def main() -> None:
         "esql_bucket_stats",
         "agg_geo_line",
         "mixture_resample",
+        "exact_substring_dedup",
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())

@@ -159,3 +159,88 @@ def host_reputation(
         "mean_q",
         (F.col("mean_q") >= F.col("cut")).alias("keep"),
     )
+
+
+PACK_SCHEMA = (
+    "doc_id long, shard long, piece_idx long, n_tokens long, "
+    "bin_id long, bin_fill long"
+)
+
+
+def pack_best_fit(
+    documents: DataFrame, seq_len: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """Best-fit sequence packing (Ding et al. 2024, the Llama-3 layout;
+    contrast pack_sequences' concat-then-chunk, which truncates ~one
+    doc at every sequence boundary): a doc shorter than `seq_len` is
+    NEVER split — docs are bin-packed first-fit-decreasing into
+    sequences per shard. Docs longer than seq_len first shed
+    floor(n/L) full-sequence pieces (each its own bin); the remainder
+    joins the FFD pool. -> one row per piece:
+    (doc_id, shard, piece_idx, n_tokens, bin_id, bin_fill), bin ids
+    dense per shard, full-piece bins first.
+
+    Scale shape: ONE hash shuffle on shard (shard = doc_id % n_shards —
+    size n_shards to keep each group's piece list task-sized, e.g.
+    corpus_docs / 1e5 at 10^12 docs), then an Arrow-batched
+    applyInPandas kernel per shard. The kernel carries (doc_id,
+    n_tokens) pairs only — text never leaves the scan. FFD here is the
+    simple O(pieces x bins) scan (fine at task size); swap in the
+    segment-tree best-fit for multi-million-piece shards. Deterministic:
+    ties break on (len desc, doc_id, piece_idx), so reruns and engines
+    agree bit-for-bit.
+    """
+    import pandas as pd
+
+    L = int(seq_len)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        pieces = []  # (len, doc_id, piece_idx, is_full)
+        for doc_id, n in sorted(
+            zip(pdf["doc_id"].tolist(), pdf["n_tokens"].tolist())
+        ):
+            n = int(n)
+            full, rem = divmod(n, L)
+            for i in range(full):
+                pieces.append((L, int(doc_id), i, True))
+            if rem > 0 or n == 0:
+                pieces.append((rem, int(doc_id), full, False))
+        out = []  # rows: doc_id, piece_idx, len, bin_id
+        next_bin = 0
+        for ln, doc_id, idx, _ in (p for p in pieces if p[3]):
+            out.append((doc_id, idx, ln, next_bin))
+            next_bin += 1
+        bins: list[int] = []  # remaining capacity by (bin_id - base)
+        base = next_bin
+        ffd = sorted(
+            (p for p in pieces if not p[3]),
+            key=lambda p: (-p[0], p[1], p[2]),
+        )
+        for ln, doc_id, idx, _ in ffd:
+            for b, cap in enumerate(bins):
+                if cap >= ln:
+                    bins[b] = cap - ln
+                    out.append((doc_id, idx, ln, base + b))
+                    break
+            else:
+                bins.append(L - ln)
+                out.append((doc_id, idx, ln, base + len(bins) - 1))
+        res = pd.DataFrame(
+            out, columns=["doc_id", "piece_idx", "n_tokens", "bin_id"]
+        )
+        res["shard"] = shard
+        res["bin_fill"] = res.groupby("bin_id")["n_tokens"].transform("sum")
+        return res[
+            ["doc_id", "shard", "piece_idx", "n_tokens", "bin_id", "bin_fill"]
+        ]
+
+    toks = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), F.lit(0))
+    ).cast("long")
+    d = documents.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    return d.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)

@@ -3252,6 +3252,17 @@ def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_reputation(d, quality_col="quality", drop_quantile=0.25)
 
 
+def pack_best_fit_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit sequence packing (Ding et al. 2024 / Llama-3): FFD
+    bin-packing per shard so no doc under seq_len is ever split
+    (ops/sample.pack_best_fit). Rows-only in the driver gate (the FFD
+    loop is not SQL-expressible); invariants + packing-quality bound
+    are pytest-verified (test_ops.test_pack_best_fit_*)."""
+    from mario_spark.ops.sample import pack_best_fit
+
+    return pack_best_fit(_documents(spark, sf_dir), seq_len=256, n_shards=8)
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer training (ops/textstats.bpe_train): 5
     merge rules learned over the corpus char stream, one alphabet-
@@ -3645,6 +3656,7 @@ SUITE = {
     "cluster_mixture_weights": cluster_mixture_weights,
     "exact_substring_dedup": exact_substring_dedup,
     "host_reputation_filter": host_reputation_filter,
+    "pack_best_fit_pieces": pack_best_fit_pieces,
     "esql_bucket_stats": esql_bucket_stats,
     "esql_case": esql_case,
     "esql_count_distinct": esql_count_distinct,

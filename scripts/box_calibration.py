@@ -1,0 +1,98 @@
+"""Box-scaling calibration: how much strong-scaling can THIS box
+deliver to a perfectly parallel job?
+
+The north rule's >=0.8 N->4N criterion presumes each executor brings
+its own cores/memory-channels/disks. A shared sandbox box does not:
+co-tenant load, turbo/frequency behavior, and a shared memory bus all
+eat into the upper level. This script measures the box's own ceiling
+with two embarrassingly parallel strong-scaling workloads (no Spark,
+no shuffle, no Python<->JVM boundary):
+
+  cpu   — fixed total integer work split across P processes
+          (pure ALU: catches frequency scaling + co-tenant steal)
+  mem   — fixed total numpy array-sum work over ~64 MB working sets
+          per process (catches shared memory-bandwidth saturation)
+
+For each workload it reports time at P=N and P=4N and the delivered
+scaling efficiency eff = (t_N / t_4N) / 4 — the number a PERFECT job
+could achieve on this box right now. Index-build efficiency from
+scaling_bench.py should be read against this ceiling:
+normalized = eff_job / eff_box.
+
+Usage: python scripts/box_calibration.py [N,4N] [repeats]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+TOTAL_CPU_ITERS = 1_600_000_000  # ~20 s single-core integer work
+TOTAL_MEM_PASSES = 384  # passes over a 64 MB float64 array
+
+
+def _cpu_chunk(iters: int) -> int:
+    s = 0
+    for i in range(iters):
+        s += i & 7
+    return s
+
+
+def _mem_chunk(passes: int) -> float:
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.float64)  # 64 MB
+    s = 0.0
+    for _ in range(passes):
+        s += float(a.sum())
+        a += 1.0  # write pass too: read+write bandwidth
+    return s
+
+
+def _run(kind: str, procs: int) -> float:
+    """Strong scaling: fixed TOTAL work split evenly across procs."""
+    if kind == "cpu":
+        fn, total = _cpu_chunk, TOTAL_CPU_ITERS
+    else:
+        fn, total = _mem_chunk, TOTAL_MEM_PASSES
+    chunk = total // procs
+    t0 = time.perf_counter()
+    with mp.get_context("spawn").Pool(procs) as pool:
+        pool.map(fn, [chunk] * procs)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    levels = (
+        tuple(int(c) for c in sys.argv[1].split(","))
+        if len(sys.argv) > 1
+        else (2, 8)
+    )
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n, n4 = levels
+    out: dict = {"levels": levels, "repeats": repeats}
+    for kind in ("cpu", "mem"):
+        _run(kind, n4)  # warm-up (page cache, pool spawn)
+        # A-B interleaved like scaling_bench, medians per level
+        ts: dict[int, list[float]] = {n: [], n4: []}
+        for _ in range(repeats):
+            for p in (n, n4):
+                ts[p].append(_run(kind, p))
+        med = lambda xs: sorted(xs)[len(xs) // 2] if len(xs) % 2 else (
+            sorted(xs)[len(xs) // 2 - 1] + sorted(xs)[len(xs) // 2]
+        ) / 2
+        t_n, t_4n = med(ts[n]), med(ts[n4])
+        out[kind] = {
+            "t_n": round(t_n, 2),
+            "t_4n": round(t_4n, 2),
+            "raw": {str(k): [round(x, 2) for x in v] for k, v in ts.items()},
+            "eff": round((t_n / t_4n) / (n4 / n), 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -332,3 +332,113 @@ def test_bloom_membership_flags_planted_duplicates(spark):
     # 2 ref docs * 3 probes over 2^16 bits -> P(any single probe hit)
     # ~1e-4; all-3 false positive is ~1e-12, so doc 3 must be clean
     assert out[3][1] is False
+
+
+def test_exact_substring_dedup_rewrite(spark):
+    """Hand-checkable corpus: doc 1 repeats doc 0's 8-token opening, so
+    its copy (the later occurrence) is cut while doc 0 keeps it; unique
+    tails survive; a doc shorter than the gram width is untouched."""
+    from mario_spark.ops.dedup import exact_substring_dedup
+
+    shared = "a b c d e f g h"  # exactly 8 tokens -> one shared 8-gram
+    rows = [
+        (0, shared + " unique zero tail"),
+        (1, shared + " different one ending"),
+        (2, "wholly original text"),  # 3 tokens < n: no grams, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, n=8).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 0: first occurrence -> nothing cut
+    assert got[0]["n_removed"] == 0 and got[0]["n_spans"] == 0
+    assert got[0]["clean_hash"] == md5("a b c d e f g h unique zero tail")
+    # doc 1: the 8 shared tokens cut as ONE span; its own tail kept
+    assert got[1]["n_tokens"] == 11
+    assert got[1]["n_removed"] == 8 and got[1]["n_spans"] == 1
+    assert got[1]["clean_hash"] == md5("different one ending")
+    # doc 2: too short for any gram
+    assert got[2]["n_removed"] == 0
+    assert got[2]["clean_hash"] == md5("wholly original text")
+
+
+def test_exact_substring_dedup_within_doc_repeat(spark):
+    """A doc repeating its own 8-gram keeps only the first occurrence
+    (the global keep-one rule applies within a doc too)."""
+    from mario_spark.ops.dedup import exact_substring_dedup
+
+    text = "p q r s t u v w SEP p q r s t u v w"  # 8-gram, sep, same 8-gram
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = exact_substring_dedup(df, n=8).collect()[0]
+    assert row["n_tokens"] == 17
+    assert row["n_removed"] == 8 and row["n_spans"] == 1
+    import hashlib
+
+    assert row["clean_hash"] == hashlib.md5(
+        b"p q r s t u v w sep"
+    ).hexdigest()  # tokenizer lowercases
+
+
+def test_pack_best_fit_invariants(spark):
+    """Every bin fits in seq_len; docs shorter than seq_len are never
+    split; every doc's tokens are fully assigned; bin count is within
+    the FFD guarantee (11/9 OPT + 1) of the lower bound."""
+    import math
+
+    from mario_spark.ops.sample import pack_best_fit
+
+    rows = [(i, "tok " * (7 * i % 23 + (50 if i % 5 == 0 else 1)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 16
+    out = pack_best_fit(df, seq_len=L, n_shards=4).toPandas()
+
+    # bins respect capacity and fills are internally consistent
+    fills = out.groupby(["shard", "bin_id"])["n_tokens"].sum()
+    assert (fills <= L).all()
+    assert (
+        out.set_index(["shard", "bin_id"])["bin_fill"]
+        == fills.reindex(
+            out.set_index(["shard", "bin_id"]).index
+        )
+    ).all()
+
+    # per-doc token conservation vs an independent count
+    import re
+
+    expect = {
+        i: len(re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower()))
+        for i, t in rows
+    }
+    got = out.groupby("doc_id")["n_tokens"].sum().to_dict()
+    assert got == expect
+
+    # short docs are one piece; long docs shed floor(n/L) full pieces
+    pieces = out.groupby("doc_id").size().to_dict()
+    for i, n in expect.items():
+        want = n // L + (1 if (n % L or n == 0) else 0)
+        assert pieces[i] == max(want, 1), (i, n, pieces[i])
+
+    # FFD quality per shard: bins <= ceil(11/9 * OPT_lower) + 1
+    for shard, grp in out.groupby("shard"):
+        n_bins = grp["bin_id"].nunique()
+        lower = math.ceil(grp.drop_duplicates(
+            ["doc_id", "piece_idx"])["n_tokens"].sum() / L)
+        assert n_bins <= math.ceil(11 / 9 * lower) + 1, (shard, n_bins, lower)
+
+
+def test_pack_best_fit_deterministic(spark):
+    """Same input twice -> bit-identical piece/bin assignment."""
+    from mario_spark.ops.sample import pack_best_fit
+
+    rows = [(i, "w " * (i % 13 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = pack_best_fit(df, seq_len=8, n_shards=4).toPandas().sort_values(
+        ["doc_id", "piece_idx"], ignore_index=True)
+    b = pack_best_fit(df, seq_len=8, n_shards=4).toPandas().sort_values(
+        ["doc_id", "piece_idx"], ignore_index=True)
+    assert a.equals(b)

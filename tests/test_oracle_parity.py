@@ -14,7 +14,7 @@ from mario_spark.suite import SUITE
 # Queries whose feedback loop is not SQL-expressible: the driver records
 # a weaker rows-only check for these (no oracle_sql entry by design);
 # their value-level verification lives in dedicated pytest modules.
-ROWS_ONLY = {"bpe_train_merges"}
+ROWS_ONLY = {"bpe_train_merges", "pack_best_fit_pieces"}
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [

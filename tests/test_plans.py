@@ -695,3 +695,24 @@ def test_bloom_and_training_order_plan_shapes(spark):
     plan = _plan(training_order(spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_exact_substring_dedup_gram_shuffles_carry_digests(spark):
+    """The gram stream (n x corpus volume) must cross exchanges as md5
+    digests + packed int keys only; the token array may appear in at
+    most ONE exchange — the irreducible doc_id rewrite join."""
+    import re
+
+    from mario_spark.suite import exact_substring_dedup
+
+    plan = _plan(exact_substring_dedup(spark, SF_DIR))
+    lines = plan.splitlines()
+    inputs = [
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if re.fullmatch(r"\(\d+\) Exchange", l.strip())
+    ]
+    assert inputs, "expected hash exchanges in the exact_substring plan"
+    with_arr = [l for l in inputs if "arr" in l or "text" in l]
+    assert len(with_arr) <= 1, with_arr
+    assert "CartesianProduct" not in plan
