@@ -51,11 +51,33 @@ def assign_doc_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
-    )
     w = Window.partitionBy("_pid").orderBy(F.col(order_col), tiebreak)
+    if len(offsets) <= 65536:
+        # The per-partition offsets are already ON THE DRIVER, so inline
+        # them as a Catalyst map literal — zero extra stages, no
+        # createDataFrame round trip (a local-list DataFrame costs a
+        # PythonRDD materialization + a broadcast exchange; measured as
+        # a multi-second SERIAL stage per build under local-cluster),
+        # and the lookup fuses into the window projection.
+        mapping = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        )
+        return (
+            d.withColumn(
+                "doc_id",
+                (
+                    F.element_at(mapping, F.col("_pid"))
+                    + F.row_number().over(w)
+                    - 1
+                ).cast("long"),
+            )
+            .drop("_pid")
+        )
+    # A plan literal with >64k entries risks Catalyst bloat (a 10^12-doc
+    # build with ~10^5+ range partitions); fall back to a broadcast dim.
+    off_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    ).coalesce(1)
     out = (
         d.join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", (F.col("_offset") + F.row_number().over(w) - 1).cast("long"))

@@ -216,6 +216,33 @@ def _read_json(path: str) -> dict | None:
     return _COMMITTER.read_json(path)
 
 
+def _write_manifest(
+    post: DataFrame, path: str, seg_id: int, lo: int, hi: int
+) -> None:
+    """Per-partition (dbucket) metrics + lineage — the checkpoint
+    manifest the north rule requires (docs/bytes/postings recorded per
+    partition, resumable from the segment boundary)."""
+    (
+        post.groupBy("dbucket")
+        .agg(
+            F.sum("n").cast("long").alias("postings"),
+            F.count("*").cast("long").alias("blocks"),
+            (
+                F.sum(F.octet_length("doc_ids"))
+                + F.sum(F.octet_length("tfs"))
+                + F.sum(F.octet_length("lens"))
+            )
+            .cast("long")
+            .alias("payload_bytes"),
+        )
+        .withColumn("segment", F.lit(seg_id))
+        .withColumn("doc_lo", F.lit(lo).cast("long"))
+        .withColumn("doc_hi", F.lit(hi).cast("long"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 @dataclass
 class IndexPaths:
     root: str
@@ -434,30 +461,43 @@ class Index:
             post, dic, _ = build_postings(d, max(seg_n, 1), range_width=rw)
             post = post.persist()
             docs_out = d.select(*[c for c in DOCS_COLS if c in d.columns])
-        post.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
-        dic.write.mode("overwrite").parquet(os.path.join(seg_dir, "dictionary"))
-        docs_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
-        # per-partition (dbucket) metrics + lineage — the checkpoint manifest
+        # Overlap the four segment outputs. postings is the only write
+        # that COMPUTES anything (it materializes the post cache); the
+        # docs write needs only the already-cached doc table, and the
+        # dictionary + manifest writes are small aggregations over the
+        # post cache. Running them sequentially serializes four job
+        # scheduling floors on an otherwise idle fleet; overlapping them
+        # is safe because the commit marker below is the only
+        # visibility point. dic/manifest wait for the post cache to be
+        # materialized so concurrent jobs never race to compute the
+        # same uncached partitions twice.
+        from concurrent.futures import ThreadPoolExecutor
+
         os.makedirs(os.path.join(p.base, "manifest"), exist_ok=True)
-        (
-            post.groupBy("dbucket")
-            .agg(
-                F.sum("n").cast("long").alias("postings"),
-                F.count("*").cast("long").alias("blocks"),
-                (
-                    F.sum(F.octet_length("doc_ids"))
-                    + F.sum(F.octet_length("tfs"))
-                    + F.sum(F.octet_length("lens"))
-                )
-                .cast("long")
-                .alias("payload_bytes"),
+
+        def _write_postings() -> None:
+            post.write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "postings")
             )
-            .withColumn("segment", F.lit(seg_id))
-            .withColumn("doc_lo", F.lit(lo).cast("long"))
-            .withColumn("doc_hi", F.lit(hi).cast("long"))
-            .write.mode("overwrite")
-            .parquet(p.manifest(seg_id))
-        )
+
+        def _write_docs() -> None:
+            docs_out.write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "docs")
+            )
+
+        def _write_dictionary() -> None:
+            dic.write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "dictionary")
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_post = pool.submit(_write_postings)
+            f_docs = pool.submit(_write_docs)
+            f_post.result()  # post cache is now materialized
+            f_dic = pool.submit(_write_dictionary)
+            _write_manifest(post, p.manifest(seg_id), seg_id, lo, hi)
+            f_dic.result()
+            f_docs.result()
         post.unpersist()
         d.unpersist()
         # the commit point: everything above is invisible until this rename

@@ -133,6 +133,15 @@ def compact_segments(
     purged_field_stats: dict[str, dict] | None = None
     if deleted is not None:
         tf_rows = tf_rows.join(F.broadcast(deleted), "doc_id", "left_anti")
+        # A purging compaction reads tf_rows three times (recomputed
+        # dictionary, field/collection stats, re-encode). Without a
+        # persist each consumer would re-run the FULL postings decode;
+        # MEMORY_AND_DISK spills rather than OOMs when the decoded
+        # corpus exceeds executor memory (compaction is a batch
+        # rewrite — disk-backed reuse is the right trade at any scale).
+        from pyspark import StorageLevel
+
+        tf_rows = tf_rows.persist(StorageLevel.MEMORY_AND_DISK)
         docs = docs.join(F.broadcast(deleted), "doc_id", "left_anti")
         # df changed: recompute the dictionary from surviving rows
         dic = tf_rows.groupBy("term").agg(
@@ -177,9 +186,32 @@ def compact_segments(
 
     seg_dir = p.seg(new_id)
     os.makedirs(seg_dir, exist_ok=True)
-    merged.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings"))
-    dic.write.mode("overwrite").parquet(os.path.join(seg_dir, "dictionary"))
-    docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+    # Overlap the independent writes (same rationale as
+    # Index._build_segment): docs doesn't depend on the merged
+    # postings, and the dictionary write starts once the postings
+    # write has materialized the shared tf_rows cache (purge path) or
+    # reads the source dictionaries directly (plain path).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_merged = pool.submit(
+            lambda: merged.write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "postings")
+            )
+        )
+        f_docs = pool.submit(
+            lambda: docs.write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "docs")
+            )
+        )
+        f_merged.result()
+        f_dic = pool.submit(
+            lambda: dic.write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "dictionary")
+            )
+        )
+        f_docs.result()
+        f_dic.result()
 
     # consolidated manifest + stats for the new segment. A purging
     # compaction changed the physical blocks, so its manifest is
@@ -261,6 +293,7 @@ def compact_segments(
             shutil.rmtree(p.manifest(s), ignore_errors=True)
     if deleted is not None:
         index.clear_deletes()
+        tf_rows.unpersist()
     return new_id
 
 

@@ -13,6 +13,7 @@ Prints one JSON line per level.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -26,9 +27,16 @@ cores = int(sys.argv[1]); input_path = sys.argv[2]
 from mario_spark.session import get_spark
 from mario_spark import docs
 from mario_spark.postings import build_postings
-spark = get_spark("stage", master=f"local[{{cores}}]", shuffle_partitions=cores)
+PARTS = 32  # fixed decomposition across levels — see scaling_bench.py
+spark = get_spark("stage", master=f"local[{{cores}}]", shuffle_partitions=PARTS,
+                  extra_conf={{
+                      "spark.driver.extraJavaOptions":
+                          f"-XX:ActiveProcessorCount={{cores}}",
+                      "spark.default.parallelism": str(PARTS),
+                      "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                  }})
 spark.sparkContext.setLogLevel("ERROR")
-pages = spark.read.parquet(input_path).repartition(cores * 2).persist()
+pages = spark.read.parquet(input_path).repartition(PARTS).persist()
 pages.count()
 
 def build(timings=None):
@@ -63,11 +71,17 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     levels = [int(c) for c in (sys.argv[2] if len(sys.argv) > 2 else "2,8").split(",")]
     input_path = f"/tmp/scaling_pages_{n_docs}"
+    sys.path.insert(0, str(REPO / "scripts"))
+    from scaling_bench import _pin  # same container-faithful CPU pin
+
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
     for cores in levels:
         out = subprocess.run(
-            [sys.executable, "-c", _CHILD.format(repo=str(REPO)),
-             str(cores), input_path],
-            capture_output=True, text=True, timeout=3000,
+            _pin(cores)
+            + [sys.executable, "-c", _CHILD.format(repo=str(REPO)),
+               str(cores), input_path],
+            capture_output=True, text=True, timeout=3000, env=env,
         )
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         print(lines[-1] if lines else out.stderr[-1500:])
