@@ -1698,7 +1698,7 @@ SELECT doc_id,
        round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio,
        round(coalesce(sum_wlen, 0) / greatest(n_tokens, 1), 4) AS mean_wlen,
        round(
-         (CASE WHEN n_tokens BETWEEN 50 AND 1024 THEN 0.4 ELSE 0.0 END)
+         (CASE WHEN n_tokens BETWEEN 50 AND 1024 THEN 0.4::DOUBLE ELSE 0.0 END)
          + (CASE WHEN round(n_stop / greatest(n_tokens, 1), 4) >= 0.01 THEN 0.3 ELSE 0.0 END)
          + (CASE WHEN round(n_punct / greatest(n_chars, 1), 4) <= 0.1 THEN 0.3 ELSE 0.0 END),
        4) AS quality
@@ -1796,7 +1796,7 @@ qd AS (
 q AS (
   SELECT doc_id,
          round(
-           (CASE WHEN n_tokens BETWEEN 50 AND 1024 THEN 0.4 ELSE 0.0 END)
+           (CASE WHEN n_tokens BETWEEN 50 AND 1024 THEN 0.4::DOUBLE ELSE 0.0 END)
            + (CASE WHEN round(n_stop / greatest(n_tokens, 1), 4) >= 0.01 THEN 0.3 ELSE 0.0 END)
            + (CASE WHEN round(n_punct / greatest(n_chars, 1), 4) <= 0.1 THEN 0.3 ELSE 0.0 END),
          4) AS quality
@@ -2385,7 +2385,7 @@ r AS (
                             ORDER BY doc_id ASC)::BIGINT AS rank
   FROM cand
 )
-SELECT query_id, doc_id, 1.2 AS score, rank FROM r WHERE rank <= 10
+SELECT query_id, doc_id, 1.2::DOUBLE AS score, rank FROM r WHERE rank <= 10
 """
 
 
@@ -3299,7 +3299,7 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 
 
 IDS_QUERY = """
-SELECT doc_id, lang, 1.0 AS score
+SELECT doc_id, lang, 1.0::DOUBLE AS score
 FROM documents WHERE doc_id IN (3, 7, 11, 400, 9999)
 """
 

@@ -14,6 +14,7 @@ Usage:
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -36,6 +37,11 @@ def _canon(v):
     4-dp rounding both sides already apply)."""
     if v is None:
         return None
+    if isinstance(v, decimal.Decimal):
+        # DuckDB types bare SQL decimal literals (and their sums) as
+        # DECIMAL; compare numerically like the driver does, and keep
+        # the oracles ::DOUBLE-cast anyway so any comparator agrees.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
