@@ -1323,3 +1323,61 @@ def ip_range_agg(
     return row.select(
         F.expr(f"stack({len(entries)}, {stack}) AS (key, doc_count)")
     )
+
+
+def variable_width_histogram(
+    df: DataFrame, value_col: str, buckets: int = 8
+) -> DataFrame:
+    """ES variable_width_histogram: cluster a numeric field into at most
+    `buckets` variable-width buckets, each reporting min/max/centroid
+    (avg) and doc_count (search-aggregations-bucket-variablewidthhistogram;
+    reference stack feature, no mario file — the delegated engine owns aggs).
+
+    ES's implementation is an order-dependent approximate 1-D clusterer
+    (per-shard nearest-cluster assignment + merges), which is not
+    reproducible across engines. This uses the deterministic equivalent:
+    single-linkage largest-gap clustering — split the sorted DISTINCT
+    value domain at the (buckets-1) widest gaps; contiguous runs form
+    the clusters. Deterministic tie-break: wider gap first, then lower
+    value, so both engines pick identical boundaries.
+
+    Scale shape: the clustering input is the DISTINCT value domain, not
+    the corpus — for real histogram metrics (doc length, score, size)
+    that domain is orders of magnitude smaller than the row count and
+    is what ES's own in-memory clusterer is bounded by anyway. The gap
+    window runs on that reduced table; boundary selection is a top-(b-1)
+    TakeOrderedAndProject; the per-row bucket assignment broadcasts the
+    <= b-1 boundaries as inline literals (pure codegen comparisons, no
+    join, no second shuffle of the corpus).
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(value_col).cast("double").alias("v")).where(
+        F.col(value_col).isNotNull()
+    ).distinct()
+    w = Window.orderBy("v")
+    gaps = vals.withColumn("gap", F.col("v") - F.lag("v").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    # top (buckets-1) widest gaps; each gap's right endpoint starts a bucket
+    bounds = [
+        r["v"]
+        for r in gaps.orderBy(F.desc("gap"), F.asc("v"))
+        .limit(buckets - 1)
+        .collect()
+    ]
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(0)
+    for b in sorted(bounds):
+        bucket = bucket + F.when(v >= F.lit(b), 1).otherwise(0)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.round(F.avg(v), 4).alias("centroid"),
+            F.count("*").alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )

@@ -1200,6 +1200,54 @@ SELECT term, fg_df::BIGINT AS fg_count, bg_df::BIGINT AS bg_count, jlh
 FROM j ORDER BY jlh DESC, term ASC LIMIT 10
 """
 
+AGG_SIGNIFICANT_TEXT = f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}')) AS term
+  FROM documents SEMI JOIN keep USING (doc_id)
+),
+presence AS (SELECT DISTINCT doc_id, term FROM toks),
+fg_docs AS (SELECT DISTINCT doc_id FROM presence WHERE term = 'join'),
+nfg AS (SELECT count(*)::DOUBLE AS n FROM fg_docs),
+nbg AS (SELECT count(*)::DOUBLE AS n FROM keep),
+fg AS (
+  SELECT term, count(*)::DOUBLE AS fg_df
+  FROM presence SEMI JOIN fg_docs USING (doc_id)
+  GROUP BY 1
+),
+bg AS (SELECT term, count(*)::DOUBLE AS bg_df FROM presence GROUP BY 1),
+j AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         round( (fg.fg_df / nfg.n - bg.bg_df / nbg.n)
+                * ((fg.fg_df / nfg.n) / (bg.bg_df / nbg.n)), 6) AS jlh
+  FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nbg
+  WHERE fg.term != 'join'
+)
+SELECT term, fg_df::BIGINT AS fg_count, bg_df::BIGINT AS bg_count, jlh
+FROM j ORDER BY jlh DESC, term ASC LIMIT 10
+"""
+
+AGG_VARIABLE_WIDTH = """
+WITH vals AS (
+  SELECT DISTINCT n_chars::DOUBLE AS v FROM documents WHERE n_chars IS NOT NULL
+),
+g AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM vals),
+bounds AS (
+  SELECT v FROM g WHERE gap IS NOT NULL ORDER BY gap DESC, v ASC LIMIT 7
+),
+assigned AS (
+  SELECT d.n_chars::DOUBLE AS v,
+         (SELECT count(*) FROM bounds b WHERE b.v <= d.n_chars::DOUBLE) AS bucket
+  FROM documents d WHERE d.n_chars IS NOT NULL
+)
+SELECT bucket::BIGINT AS bucket, min(v) AS min, max(v) AS max,
+       round(avg(v), 4) AS centroid, count(*)::BIGINT AS doc_count
+FROM assigned GROUP BY bucket ORDER BY bucket
+"""
+
 AGG_TOP_HITS = """
 WITH rk AS (
   SELECT lang AS key, doc_id, n_chars,
@@ -5213,6 +5261,8 @@ ORACLES: dict[str, str] = {
     "agg_cardinality_users": AGG_CARDINALITY_USERS,
     "agg_top_hits": AGG_TOP_HITS,
     "agg_significant_terms": AGG_SIGNIFICANT_TERMS,
+    "agg_significant_text": AGG_SIGNIFICANT_TEXT,
+    "agg_variable_width": AGG_VARIABLE_WIDTH,
     "agg_composite_page": AGG_COMPOSITE_PAGE,
     "rescore_topk": rescore_topk_sql(),
     "search_after_page": SEARCH_AFTER_PAGE,

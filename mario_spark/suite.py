@@ -1159,6 +1159,59 @@ def agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("jlh"), F.asc("term")).limit(10)
 
 
+def agg_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_text agg: significant_terms re-analyzing the text
+    field with its filter_duplicate_text=true default — exact-duplicate
+    texts count ONCE, the agg's guard against boilerplate skewing the
+    statistics (the reference's delegated engine owns aggs; no mario
+    file). Dedup keeps min doc_id per md5(text) — the shuffle carries
+    the 128-bit digest, never full text (same 100TB shape as exact
+    dedup); presence then semi-joins the survivor set. JLH scoring and
+    ranking identical to agg_significant_terms."""
+    raw = _documents(spark, sf_dir)
+    keep = (
+        raw.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    tf = query.term_frequencies(_doc_table(spark, sf_dir))
+    presence = (
+        tf.select("doc_id", "term").distinct().join(keep, "doc_id", "leftsemi")
+    )
+    fg_docs = presence.filter(F.col("term") == "join").select("doc_id")
+    n_fg = fg_docs.count()
+    n_bg = keep.count()
+    fg = (
+        presence.join(F.broadcast(fg_docs), "doc_id", "leftsemi")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("fg_df"))
+    )
+    bg = presence.groupBy("term").agg(
+        F.count("*").cast("double").alias("bg_df")
+    )
+    j = fg.join(bg, "term").filter(F.col("term") != "join")
+    fg_pct = F.col("fg_df") / float(n_fg)
+    bg_pct = F.col("bg_df") / float(n_bg)
+    out = j.select(
+        "term",
+        F.col("fg_df").cast("long").alias("fg_count"),
+        F.col("bg_df").cast("long").alias("bg_count"),
+        F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("jlh"),
+    )
+    return out.orderBy(F.desc("jlh"), F.asc("term")).limit(10)
+
+
+def agg_variable_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram over n_chars: at most 8 variable-width
+    clusters (deterministic largest-gap splits of the distinct value
+    domain), each with min/max/centroid/doc_count."""
+    from mario_spark.ops import aggs
+
+    return aggs.variable_width_histogram(
+        _documents(spark, sf_dir), "n_chars", buckets=8
+    )
+
+
 def agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES top_hits sub-aggregation: top-3 docs per lang by n_chars
     (doc_id tiebreak) — a per-bucket rank window, parallel across
@@ -3516,6 +3569,8 @@ SUITE = {
     "agg_cardinality_users": agg_cardinality_users,
     "agg_top_hits": agg_top_hits,
     "agg_significant_terms": agg_significant_terms,
+    "agg_significant_text": agg_significant_text,
+    "agg_variable_width": agg_variable_width,
     "agg_composite_page": agg_composite_page,
     "query_string_topk": query_string_topk,
     "term_suggest": term_suggest,

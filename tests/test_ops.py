@@ -442,3 +442,30 @@ def test_pack_best_fit_deterministic(spark):
     b = pack_best_fit(df, seq_len=8, n_shards=4).toPandas().sort_values(
         ["doc_id", "piece_idx"], ignore_index=True)
     assert a.equals(b)
+
+
+def test_variable_width_histogram_invariants(spark):
+    """Largest-gap clustering: <= `buckets` non-overlapping buckets,
+    counts sum to the non-null rows, boundaries deterministic, and the
+    widest gaps in the value domain are BETWEEN buckets, not inside."""
+    from pyspark.sql import functions as F
+
+    from mario_spark.ops.aggs import variable_width_histogram
+
+    rows = [(float(v),) for v in [1, 2, 3, 50, 51, 52, 900, 901, 2000]]
+    df = spark.createDataFrame(rows * 3, "v double")  # duplicates too
+    out = variable_width_histogram(df, "v", buckets=4).collect()
+    assert len(out) == 4
+    assert sum(r["doc_count"] for r in out) == len(rows) * 3
+    # contiguous, non-overlapping, sorted
+    for a, b in zip(out, out[1:]):
+        assert a["max"] < b["min"]
+    # the four natural clusters split exactly at the three widest gaps
+    assert [(r["min"], r["max"]) for r in out] == [
+        (1.0, 3.0), (50.0, 52.0), (900.0, 901.0), (2000.0, 2000.0)
+    ]
+    # centroid = bucket mean
+    assert out[0]["centroid"] == 2.0
+    # deterministic across re-runs
+    again = variable_width_histogram(df, "v", buckets=4).collect()
+    assert out == again
