@@ -354,21 +354,52 @@ def _split_args(argstr: str) -> list[str]:
     return out
 
 
+def _split_cond_kw(body: str, kw: str) -> list[str]:
+    """Split a condition on a top-level keyword (OR / AND): the split
+    point must be outside double quotes AND outside parens, so string
+    literals like "cats OR dogs" and IN-lists survive intact."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, depth, in_q = 0, 0, False
+    sep = re.compile(rf"\s+{kw}\s+")
+    while i < len(body):
+        ch = body[i]
+        if ch == '"':
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch.isspace():
+                m = sep.match(body, i)
+                if m:
+                    out.append("".join(buf))
+                    buf = []
+                    i = m.end()
+                    continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
 def _cond_expr(body: str):
     """Parse the WHERE condition grammar into a Column (shared by the
     WHERE stage and per-agg STATS filters). OR splits at the top with
     SQL precedence (AND binds tighter); each AND-chained clause is a
     comparison, `col IN (lit, ...)`, `col LIKE "pat%"` (ES|QL wildcard
     semantics: % and _), `col RLIKE "regex"`, `col IS [NOT] NULL`,
-    optionally prefixed with NOT."""
-    parts = re.split(r"\s+OR\s+", body)
+    optionally prefixed with NOT. Splits are quote- and paren-aware
+    (a literal "cats OR dogs" is not a disjunction)."""
+    parts = _split_cond_kw(body, "OR")
     if len(parts) > 1:
         expr = _cond_expr(parts[0])
         for p in parts[1:]:
             expr = expr | _cond_expr(p)
         return expr
     cond = None
-    for clause in re.split(r"\s+AND\s+", body):
+    for clause in _split_cond_kw(body, "AND"):
         clause = clause.strip()
         neg = False
         mn = re.match(r"NOT\s+(.*)", clause, re.IGNORECASE)

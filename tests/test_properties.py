@@ -200,3 +200,24 @@ def test_esql_splitters_pure():
     for bad in ["( A", "A )", "( A ) junk ( B )"]:
         with _pytest.raises(ValueError):
             _paren_groups(bad)
+
+
+def test_esql_cond_split_quote_aware():
+    """WHERE's OR/AND splits must not fire inside string literals or
+    IN-lists: `title == "cats OR dogs"` is one comparison, not a
+    disjunction."""
+    from mario_spark.esql import _split_cond_kw
+
+    assert _split_cond_kw('a == "cats OR dogs"', "OR") == [
+        'a == "cats OR dogs"'
+    ]
+    assert _split_cond_kw('a == "x" OR b == "y"', "OR") == [
+        'a == "x"', 'b == "y"'
+    ]
+    assert _split_cond_kw('a IN ("p AND q", "r") AND b == 1', "AND") == [
+        'a IN ("p AND q", "r")', "b == 1"
+    ]
+    # AND binds tighter: the OR split sees only the top level
+    assert _split_cond_kw("a == 1 AND b == 2 OR c == 3", "OR") == [
+        "a == 1 AND b == 2", "c == 3"
+    ]
