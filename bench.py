@@ -157,6 +157,8 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_top_orders",
         "phrase_topk",
+        "phrase_shingle_topk",  # index_phrases fast path vs phrase_topk
+        "bpe_encode_tokens",
         "bm25_topk_title",
         "simhash_pairs",
         "fuzzy_topk",        # incl. one shared _wand_index build

@@ -435,6 +435,32 @@ def make_pages_query_set(seed: int = 42, n: int = 50) -> list[tuple[int, str]]:
     return qs
 
 
+# Multi-word synonym set (ES query-time synonym_graph): the user types
+# `term`; the graph expands it to term OR "phrase". Phrases reuse the
+# supported bigrams from DOCUMENTS_PHRASE_SET; query 2 has an OOV
+# phrase member (the phrase path must contribute nothing).
+SYNONYM_GRAPH_SET: list[tuple[int, str, str]] = [
+    (0, "merge", "table hash"),
+    (1, "window", "customer join"),
+    (2, "sort", "zzz join"),
+]
+
+
+# Per-clause boosted query set (ES bool.should with per-term boost):
+# (query_id, term, boost). Boosts chosen to actually reorder results
+# vs the unboosted query (3x on a rarer term, 0.5x demotion, an OOV
+# boost that must change nothing).
+DOCUMENTS_BOOSTED_SET: list[tuple[int, str, float]] = [
+    (0, "hash", 2.0),
+    (0, "join", 1.0),
+    (1, "slow", 1.0),
+    (1, "fast", 3.0),
+    (1, "merge", 0.5),
+    (2, "customer", 2.0),
+    (2, "zzz", 4.0),
+]
+
+
 def query_terms_df(spark: SparkSession, query_set: list[tuple[int, str]]) -> DataFrame:
     """(query_id, term) pairs — queries analyzed with the same tokenizer."""
     from mario_spark.analyze import py_tokenize

@@ -44,6 +44,34 @@ def terms_agg(
     return g.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
 
 
+def terms_agg_filtered(
+    df: DataFrame,
+    key_col: str,
+    size: int = 10,
+    include: str | None = None,
+    exclude: str | None = None,
+    missing: str | None = None,
+) -> DataFrame:
+    """ES terms agg bucket filters: `include`/`exclude` are anchored
+    regexes applied to the BUCKET KEY (not the documents — doc_count
+    semantics are untouched for surviving buckets), and `missing`
+    assigns docs with a NULL key to a named bucket instead of dropping
+    them. The key predicates are pure codegen and sit BEFORE the hash
+    agg, so excluded buckets never shuffle."""
+    key = F.col(key_col)
+    if missing is not None:
+        key = F.coalesce(key, F.lit(missing))
+    out = df.select(key.alias("key"))
+    if missing is None:
+        out = out.filter(F.col("key").isNotNull())
+    if include is not None:
+        out = out.filter(F.col("key").rlike(f"^(?:{include})$"))
+    if exclude is not None:
+        out = out.filter(~F.col("key").rlike(f"^(?:{exclude})$"))
+    g = out.groupBy("key").agg(F.count("*").cast("long").alias("doc_count"))
+    return g.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+
+
 def stats_agg(
     df: DataFrame, key_col: str, metric_col: str
 ) -> DataFrame:

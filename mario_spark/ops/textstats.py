@@ -553,3 +553,71 @@ def bpe_train(
             break
         merges.append((top[0]["a"], top[0]["b"]))
     return merges
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION (encode) at corpus scale — pure codegen
+# ---------------------------------------------------------------------------
+
+# Pinned merge rules in learned order (a prior bpe_train run's output,
+# frozen the way a production tokenizer's merges.txt is). Each merged
+# symbol is re-encoded as ONE private-use character, which makes a BPE
+# merge pass IDENTICAL to leftmost-non-overlapping string replace():
+# both scan left to right and consume the pair. Rule 5 references rule
+# 1's symbol — a chained merge, exactly how real BPE vocabularies
+# compose. With that encoding the whole encode is a chain of replace()
+# calls: whole-stage codegen in Spark, plain replace() in the oracle,
+# no Python in the hot path and nothing but the text column scanned.
+BPE_APPLY_RULES: list[tuple[str, str]] = [
+    ("er", "\ue000"),
+    ("th", "\ue001"),
+    ("an", "\ue002"),
+    ("in", "\ue003"),
+    ("\ue000s", "\ue004"),  # ("er", "s") on the encoded stream
+]
+
+
+def py_bpe_encode(text: str) -> list[str]:
+    """Pure-Python symbol-pass twin of the replace() chain (the
+    classical BPE apply loop) — pytest asserts the equivalence."""
+    syms = list(text or "")
+    for pair, sym in BPE_APPLY_RULES:
+        a, b = pair[0], pair[1:]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(sym)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_stats(documents: DataFrame) -> DataFrame:
+    """Encode every document with the pinned BPE merges and report
+    (doc_id, n_syms, fertility = chars per symbol).
+
+    This is the APPLY side of ops.textstats.bpe_train: a trained
+    tokenizer run over the corpus (the token-count step every training
+    pipeline does before packing). Fertility is the standard
+    tokenizer-quality metric (chars compressed per emitted symbol).
+    The encode itself is a chain of replace() expressions — stays in
+    whole-stage codegen, shuffles nothing, and fuses into the scan.
+    """
+    e = F.col("text")
+    for search, sym in BPE_APPLY_RULES:
+        e = F.replace(e, F.lit(search), F.lit(sym))
+    return documents.select(
+        "doc_id",
+        F.length(e).cast("long").alias("n_syms"),
+        F.coalesce(
+            F.round(
+                F.length("text").cast("double")
+                / F.nullif(F.length(e), F.lit(0)),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("fertility"),
+    )

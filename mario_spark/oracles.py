@@ -622,6 +622,171 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+def synonym_graph_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Multi-word synonym oracle: per query, BM25(term) + PhraseWeight
+    (adjacency-scan ptf, idf-sum over members, zeroed when any member
+    is OOV) summed per doc — mirrors phrase.search_synonym_graph."""
+    from mario_spark.fixtures import SYNONYM_GRAPH_SET
+
+    tq_rows, mq_rows, req_rows, ptf_selects = [], [], [], []
+    for qid, term, phrase in SYNONYM_GRAPH_SET:
+        t = py_tokenize(term)[0]
+        ptoks = py_tokenize(phrase)
+        tq_rows.append(f"({qid}, '{t}')")
+        members = sorted(set(ptoks))
+        for mt in members:
+            mq_rows.append(f"({qid}, '{mt}')")
+        req_rows.append(f"({qid}, {len(members)})")
+        m = len(ptoks) - 1
+        conds = " AND ".join(
+            f"arr[p + {j}] = '{pt}'" for j, pt in enumerate(ptoks)
+        )
+        ptf_selects.append(
+            f"SELECT {qid} AS query_id, doc_id, len(arr)::DOUBLE AS len, "
+            f"len(list_filter(generate_series(1, greatest(len(arr) - {m}, 0)), "
+            f"p -> {conds}))::DOUBLE AS ptf FROM docs_t"
+        )
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM docs_t),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::DOUBLE AS len FROM docs_t WHERE len(arr) > 0),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+tq(query_id, term) AS (VALUES {", ".join(tq_rows)}),
+term_sc AS (
+  SELECT tq.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS s
+  FROM tq JOIN tf USING (term) JOIN dfr USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1, 2
+),
+mq(query_id, term) AS (VALUES {", ".join(mq_rows)}),
+msum AS (
+  SELECT mq.query_id::BIGINT AS query_id,
+         sum(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))) AS sidf,
+         count(*) AS n_found
+  FROM mq JOIN dfr USING (term) CROSS JOIN st
+  GROUP BY 1
+),
+mreq(query_id, n_terms) AS (VALUES {", ".join(req_rows)}),
+ptf_u AS ({" UNION ALL ".join(ptf_selects)}),
+phrase_sc AS (
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         msum.sidf * (p.ptf * ({k1} + 1.0))
+           / (p.ptf + {k1} * (1.0 - {b} + {b} * p.len / st.avgdl)) AS s
+  FROM ptf_u p
+  JOIN msum ON msum.query_id = p.query_id
+  JOIN mreq ON mreq.query_id = p.query_id
+  CROSS JOIN st
+  WHERE p.ptf > 0 AND msum.n_found = mreq.n_terms
+),
+comb AS (
+  SELECT query_id, doc_id,
+         coalesce(t.s, 0.0) + coalesce(p.s, 0.0) AS raw
+  FROM term_sc t FULL OUTER JOIN phrase_sc p USING (query_id, doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def boosted_terms_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """Per-clause boost oracle (Lucene BoostQuery): contribution =
+    boost * idf * saturated tf — mirrors query.search_boosted_terms."""
+    from mario_spark.fixtures import DOCUMENTS_BOOSTED_SET
+
+    vals = ", ".join(
+        f"({qid}, '{t}', {bo}::DOUBLE)" for qid, t, bo in DOCUMENTS_BOOSTED_SET
+    )
+    return f"""
+WITH q(query_id, term, boost) AS (VALUES {vals}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( q.boost * ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM q
+  JOIN tf  USING (term)
+  JOIN dfr USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
+def phrase_shingle_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """index_phrases oracle: word 2-shingles indexed as plain terms,
+    BM25 over the shingle field's OWN stats (df over shingles, docCount
+    and avgFieldLength of docs with >= 2 tokens) — mirrors
+    phrase.search_phrase_shingle exactly (same rounding/tie-breaks)."""
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
+
+    q_rows = []
+    for qid, qtext in DOCUMENTS_PHRASE_SET:
+        toks = py_tokenize(qtext)
+        if len(toks) != 2:
+            continue
+        q_rows.append(f"({qid}, '{toks[0]} {toks[1]}')")
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(nfc_normalize(text)), '{_TOK}') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, (len(arr) - 1)::DOUBLE AS len,
+         unnest(list_transform(generate_series(1, len(arr) - 1),
+                               p -> arr[p] || ' ' || arr[p + 1])) AS term
+  FROM docs_t WHERE len(arr) >= 2
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(len) AS len
+       FROM sh GROUP BY 1, 2),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg((len(arr) - 1)::DOUBLE) AS avgdl
+       FROM docs_t WHERE len(arr) >= 2),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+sc AS (
+  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+         ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * ({k1} + 1.0))
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.len / st.avgdl)) AS raw
+  FROM q JOIN tf USING (term) JOIN dfr USING (term) CROSS JOIN st
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 def phrase_prefix_topk_sql(
     k: int = 10,
     k1: float = 1.2,
@@ -2176,6 +2341,39 @@ FROM (
   FROM documents
 ) WHERE rn = 1
 """
+
+def _bpe_encode_oracle() -> str:
+    """BPE apply oracle: the same pinned replace() chain as
+    ops.textstats.bpe_encode_stats, private-use symbols emitted via
+    chr() so the SQL stays ASCII."""
+    from mario_spark.ops.textstats import BPE_APPLY_RULES
+
+    def _sqlstr(s: str) -> str:
+        parts, buf = [], ""
+        for c in s:
+            if ord(c) > 127:
+                if buf:
+                    parts.append(f"'{buf}'")
+                    buf = ""
+                parts.append(f"chr({ord(c)})")
+            else:
+                buf += c
+        if buf:
+            parts.append(f"'{buf}'")
+        return "(" + " || ".join(parts) + ")" if parts else "''"
+
+    expr = "text"
+    for search, sym in BPE_APPLY_RULES:
+        expr = f"replace({expr}, {_sqlstr(search)}, {_sqlstr(sym)})"
+    return f"""
+WITH enc AS (
+  SELECT doc_id, {expr} AS e, length(text)::DOUBLE AS nc FROM documents
+)
+SELECT doc_id, length(e)::BIGINT AS n_syms,
+       coalesce(round(nc / nullif(length(e), 0), 4), 0.0) AS fertility
+FROM enc
+"""
+
 
 BPE_PAIR_COUNTS = r"""
 WITH words AS (
@@ -5205,6 +5403,27 @@ ORACLES: dict[str, str] = {
         "(DATE '2022-12-31' - (DATE '2020-01-01' + (doc_id % 1000)::INT))) "
         "AS boost FROM documents"
     ),
+    # gauss variance denominator 365^2/ln2 == Python's 2*GAUSS_SIGMA2
+    # bit-exactly (the *2 / /2 is a pure exponent shift in binary FP)
+    "bm25_topk_gauss": function_score_sql(
+        "SELECT doc_id, exp(-(age * age) / "
+        "(365.0 * 365.0 / 0.6931471805599453)) AS boost FROM ("
+        "SELECT doc_id, abs(DATE '2022-12-31' - "
+        "(DATE '2020-01-01' + (doc_id % 1000)::INT))::DOUBLE AS age "
+        "FROM documents)"
+    ),
+    "bm25_topk_linear_decay": function_score_sql(
+        "SELECT doc_id, greatest(0.0, (730.0 - age) / 730.0) AS boost FROM ("
+        "SELECT doc_id, abs(DATE '2022-12-31' - "
+        "(DATE '2020-01-01' + (doc_id % 1000)::INT))::DOUBLE AS age "
+        "FROM documents)"
+    ),
+    "bm25_topk_boosted": boosted_terms_sql(),
+    "bm25_topk_nonorms": bm25_topk_sql(b=0.0),
+    "bm25_topk_fvf": function_score_sql(
+        "SELECT doc_id, ln(1.0 + 0.1::DOUBLE * "
+        "coalesce(n_chars::DOUBLE, 10.0)) AS boost FROM documents"
+    ),
     "more_like_this_topk": more_like_this_sql([0, 1, 2]),
     "search_sorted_by_field": SEARCH_SORTED_BY_FIELD,
     "bool_composed_topk": bm25_topk_sql(
@@ -5222,6 +5441,8 @@ ORACLES: dict[str, str] = {
     "phrase_topk": phrase_topk_sql(),
     "phrase_near_topk": phrase_topk_sql(slop=2, query_set=_near_set()),
     "phrase_prefix_topk": phrase_prefix_topk_sql(),
+    "phrase_shingle_topk": phrase_shingle_sql(),
+    "synonym_graph_topk": synonym_graph_sql(),
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
     "dedup_components": DEDUP_COMPONENTS,
@@ -5240,6 +5461,16 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": MULTIMODAL_DECODE,
     "highlight_fragments": HIGHLIGHT_FRAGMENTS,
     "facet_terms_lang": FACET_TERMS_LANG,
+    "facet_terms_filtered": """
+SELECT source AS key, count(*)::BIGINT AS doc_count
+FROM documents
+WHERE source IS NOT NULL
+  AND regexp_full_match(source, '(?:src1[0-9])')
+  AND NOT regexp_full_match(source, '(?:src13)')
+GROUP BY 1
+ORDER BY doc_count DESC, key ASC
+LIMIT 5
+""",
     "agg_stats_lang": AGG_STATS_LANG,
     "agg_date_histogram": AGG_DATE_HISTOGRAM,
     "query_string_topk": _qs_oracle(),
@@ -5287,6 +5518,7 @@ ORACLES: dict[str, str] = {
     "chunk_dedup": CHUNK_DEDUP,
     "termvectors": TERMVECTORS,
     "bpe_pair_counts": BPE_PAIR_COUNTS,
+    "bpe_encode_tokens": _bpe_encode_oracle(),
     "agg_geo_centroid": AGG_GEO_CENTROID,
     "agg_geo_bounds": AGG_GEO_BOUNDS,
     "agg_matrix_stats": AGG_MATRIX_STATS,

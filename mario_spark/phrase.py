@@ -974,3 +974,229 @@ def search_span_contain(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# index_phrases fast path (ES mapping option, Lucene 2-shingle sub-field)
+# ---------------------------------------------------------------------------
+
+
+def shingle_tf(documents: DataFrame) -> DataFrame:
+    """ES `index_phrases: true`: the hidden `<field>._index_phrase`
+    sub-field indexes word 2-shingles ("w1 w2") as ordinary terms so a
+    two-term match_phrase needs no positions at query time
+    (es_record_mappings.json's text fields could opt in per field).
+
+    documents(doc_id?, text) -> (doc_id, term, tf, len) where term is
+    the shingle, tf its count, and len = token_count - 1 — the shingle
+    field's OWN length. Docs with < 2 tokens emit no shingles and stay
+    out of the shingle field's docCount/avgFieldLength, matching
+    Lucene's per-field norms.
+
+    Plan shape: tokenize (pandas UDF, the pinned NFC path) -> JVM-side
+    transform+explode (no extra Python hop) -> one hash agg keyed on
+    (doc_id, term) — the same single-shuffle shape as term_frequencies;
+    shingles roughly double the token stream but nothing else changes
+    at 100TB.
+    """
+    from mario_spark.analyze import tokenize_expr
+
+    d = documents
+    if "doc_id" not in d.columns:
+        d = assign_doc_ids(d)
+    base = d.select("doc_id", tokenize_expr("text").alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    sh = base.select(
+        "doc_id",
+        (F.size("arr") - 1).cast("double").alias("len"),
+        F.explode(
+            F.expr(
+                "transform(slice(arr, 1, size(arr) - 1),"
+                " (x, i) -> concat(x, ' ', element_at(arr, i + 2)))"
+            )
+        ).alias("term"),
+    )
+    return sh.groupBy("doc_id", "term", "len").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+
+
+def search_phrase_shingle(
+    documents: DataFrame,
+    query_set: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """2-term match_phrase on an index_phrases field: Lucene rewrites
+    the phrase to a TermQuery on the shingle sub-field, so scoring uses
+    the shingle field's own stats (df over shingles, its docCount and
+    avgFieldLength). That is why index_phrases returns the same match
+    set as positional match_phrase but slightly different scores — and
+    why it is the scale path: no positions stream is ever decoded.
+
+    query_set: [(query_id, phrase_text)], each phrase exactly 2 tokens
+    (ES takes this fast path only then; longer phrases fall back to
+    mario_spark.phrase.search_phrase).
+    """
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.query import bm25_scores, doc_frequencies, topk
+
+    rows = []
+    for qid, text in query_set:
+        toks = py_tokenize(text)
+        if len(toks) != 2:
+            raise ValueError(f"index_phrases serves 2-term phrases: {text!r}")
+        rows.append((int(qid), f"{toks[0]} {toks[1]}"))
+    spark = documents.sparkSession
+    q = spark.createDataFrame(rows, "query_id long, term string")
+    tf = shingle_tf(documents)
+    dl = tf.select("doc_id", "len").distinct()
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    scored = bm25_scores(tf, doc_frequencies(tf), stats, q)
+    return topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Multi-word synonyms (ES synonym_graph at query time)
+# ---------------------------------------------------------------------------
+
+
+def search_synonym_graph(
+    documents: DataFrame,
+    query_set: list[tuple[int, str, str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES match with a query-time synonym_graph filter mapping a single
+    term to a multi-word phrase (e.g. "ml" => "machine learning"):
+    Lucene builds a graph query whose paths become BooleanQuery SHOULD
+    clauses — a TermQuery for the single-token path and a PhraseQuery
+    for the multi-token path — and a doc's score is the SUM of its
+    matching clauses (multi-token synonyms can NOT use SynonymQuery's
+    blended df, per Lucene's own docs; they fall back to boolean sum).
+
+    query_set: (query_id, term, phrase_text with exactly 2+ tokens).
+    Both paths are exhaustive DataFrame plans: the term path is plain
+    BM25; the phrase path scores PhraseWeight (idf-sum pseudo-term on
+    the phrase frequency) with the phrase_tf computed by a codegen
+    adjacency scan over the token array — no positions stream, no UDF
+    beyond the shared tokenizer, both hash-agg shaped.
+    """
+    from mario_spark.analyze import py_tokenize, tokenize_expr
+    from mario_spark.docs import assign_doc_ids
+    from mario_spark.query import topk
+
+    d = documents
+    if "doc_id" not in d.columns:
+        d = assign_doc_ids(d)
+    arr = d.select("doc_id", tokenize_expr("text").alias("arr")).filter(
+        F.size("arr") > 0
+    )
+    arr = arr.withColumn("len", F.size("arr").cast("double")).persist()
+    stats = arr.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    toks = arr.select("doc_id", "len", F.explode("arr").alias("term"))
+    tf = toks.groupBy("doc_id", "term", "len").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+
+    term_rows, phrase_terms = [], {}
+    for qid, term, phrase in query_set:
+        ptoks = py_tokenize(phrase)
+        if len(ptoks) < 2:
+            raise ValueError(f"synonym phrase needs >= 2 tokens: {phrase!r}")
+        term_rows.append((int(qid), py_tokenize(term)[0]))
+        phrase_terms[int(qid)] = ptoks
+    spark = documents.sparkSession
+    q_term = spark.createDataFrame(term_rows, "query_id long, term string")
+
+    # --- term path: standard BM25 contribution for the single token
+    from mario_spark.query import bm25_scores
+
+    term_scored = bm25_scores(tf, dfreq, stats, q_term, k1=k1, b=b)
+
+    # --- phrase path: adjacency-scan phrase_tf (codegen lambda over the
+    # token array), PhraseWeight scoring with idf summed over members
+    member_rows = [
+        (qid, t) for qid, ptoks in phrase_terms.items() for t in set(ptoks)
+    ]
+    q_members = spark.createDataFrame(member_rows, "query_id long, term string")
+    idf_sum = (
+        q_members.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("idf").alias("sidf"),
+            F.count("*").alias("n_found"),
+            F.first("avgdl").alias("avgdl"),
+        )
+    )
+    phrase_parts = []
+    for qid, ptoks in phrase_terms.items():
+        m = len(ptoks) - 1
+        conds = " AND ".join(
+            f"arr[p + {j - 1}] = '{t}'" for j, t in enumerate(ptoks)
+        )
+        ptf_expr = (
+            f"CAST(size(filter(sequence(1, int(size(arr)) - {m}), "
+            f"p -> {conds})) AS DOUBLE)"
+        )
+        phrase_parts.append(
+            arr.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "doc_id",
+                "len",
+                F.expr(ptf_expr).alias("ptf"),
+            ).filter(F.col("ptf") > 0)
+        )
+    ptf_df = phrase_parts[0]
+    for p in phrase_parts[1:]:
+        ptf_df = ptf_df.unionByName(p)
+    n_members = spark.createDataFrame(
+        [(qid, len(set(ts))) for qid, ts in phrase_terms.items()],
+        "query_id long, n_terms long",
+    )
+    phrase_scored = (
+        ptf_df.join(F.broadcast(idf_sum), "query_id")
+        .join(F.broadcast(n_members), "query_id")
+        # an OOV member zeroes the phrase path (it can never match, and
+        # idf_sum would silently under-count otherwise)
+        .filter(F.col("n_found") == F.col("n_terms"))
+        .withColumn(
+            "score",
+            F.col("sidf")
+            * (F.col("ptf") * (k1 + 1.0))
+            / (F.col("ptf") + k1 * (1.0 - b + b * F.col("len") / F.col("avgdl"))),
+        )
+        .select("query_id", "doc_id", "score")
+    )
+
+    combined = (
+        term_scored.withColumnRenamed("score", "s_term")
+        .join(
+            phrase_scored.withColumnRenamed("score", "s_phrase"),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .withColumn(
+            "score",
+            F.coalesce(F.col("s_term"), F.lit(0.0))
+            + F.coalesce(F.col("s_phrase"), F.lit(0.0)),
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(combined, k)

@@ -451,6 +451,54 @@ def explain_scores(
     )
 
 
+def search_boosted_terms(
+    docs: DataFrame,
+    boosted_terms: DataFrame,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """ES per-clause boost: a bool.should of term clauses each carrying
+    its own `boost` — Lucene wraps the TermQuery in a BoostQuery, which
+    multiplies that clause's score contribution (idf * saturated tf)
+    without touching any other clause or the collection stats.
+
+    boosted_terms: (query_id, term, boost double). Identical plan shape
+    to bm25_scores — the boost rides the tiny broadcast query side, so
+    the cost at scale is exactly a plain OR query's.
+    """
+    from mario_spark.docs import corpus_stats
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    q_idf = (
+        boosted_terms.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .select("query_id", "term", "idf", "boost", "avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(q_idf), "term")
+        .withColumn(
+            "contrib",
+            F.col("boost")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return topk(scored, k)
+
+
 def search_exhaustive(
     docs: DataFrame, query_terms: DataFrame, k: int = 10, conjunctive: bool = False
 ) -> DataFrame:

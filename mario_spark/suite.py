@@ -242,6 +242,98 @@ def bm25_topk_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.search_function_score(d, q, boosts, k=10)
 
 
+# gauss decay variance: sigma'^2 = scale^2 / (2 * ln(1/decay)) with
+# scale=365d, decay=0.5 (ES GaussDecayFunction). Shared with the oracle.
+GAUSS_SIGMA2 = 365.0 * 365.0 / (2.0 * 0.6931471805599453)
+
+
+def bm25_topk_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score gauss date decay (origin=2022-12-31,
+    scale=365d, decay=0.5, offset=0): boost = exp(-age^2 / (2*sigma'^2)),
+    sigma'^2 = scale^2 / (2*ln(1/decay)). Same deterministic doc_date
+    convention as bm25_topk_decay."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    doc_date = F.date_add(
+        F.lit("2020-01-01").cast("date"), (F.col("doc_id") % 1000).cast("int")
+    )
+    age = F.abs(F.datediff(F.lit("2022-12-31").cast("date"), doc_date)).cast(
+        "double"
+    )
+    boosts = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.exp(-(age * age) / F.lit(2.0 * GAUSS_SIGMA2)).alias("boost"),
+    )
+    return query.search_function_score(d, q, boosts, k=10)
+
+
+def bm25_topk_linear_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score linear date decay: boost =
+    max(0, (s - age) / s) with s = scale / (1 - decay) = 730d — docs
+    older than s score exactly 0 (they still MATCH; linear decay can
+    zero a score, unlike gauss/exp, which is the ES-documented
+    difference between the three kernels)."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    doc_date = F.date_add(
+        F.lit("2020-01-01").cast("date"), (F.col("doc_id") % 1000).cast("int")
+    )
+    age = F.abs(F.datediff(F.lit("2022-12-31").cast("date"), doc_date)).cast(
+        "double"
+    )
+    s = F.lit(730.0)
+    boosts = _documents(spark, sf_dir).select(
+        "doc_id", F.greatest(F.lit(0.0), (s - age) / s).alias("boost")
+    )
+    return query.search_function_score(d, q, boosts, k=10)
+
+
+def bm25_topk_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score field_value_factor (field=n_chars, factor=0.1,
+    modifier=ln1p, missing=10): boost = ln(1 + 0.1 * n_chars) — the
+    standard popularity/length boost; a broadcast-able per-doc
+    expression, no extra scan."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    boosts = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.log(
+            F.lit(1.0)
+            + F.lit(0.1) * F.coalesce(F.col("n_chars").cast("double"), F.lit(10.0))
+        ).alias("boost"),
+    )
+    return query.search_function_score(d, q, boosts, k=10)
+
+
+def bm25_topk_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool.should with per-clause boost (Lucene BoostQuery): each
+    term clause's contribution multiplies by its own boost; stats stay
+    index-wide."""
+    from mario_spark.fixtures import DOCUMENTS_BOOSTED_SET
+
+    d = _doc_table(spark, sf_dir)
+    q = spark.createDataFrame(
+        DOCUMENTS_BOOSTED_SET, "query_id long, term string, boost double"
+    )
+    return query.search_boosted_terms(d, q, k=10)
+
+
+def bm25_topk_nonorms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `norms: false` on a text field: Lucene skips length
+    normalization entirely — BM25 degenerates to b=0 (tf saturates but
+    document length never discounts), the documented trade for fields
+    like tags where length is meaningless."""
+    from mario_spark.docs import corpus_stats
+
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    tf = query.term_frequencies(d)
+    scored = query.bm25_scores(
+        tf, query.doc_frequencies(tf), corpus_stats(d), q, b=0.0
+    )
+    return query.topk(scored, k=10)
+
+
 MLT_SEED_DOCS = [0, 1, 2]
 
 
@@ -518,6 +610,36 @@ def phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.append((qid, toks[:-1], toks[-1]))
     return ph.search_phrase_prefix(
         post, dic, queries, st["n_docs"], st["avgdl"], k=10
+    )
+
+
+def phrase_shingle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `index_phrases: true` fast path: 2-term match_phrase rewritten
+    to a TermQuery on the word-2-shingle sub-field — no positions stream
+    decoded at query time; scoring uses the shingle field's OWN stats
+    (shingle df / docCount / avgFieldLength), which is exactly why ES
+    documents index_phrases as same-matches-different-scores vs the
+    positional path (tests assert the match-set identity)."""
+    from mario_spark import phrase as ph
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
+
+    bigrams = [
+        (qid, t) for qid, t in DOCUMENTS_PHRASE_SET if len(t.split()) == 2
+    ]
+    return ph.search_phrase_shingle(_documents(spark, sf_dir), bigrams, k=10)
+
+
+def synonym_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query-time synonym_graph with multi-word synonyms: each query
+    expands to term OR "two word phrase"; paths become BooleanQuery
+    SHOULD clauses and a doc's score is the sum of its matching clause
+    scores (term = BM25, phrase = PhraseWeight) — Lucene's documented
+    fallback for multi-token synonym paths."""
+    from mario_spark import phrase as ph
+    from mario_spark.fixtures import SYNONYM_GRAPH_SET
+
+    return ph.search_synonym_graph(
+        _documents(spark, sf_dir), SYNONYM_GRAPH_SET, k=10
     )
 
 
@@ -1363,6 +1485,22 @@ def agg_nested_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return aggs.nested_terms_agg(
         _documents(spark, sf_dir), "lang", "source", 3, 2
+    )
+
+
+def facet_terms_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg with include/exclude bucket-key regexes: buckets of
+    `source` matching src1x but not src13, top-5 by doc_count. Key
+    predicates run BEFORE the hash agg (excluded buckets never
+    shuffle)."""
+    from mario_spark.ops import aggs
+
+    return aggs.terms_agg_filtered(
+        _documents(spark, sf_dir),
+        "source",
+        size=5,
+        include="src1[0-9]",
+        exclude="src13",
     )
 
 
@@ -3332,6 +3470,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: encode every doc with the pinned merge
+    rules (ops/textstats.BPE_APPLY_RULES — a trained tokenizer's frozen
+    merges.txt) and report symbol count + fertility (chars/symbol).
+    Each merged symbol re-encodes as one private-use char, which makes
+    a BPE merge pass identical to leftmost-non-overlapping replace() —
+    so the encode is a replace() chain: whole-stage codegen, fused into
+    the scan, oracle-able in plain SQL."""
+    from mario_spark.ops.textstats import bpe_encode_stats
+
+    return bpe_encode_stats(_documents(spark, sf_dir))
+
+
 def ann_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES kNN `similarity` cutoff: exact cosine top-10 per query, hits
     below cosine 0.28 dropped (ES's minimum-similarity gate — since
@@ -3528,6 +3679,11 @@ SUITE = {
     "collapse_topk": collapse_topk,
     "collapse_inner_hits": collapse_inner_hits,
     "bm25_topk_decay": bm25_topk_decay,
+    "bm25_topk_gauss": bm25_topk_gauss,
+    "bm25_topk_linear_decay": bm25_topk_linear_decay,
+    "bm25_topk_fvf": bm25_topk_fvf,
+    "bm25_topk_boosted": bm25_topk_boosted,
+    "bm25_topk_nonorms": bm25_topk_nonorms,
     "more_like_this_topk": more_like_this_topk,
     "search_sorted_by_field": search_sorted_by_field,
     "bool_composed_topk": bool_composed_topk,
@@ -3540,6 +3696,9 @@ SUITE = {
     "phrase_topk": phrase_topk,
     "phrase_near_topk": phrase_near_topk,
     "phrase_prefix_topk": phrase_prefix_topk,
+    "phrase_shingle_topk": phrase_shingle_topk,
+    "synonym_graph_topk": synonym_graph_topk,
+    "facet_terms_filtered": facet_terms_filtered,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_components": dedup_components,
@@ -3707,6 +3866,7 @@ SUITE = {
     "agg_ip_range": agg_ip_range,
     "agg_children": agg_children,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_tokens": bpe_encode_tokens,
     "host_cap_keep": host_cap_keep,
     "cluster_mixture_weights": cluster_mixture_weights,
     "exact_substring_dedup": exact_substring_dedup,

@@ -469,3 +469,17 @@ def test_variable_width_histogram_invariants(spark):
     # deterministic across re-runs
     again = variable_width_histogram(df, "v", buckets=4).collect()
     assert out == again
+
+
+def test_bpe_encode_matches_python_twin(spark):
+    """The replace() chain (engine) must equal the classical symbol-pass
+    BPE apply loop — including chained merges and overlap traps."""
+    from mario_spark.ops.textstats import bpe_encode_stats, py_bpe_encode
+
+    texts = ["the merger thinks", "ers erer eer", "", "s", "anthers in er"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_syms"] for r in bpe_encode_stats(d).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(py_bpe_encode(t)), (i, t)

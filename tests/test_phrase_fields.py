@@ -318,3 +318,49 @@ def test_span_containing_within_semantics(spark):
         post, dic, qs, st["n_docs"], st["avgdl"], mode="within"
     ).collect()
     assert [(r["doc_id"]) for r in wth] == [0]  # x@2 covered, x@8 not
+
+
+# -------------------------------------------- index_phrases shingle path
+def test_shingle_matches_equal_positional_matches(spark):
+    """ES documents index_phrases as same-match-set, different-scores vs
+    positional match_phrase (scoring moves to the shingle field's own
+    stats). Assert exactly that on a corpus with adjacency traps."""
+    from mario_spark import phrase as ph
+
+    texts = [
+        "big data table scan",      # has "data table"
+        "data big table scan",      # both words, not adjacent
+        "table data big scan",      # reversed order
+        "x data table data table",  # phrase twice
+        "solo",                     # single-token doc: no shingles
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = (
+        ph.search_phrase_shingle(d, [(0, "data table")], k=10)
+        .toPandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    pos = _phrase_results(spark, texts, "data table")
+    assert set(got["doc_id"]) == set(pos["doc_id"]) == {0, 3}
+    # phrase_tf 2 at comparable length still ranks first on the shingle path
+    assert got.iloc[0]["doc_id"] == 3
+
+
+def test_shingle_field_stats_exclude_short_docs(spark):
+    """Docs with < 2 tokens have no terms in the shingle sub-field and
+    must not count toward its docCount/avgFieldLength (Lucene per-field
+    norms)."""
+    from mario_spark import phrase as ph
+
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    tf = ph.shingle_tf(d).toPandas()
+    assert set(tf["doc_id"]) == {0, 1}
+    # doc 0: shingles "a b","b c" -> len 2; doc 1: "a b" -> len 1
+    assert sorted(tf[tf.doc_id == 0]["term"]) == ["a b", "b c"]
+    assert tf[tf.doc_id == 0]["len"].iloc[0] == 2.0
+    assert tf[tf.doc_id == 1]["len"].iloc[0] == 1.0

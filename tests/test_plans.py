@@ -716,3 +716,25 @@ def test_exact_substring_dedup_gram_shuffles_carry_digests(spark):
     with_arr = [l for l in inputs if "arr" in l or "text" in l]
     assert len(with_arr) <= 1, with_arr
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_is_pure_codegen(spark):
+    """The BPE apply chain must stay JVM-side: no Python evaluation node
+    of any kind in the plan (the whole point of the replace() encoding)."""
+    from mario_spark.ops.textstats import bpe_encode_stats
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(bpe_encode_stats(d))
+    assert "EvalPython" not in plan  # catches Batch- and ArrowEvalPython
+    assert "codegen id" in plan  # formatted mode's WholeStageCodegen marker
+
+
+def test_synonym_graph_no_cartesian(spark):
+    """Both synonym paths join on keys (term / query_id / doc_id); the
+    only cross joins are 1-row broadcast stats."""
+    from mario_spark.fixtures import SYNONYM_GRAPH_SET
+    from mario_spark.phrase import search_synonym_graph
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(search_synonym_graph(d, SYNONYM_GRAPH_SET, k=10))
+    assert "CartesianProduct" not in plan

@@ -162,3 +162,57 @@ def test_combined_fields_weighted_merge(spark):
     assert {d for _, d in by_q[0]} == {0, 1}
     # 'merge' is in contents of 1,2 and title of 2 only
     assert {d for _, d in by_q[1]} == {1, 2}
+
+
+def test_boosted_terms_reorder_and_neutral_boost(spark):
+    """boost=1 on every clause must equal the plain OR query; raising
+    one clause's boost must promote docs rich in that term."""
+    texts = [
+        "alpha alpha alpha beta",   # 0: alpha-heavy
+        "beta beta beta alpha",     # 1: beta-heavy
+        "alpha beta",               # 2
+    ]
+    d = docs.build_doc_table(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+    )
+    q_plain = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta")], "query_id long, term string"
+    )
+    neutral = spark.createDataFrame(
+        [(0, "alpha", 1.0), (0, "beta", 1.0)],
+        "query_id long, term string, boost double",
+    )
+    got_plain = query.search_exhaustive(d, q_plain, k=10).collect()
+    got_neutral = query.search_boosted_terms(d, neutral, k=10).collect()
+    assert [tuple(r) for r in got_plain] == [tuple(r) for r in got_neutral]
+
+    boosted = spark.createDataFrame(
+        [(0, "alpha", 5.0), (0, "beta", 1.0)],
+        "query_id long, term string, boost double",
+    )
+    top = query.search_boosted_terms(d, boosted, k=1).collect()[0]
+    assert top["doc_id"] == 0  # alpha-heavy doc wins under the 5x boost
+
+
+def test_synonym_graph_paths_sum(spark):
+    """A doc matching only the phrase path, one matching only the term
+    path, and one matching both — the both-doc must outrank either
+    single-path doc of comparable length."""
+    from mario_spark.phrase import search_synonym_graph
+
+    texts = [
+        "ml systems rock",                  # 0: term path only
+        "machine learning systems rock",    # 1: phrase path only
+        "ml machine learning rock",         # 2: both paths
+        "nothing relevant",                 # 3
+        "machine without its pair",         # 4: members, no adjacency
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = search_synonym_graph(d, [(0, "ml", "machine learning")], k=10)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[2]["rank"] == 1  # both clauses matched -> summed score
