@@ -141,6 +141,36 @@ def tokenize_count_udf(s: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def py_shingles(text: str | None) -> list[str]:
+    """Word 2-shingles of the standard token stream (Lucene
+    ShingleFilter with min=max=2, no unigram output) — the analyzer
+    behind ES `index_phrases: true`."""
+    toks = py_tokenize(text)
+    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+@F.pandas_udf(MapType(StringType(), IntegerType()))
+def shingle_count_udf(s: pd.Series) -> pd.Series:
+    """Fused shingle + per-doc count: text -> map<"w1 w2", tf> — the
+    shingle-field twin of tokenize_count_udf (same fused-map shape, so
+    a shingle field adds no extra shuffle to the build either)."""
+    from collections import Counter
+
+    out = []
+    findall = TOKEN_RE.findall
+    normalize = unicodedata.normalize
+    for v in s:
+        if v is None:
+            out.append({})
+            continue
+        t = v if v.isascii() else normalize("NFC", v)
+        toks = findall(t.lower())
+        out.append(
+            dict(Counter(f"{a} {b}" for a, b in zip(toks, toks[1:])))
+        )
+    return pd.Series(out)
+
+
 @F.pandas_udf(MapType(StringType(), ArrayType(IntegerType())))
 def tokenize_positions_udf(s: pd.Series) -> pd.Series:
     """Fused tokenize + positional index: text -> map<term, [positions]>.

@@ -49,7 +49,10 @@ FIELD_SEP = ":"
 
 
 def build_field_doc_table(
-    pages: DataFrame, fields: dict[str, "F.Column"], positions: bool = False
+    pages: DataFrame,
+    fields: dict[str, "F.Column"],
+    positions: bool = False,
+    analyzers: dict[str, str] | None = None,
 ) -> DataFrame:
     """pages -> (doc_id, field, tf_map|pos_map, len): one row per doc
     per field.
@@ -65,18 +68,36 @@ def build_field_doc_table(
     field_tf emits the positions column and the encoder produces the
     poss stream, so a field index can answer field-scoped match_phrase.
     """
-    from mario_spark.analyze import tokenize_positions_udf
+    from mario_spark.analyze import shingle_count_udf, tokenize_positions_udf
 
     d = pages
     if "doc_id" not in d.columns:
         d = assign_doc_ids(d)
-    tok = tokenize_positions_udf if positions else tokenize_count_udf
     map_col = "pos_map" if positions else "tf_map"
+    analyzers = analyzers or {}
+
+    def _map_expr(name, expr):
+        # analyzer 'shingle' = Lucene ShingleFilter(2,2) — the hidden
+        # sub-field ES creates for `index_phrases: true`. Positions make
+        # no sense on a shingle (the shingle IS the position pair); in a
+        # positions=True index the shingle field stores a zeroed ordinal
+        # array whose SIZE carries the tf, keeping the union schema
+        # uniform — phrase queries target the positional fields.
+        if analyzers.get(name) == "shingle":
+            m = shingle_count_udf(expr)
+            if positions:
+                return F.transform_values(
+                    m, lambda _, v: F.array_repeat(F.lit(0), v)
+                )
+            return m
+        tok = tokenize_positions_udf if positions else tokenize_count_udf
+        return tok(expr)
+
     per_field = [
         d.select(
             "doc_id",
             F.lit(name).alias("field"),
-            tok(expr).alias(map_col),
+            _map_expr(name, expr).alias(map_col),
         )
         for name, expr in fields.items()
     ]

@@ -201,6 +201,26 @@ def set_committer(committer: Committer) -> Committer:
     return prev
 
 
+def _field_sources(fields_cfg: dict) -> dict[str, str]:
+    """fields spec -> {field: source column}. A spec value is either a
+    bare column name or {"source": col, "analyzer": "shingle"} (the ES
+    index_phrases-style sub-field declaration) — both JSON-stable in
+    _meta.json."""
+    return {
+        n: (v["source"] if isinstance(v, dict) else v)
+        for n, v in fields_cfg.items()
+    }
+
+
+def _field_analyzers(fields_cfg: dict) -> dict[str, str]:
+    """fields spec -> {field: analyzer} for non-standard analyzers."""
+    return {
+        n: v["analyzer"]
+        for n, v in fields_cfg.items()
+        if isinstance(v, dict) and v.get("analyzer", "standard") != "standard"
+    }
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     """Single-commit JSON write via the module committer."""
     _COMMITTER.commit_json(path, obj)
@@ -344,7 +364,9 @@ class Index:
             # count first: range_width and segmentation must be pinned
             # before any segment commits, else a resume could re-plan
             text_cols = (
-                tuple(dict.fromkeys(fields.values())) if fields else ("text",)
+                tuple(dict.fromkeys(_field_sources(fields).values()))
+                if fields
+                else ("text",)
             )
             slim_cols = [
                 c
@@ -430,8 +452,12 @@ class Index:
 
             d = fieldsmod.build_field_doc_table(
                 sl,
-                {n: F.col(src) for n, src in fields_cfg.items()},
+                {
+                    n: F.col(src)
+                    for n, src in _field_sources(fields_cfg).items()
+                },
                 positions=bool(meta.get("positions")),
+                analyzers=_field_analyzers(fields_cfg),
             ).persist()
             frows = (
                 d.filter(F.col("len") > 0)
@@ -964,12 +990,51 @@ class Index:
                 f"unknown field '{field}'; index has {sorted(meta['fields'])}"
             )
         fst = self.field_stats().get(field, {"n_docs": 0, "avgdl": 0.0})
-        qdf = query_terms_df(self.spark, queries)
+        # analyze the query with the FIELD's analyzer (ES analyzes query
+        # text with the target field's search analyzer): a shingle field
+        # turns "data table scan" into its 2-shingles
+        if _field_analyzers(meta["fields"]).get(field) == "shingle":
+            from mario_spark.analyze import py_shingles
+
+            rows = [
+                (qid, s)
+                for qid, q in queries
+                for s in dict.fromkeys(py_shingles(q))
+            ]
+            qdf = self.spark.createDataFrame(
+                rows, "query_id long, term string"
+            )
+        else:
+            qdf = query_terms_df(self.spark, queries)
         return fieldsmod.search_field(
             self.postings(), self.dictionary(), qdf, field,
             fst["n_docs"], fst["avgdl"], k=k, conjunctive=conjunctive,
             deleted_docs=self.deleted_ids(),
         )
+
+    def search_phrase_fast(
+        self, field: str, queries: list[tuple[int, str]], k: int = 10
+    ) -> DataFrame:
+        """2-term match_phrase served from a persisted shingle field
+        (ES `index_phrases: true`): the phrase rewrites to ONE term of
+        the shingle sub-field — no positions decoded, plain WAND over
+        the pruned postings slice, scored with the shingle field's own
+        stats. Phrases longer than 2 tokens need the positional path
+        (Index.search_phrase), exactly like ES."""
+        from mario_spark.analyze import py_tokenize
+
+        meta = _read_json(self.paths.meta) or {}
+        if _field_analyzers(meta.get("fields") or {}).get(field) != "shingle":
+            raise ValueError(
+                f"field '{field}' is not a shingle field; declare it as "
+                '{"source": <col>, "analyzer": "shingle"} at ingest'
+            )
+        for _, q in queries:
+            if len(py_tokenize(q)) != 2:
+                raise ValueError(
+                    f"index_phrases serves 2-term phrases: {q!r}"
+                )
+        return self.search_field(field, queries, k=k)
 
     def mget(self, urls: list[str]) -> DataFrame:
         """ES _mget by _id (the url IS the _id, matching the reference's

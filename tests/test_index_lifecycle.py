@@ -836,3 +836,44 @@ def test_reshard_rank_identical_and_regridded(spark, root):
     idx.delete_by_query(["crawl"])
     with pytest.raises(ValueError, match="tombstones"):
         reshard(cat, src, "x-2026-07-01t00-00-00z", range_width=64)
+
+
+def test_shingle_field_index_phrases(spark, root):
+    """ES index_phrases as an INDEX option: a shingle sub-field declared
+    at ingest serves 2-term phrases via search_phrase_fast, and the
+    persisted path is rank-identical to the query-time shingle scorer
+    (phrase.search_phrase_shingle) on the same corpus."""
+    import pyspark.sql.functions as F
+
+    from mario_spark import phrase as ph
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SET
+
+    bigrams = [
+        (qid, t) for qid, t in DOCUMENTS_PHRASE_SET if len(t.split()) == 2
+    ]
+    cat = Catalog(spark, root)
+    pages = documents_as_pages(spark, SF_DIR)
+    idx = cat.create("sh-2026-01-01t00-00-00z")
+    st = idx.ingest(
+        pages,
+        segment_docs=256,
+        fields={
+            "body": "text",
+            "body_phrase": {"source": "text", "analyzer": "shingle"},
+        },
+    )
+    assert st["n_docs"] == 500
+
+    got = _canon(idx.search_phrase_fast("body_phrase", bigrams, k=10))
+    want = _canon(ph.search_phrase_shingle(pages, bigrams, k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+
+    # the standard sibling field still answers plain field-scoped BM25
+    r = idx.search_field("body", [(0, "join hash")], k=5)
+    assert r.count() > 0
+
+    # non-shingle field refuses the fast-phrase path; >2 tokens refused
+    with pytest.raises(ValueError, match="not a shingle field"):
+        idx.search_phrase_fast("body", bigrams, k=5)
+    with pytest.raises(ValueError, match="2-term"):
+        idx.search_phrase_fast("body_phrase", [(0, "a b c")], k=5)
