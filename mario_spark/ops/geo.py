@@ -106,6 +106,33 @@ def suggest(completion_table: DataFrame, text: str, k: int = 5) -> DataFrame:
     )
 
 
+def suggest_fuzzy(
+    completion_table: DataFrame, text: str, k: int = 5, max_edits: int = 1
+) -> DataFrame:
+    """ES completion suggester with `fuzzy` (FuzzyCompletionQuery,
+    fuzziness=1): completions whose stored prefix is within `max_edits`
+    Levenshtein edits of the typed text. A string within edit distance
+    1 differs in length by at most 1, so the candidate slice is the
+    prefix rows of length len(q)±1 — a pushable length predicate on the
+    (tiny, bucketable) prefix dim table; the JVM levenshtein runs only
+    on that slice. Exact matches rank first (dist asc), then value/key.
+    """
+    q = "".join(c for c in text.lower() if c not in " ./;=,-")
+    n = len(q)
+    return (
+        completion_table.filter(
+            F.length("prefix").between(n - max_edits, n + max_edits)
+        )
+        .withColumn("dist", F.levenshtein(F.col("prefix"), F.lit(q)))
+        .filter(F.col("dist") <= max_edits)
+        .groupBy("value", "key")
+        .agg(F.min("dist").cast("long").alias("dist"))
+        .orderBy("dist", "value", "key")
+        .limit(k)
+        .select("dist", "value", "key")
+    )
+
+
 def geotile_key(lon, lat, zoom: int):
     """ES geotile_grid bucket key "z/x/y" (slippy-map tile) as a pure
     Column expression: x = floor((lon+180)/360 * 2^z), y via the Web-

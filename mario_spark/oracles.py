@@ -5500,6 +5500,26 @@ LIMIT 5
     "geo_distance": GEO_DISTANCE,
     "geo_bbox": GEO_BBOX,
     "completion_suggest": COMPLETION_SUGGEST,
+    "completion_suggest_fuzzy": """
+WITH v AS (
+  SELECT doc_id AS key, split_part(text, ' ', 1) AS value,
+         lower(regexp_replace(split_part(text, ' ', 1), '[ ./;=,-]', '', 'g')) AS norm
+  FROM documents
+),
+p AS (
+  SELECT DISTINCT substr(norm, 1, plen) AS prefix, value, key
+  FROM (SELECT key, value, norm,
+               unnest(generate_series(1, least(len(norm), 12))) AS plen
+        FROM v WHERE len(norm) > 0)
+),
+hits AS (
+  SELECT value, key, min(levenshtein(prefix, 'hsh'))::BIGINT AS dist
+  FROM p
+  WHERE len(prefix) BETWEEN 2 AND 4 AND levenshtein(prefix, 'hsh') <= 1
+  GROUP BY 1, 2
+)
+SELECT dist, value, key FROM hits ORDER BY dist, value, key LIMIT 5
+""",
     "agg_rare_terms": AGG_RARE_TERMS,
     "agg_multi_terms": AGG_MULTI_TERMS,
     "agg_terms_order_metric": AGG_TERMS_ORDER_METRIC,

@@ -1148,6 +1148,19 @@ def completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.suggest(table, "ha", k=5)
 
 
+def completion_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester with fuzzy (fuzziness=1): typed 'hsh'
+    still reaches 'hash...' completions; exact prefix matches rank
+    before edit-1 matches."""
+    from mario_spark.ops import geo
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").getItem(0).alias("v")
+    )
+    table = geo.build_completion_table(d, "v", "doc_id")
+    return geo.suggest_fuzzy(table, "hsh", k=5)
+
+
 def search_sorted_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES sort-by-field (sort: n_chars desc, doc_id asc tiebreak — NOT
     by _score): docs containing 'join', top 10. Match reduces to a
@@ -3888,4 +3901,5 @@ SUITE = {
     "geo_sort_topk": geo_sort_topk,
     "geo_polygon_query": geo_polygon_query,
     "completion_suggest": completion_suggest,
+    "completion_suggest_fuzzy": completion_suggest_fuzzy,
 }
