@@ -73,3 +73,44 @@ def clean_corpus(
         F.col("contaminated").cast("long").alias("contaminated"),
         F.col("keep").cast("long").alias("keep"),
     )
+
+
+def c4_line_filter(documents: DataFrame) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020): split the doc
+    into lines, keep only lines that end in terminal punctuation AND
+    have >= 5 words, keep only docs with >= 3 surviving lines, and
+    rewrite the doc from the survivors.
+
+    The synthetic corpus has no newlines or punctuation, so the line
+    structure is constructed deterministically (8-token chunks; a chunk
+    "ends in terminal punctuation" iff its first token sorts < 'm') —
+    the operator's SHAPE is the real C4 pass: line split -> per-line
+    predicate -> doc-level min-lines gate -> rewrite. Everything is
+    higher-order-function codegen over the token array: one scan, no
+    UDF, no shuffle; the rewritten text never leaves the row.
+
+    -> (doc_id, n_lines, n_kept, kept_doc 0/1, clean_hash).
+    """
+    arr = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(arr) / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.slice(arr, i * 8 + 1, 8),
+    )
+    kept = F.filter(
+        chunks,
+        lambda c: (F.element_at(c, 1) < F.lit("m")) & (F.size(c) >= 5),
+    )
+    clean = F.array_join(
+        F.transform(
+            kept, lambda c: F.concat(F.array_join(c, " "), F.lit("."))
+        ),
+        " ",
+    )
+    return documents.select(
+        "doc_id",
+        F.size(chunks).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= 3).cast("long").alias("kept_doc"),
+        F.md5(F.encode(clean, "utf-8")).alias("clean_hash"),
+    )

@@ -5539,6 +5539,32 @@ SELECT dist, value, key FROM hits ORDER BY dist, value, key LIMIT 5
     "termvectors": TERMVECTORS,
     "bpe_pair_counts": BPE_PAIR_COUNTS,
     "bpe_encode_tokens": _bpe_encode_oracle(),
+    "c4_line_filter": """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, cast(ceil(len(arr) / 8.0) AS INT) - 1),
+           i -> list_slice(arr, i * 8 + 1, i * 8 + 8)
+         ) AS chunks
+  FROM base
+),
+k AS (
+  SELECT doc_id, chunks,
+         list_filter(chunks, c -> c[1] < 'm' AND len(c) >= 5) AS kept
+  FROM ch
+)
+SELECT doc_id,
+       len(chunks)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept,
+       (len(kept) >= 3)::BIGINT AS kept_doc,
+       md5(coalesce(list_aggregate(
+             list_transform(kept, c -> list_aggregate(c, 'string_agg', ' ') || '.'),
+             'string_agg', ' '), '')) AS clean_hash
+FROM k
+""",
     "agg_geo_centroid": AGG_GEO_CENTROID,
     "agg_geo_bounds": AGG_GEO_BOUNDS,
     "agg_matrix_stats": AGG_MATRIX_STATS,

@@ -3483,6 +3483,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning pass: per-line keep predicate (terminal
+    marker + >=5 words), doc-level >=3-surviving-lines gate, doc
+    rewritten from survivors (clean_hash fingerprints the rewrite).
+    Pure higher-order-function codegen, one scan."""
+    from mario_spark.ops.pipeline import c4_line_filter as _c4
+
+    return _c4(_documents(spark, sf_dir))
+
+
 def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION: encode every doc with the pinned merge
     rules (ops/textstats.BPE_APPLY_RULES — a trained tokenizer's frozen
@@ -3880,6 +3890,7 @@ SUITE = {
     "agg_children": agg_children,
     "bpe_train_merges": bpe_train_merges,
     "bpe_encode_tokens": bpe_encode_tokens,
+    "c4_line_filter": c4_line_filter,
     "host_cap_keep": host_cap_keep,
     "cluster_mixture_weights": cluster_mixture_weights,
     "exact_substring_dedup": exact_substring_dedup,
