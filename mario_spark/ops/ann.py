@@ -986,3 +986,89 @@ def bit_rescore_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late interaction (ColBERT maxSim / ES rank_vectors)
+# ---------------------------------------------------------------------------
+
+MAXSIM_QUERY_DOCS = [0, 7, 21]
+MAXSIM_GROUP = 4
+
+
+def _unit_cos_expr(a: str, b: str):
+    """Cosine as a dot of unit-normalized components — the exact FP
+    order the DuckDB oracle uses (sum_i (a_i/|a|)*(b_i/|b|)), so both
+    engines agree at the 6-dp rounding applied before max/sum."""
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    na, nb = _norm(F.col(a)), _norm(F.col(b))
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") / na) * (y.cast("double") / nb),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def maxsim_topk(
+    embeddings: DataFrame,
+    query_docs: list[int] | None = None,
+    group_size: int = MAXSIM_GROUP,
+    k: int = 5,
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT; ES `rank_vectors` maxSim):
+    each document is a BAG of token vectors and
+    score(q, d) = sum over q's tokens of the max cosine against d's
+    tokens. Multi-vector docs are constructed deterministically from
+    the flat embeddings table: mdoc = vec_id // group_size (the same
+    derived-structure convention as doc dates and TLV payloads).
+
+    Plan shape — the late-interaction scale story: the query side is a
+    handful of token vectors BROADCAST into a nested-loop join against
+    ONE scan of the corpus vectors; the two reductions (per-query-token
+    max, then per-doc sum) are ordinary partial+final hash aggs keyed
+    on (qdoc, mdoc[, qtok]). Nothing shuffles full vectors except the
+    corpus scan itself; at 100TB you front this with an ANN candidate
+    stage (ann.ivf_topk) and maxSim only the window, exactly like ES's
+    rescore-over-kNN pattern.
+    """
+    qd = list(query_docs) if query_docs is not None else MAXSIM_QUERY_DOCS
+    e = embeddings.select(
+        F.floor(F.col("vec_id") / group_size).cast("long").alias("mdoc"),
+        F.col("vec_id").alias("tok"),
+        "embedding",
+    )
+    q = e.filter(F.col("mdoc").isin(qd)).select(
+        F.col("mdoc").alias("qdoc"),
+        F.col("tok").alias("qtok"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = e.join(F.broadcast(q), F.col("mdoc") != F.col("qdoc"))
+    per_qtok = pairs.withColumn(
+        "cos", F.round(_unit_cos_expr("qe", "embedding"), 6)
+    ).groupBy("qdoc", "mdoc", "qtok").agg(F.max("cos").alias("mx"))
+    scored = per_qtok.groupBy("qdoc", "mdoc").agg(
+        F.round(F.sum("mx"), 4).alias("score")
+    )
+    w = Window.partitionBy("qdoc").orderBy(F.desc("score"), F.asc("mdoc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qdoc").alias("query_id"),
+            "rank",
+            F.col("mdoc").alias("doc_id"),
+            "score",
+        )
+    )

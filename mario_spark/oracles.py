@@ -5453,6 +5453,27 @@ ORACLES: dict[str, str] = {
     "ngram_decontaminate": NGRAM_DECONTAMINATE,
     "clean_corpus": _clean_corpus_oracle(),
     "ann_brute_topk": ANN_BRUTE_TOPK,
+    "ann_maxsim_topk": f"""
+WITH m AS (
+  SELECT vec_id // 4 AS mdoc, vec_id AS tok, embedding FROM embeddings
+),
+q AS (SELECT mdoc AS qdoc, tok AS qtok, embedding AS qe FROM m
+      WHERE mdoc IN (0, 7, 21)),
+pc AS (
+  SELECT q.qdoc, m.mdoc, q.qtok,
+         round({_COS64.format(A="q.qe", B="m.embedding")}, 6) AS cos
+  FROM q, m WHERE m.mdoc <> q.qdoc
+),
+mx AS (SELECT qdoc, mdoc, qtok, max(cos) AS mx FROM pc GROUP BY 1, 2, 3),
+sc AS (SELECT qdoc, mdoc, round(sum(mx), 4) AS score FROM mx GROUP BY 1, 2),
+rk AS (
+  SELECT qdoc, mdoc, score,
+         row_number() OVER (PARTITION BY qdoc
+                            ORDER BY score DESC, mdoc ASC) AS rank
+  FROM sc
+)
+SELECT qdoc AS query_id, rank, mdoc AS doc_id, score FROM rk WHERE rank <= 5
+""",
     "ann_lsh_pairs": _ann_lsh_oracle(),
     "ann_ivf_topk": _ann_ivf_oracle(),
     "lang_id": _lang_id_oracle(),

@@ -1041,6 +1041,17 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_topk(e, ANN_QUERY_IDS, k=10)
 
 
+def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT / ES rank_vectors maxSim):
+    docs are bags of token vectors (mdoc = vec_id // 4); score = sum
+    over query tokens of the max cosine against the doc's tokens.
+    Query tokens broadcast; corpus vectors scanned once."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.maxsim_topk(e, k=5)
+
+
 def ann_bit_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES kNN over bit vectors (dense_vector element_type=bit, 8.14):
     sign-bit 64-bit signatures, exact hamming top-10 per query — 8
@@ -3736,6 +3747,7 @@ SUITE = {
     "pack_sequences": pack_sequences,
     "clean_corpus": clean_corpus,
     "ann_brute_topk": ann_brute_topk,
+    "ann_maxsim_topk": ann_maxsim_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "lang_id": lang_id,
