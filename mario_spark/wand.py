@@ -606,6 +606,59 @@ class QuerySession:
             nmap or None, min_should_match, filter_terms=flist,
         )
 
+    def search_phrase(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        slop: int = 0,
+        k1: float = K1,
+        b: float = B,
+    ) -> DataFrame:
+        """Warm match_phrase serving over a positions=True index: the
+        dbucket-cached postings skip the per-query shuffle and the
+        driver dictionary answers member-term idf without a lookup job
+        — the same two savings the term path gets, applied to the
+        phrase kernel. [(query_id, raw phrase text)]; results identical
+        to phrase.search_phrase over the same postings (asserted)."""
+        from mario_spark import phrase as ph
+        from mario_spark.analyze import py_tokenize
+
+        if "poss" not in self.postings.columns:
+            raise ValueError(
+                "session postings carry no positions stream; build the "
+                "index with positions=True for phrase serving"
+            )
+        phrase_queries = [
+            (int(qid), py_tokenize(text)) for qid, text in queries
+        ]
+        terms = sorted({t for _, ts in phrase_queries for t in ts})
+        idf_map = self._idf_for(terms, self.n_docs)
+        qs_ok = [
+            (qid, ts)
+            for qid, ts in phrase_queries
+            if ts and all(t in idf_map for t in ts)
+        ]
+        cand = self.postings.filter(F.col("term").isin(terms))
+        ad, kk, k1_, b_, sl = self.avgdl, k, k1, b, slop
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return ph._phrase_kernel(
+                pdf, qs_ok, idf_map, ad, kk, k1_, b_, sl, None
+            )
+
+        local = cand.groupBy("dbucket").applyInPandas(
+            kernel, "query_id long, doc_id long, score double"
+        )
+        s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            s.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def _search_driver(
         self,
         qlist: list[tuple[int, list[str]]],

@@ -210,3 +210,33 @@ def test_wand_conjunctive_rank_identical(spark):
     assert len(want) > 0  # multi-term AND queries do match something
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
     d.unpersist()
+
+
+def test_query_session_phrase_identical_to_cold_path(spark):
+    """Warm phrase serving (QuerySession.search_phrase over the cached
+    positional postings + driver dictionary) must equal cold
+    phrase.search_phrase on the same index, at slop 0 and 2."""
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_PHRASE_SET, documents_as_pages
+    from mario_spark.postings import dictionary_from_postings, encode_tf_rows
+    from mario_spark.wand import QuerySession
+
+    tfpos = ph.positional_tf(documents_as_pages(spark, SF_DIR))
+    st_ = docs.corpus_stats(
+        tfpos.select("doc_id", "len").distinct()
+    ).collect()[0]
+    post = encode_tf_rows(tfpos, 256)
+    dic = dictionary_from_postings(post)
+    cold_q = [(qid, py_tokenize(t)) for qid, t in DOCUMENTS_PHRASE_SET]
+    sess = QuerySession(post, dic, st_["n_docs"], st_["avgdl"]).warm()
+    for slop in (0, 2):
+        want = _canon(
+            ph.search_phrase(
+                post, dic, cold_q, st_["n_docs"], st_["avgdl"], k=10,
+                slop=slop,
+            )
+        )
+        got = _canon(sess.search_phrase(DOCUMENTS_PHRASE_SET, k=10, slop=slop))
+        pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    sess.close()
