@@ -34,6 +34,7 @@ def search_indexes(
     k: int = 10,
     mode: str = "dfs_query_then_fetch",
     filter_terms: list[str] | None = None,
+    indices_boost: dict[str, float] | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, index, doc_id, score) across `names`.
 
@@ -41,11 +42,18 @@ def search_indexes(
     global n_docs/avgdl score every index — rank-identical to a single
     combined index (tested). mode="query_then_fetch": per-index stats,
     ES's default trade-off.
+
+    indices_boost = ES's `indices_boost` search option: each index's
+    hit scores multiply by its boost BEFORE the coordinator merge, so a
+    preferred index (the fresh crawl, say) outranks equal-relevance
+    hits from the others. Applied coordinator-side on the |indexes| x k
+    candidate rows — zero extra distributed work.
     """
     if mode not in ("dfs_query_then_fetch", "query_then_fetch"):
         raise ValueError(f"unknown mode {mode!r}")
     idxs = [(n, catalog.open(n)) for n in names]
-    return _search_opened(idxs, query_terms, k, mode, filter_terms)
+    return _search_opened(idxs, query_terms, k, mode, filter_terms,
+                          indices_boost)
 
 
 def search_clusters(
@@ -77,6 +85,7 @@ def _search_opened(
     k: int,
     mode: str,
     filter_terms: list[str] | None = None,
+    indices_boost: dict[str, float] | None = None,
 ) -> DataFrame:
     # empty members (fresh rollover targets) contribute nothing —
     # exactly an empty ES index in a multi-index search
@@ -113,9 +122,13 @@ def _search_opened(
             idx.postings(), dic, query_terms, n_docs, avgdl, k=k,
             deleted_docs=idx.deleted_ids(), filter_terms=filter_terms,
         )
+        boost = float((indices_boost or {}).get(name, 1.0))
         parts.append(
             local.select(
-                "query_id", F.lit(name).alias("index"), "doc_id", "score"
+                "query_id",
+                F.lit(name).alias("index"),
+                "doc_id",
+                F.round(F.col("score") * F.lit(boost), 4).alias("score"),
             )
         )
     allp = parts[0]

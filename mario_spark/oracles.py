@@ -5419,6 +5419,9 @@ ORACLES: dict[str, str] = {
         "FROM documents)"
     ),
     "bm25_topk_boosted": boosted_terms_sql(),
+    "bm25_topk_min_score": (
+        f"SELECT * FROM ({bm25_topk_sql()}) WHERE score >= 0.5"
+    ),
     "bm25_topk_nonorms": bm25_topk_sql(b=0.0),
     "bm25_topk_fvf": function_score_sql(
         "SELECT doc_id, ln(1.0 + 0.1::DOUBLE * "

@@ -305,6 +305,18 @@ def bm25_topk_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.search_function_score(d, q, boosts, k=10)
 
 
+def bm25_topk_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES min_score: hits under the cutoff are excluded before
+    pagination. Ranking is by score, so survivors are a prefix of each
+    query's list and keep their ranks — a post-rank filter, no second
+    scoring pass."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    return query.search_exhaustive(d, q, k=10).filter(
+        F.col("score") >= 0.5
+    )
+
+
 def bm25_topk_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool.should with per-clause boost (Lucene BoostQuery): each
     term clause's contribution multiplies by its own boost; stats stay
@@ -3717,6 +3729,7 @@ SUITE = {
     "bm25_topk_linear_decay": bm25_topk_linear_decay,
     "bm25_topk_fvf": bm25_topk_fvf,
     "bm25_topk_boosted": bm25_topk_boosted,
+    "bm25_topk_min_score": bm25_topk_min_score,
     "bm25_topk_nonorms": bm25_topk_nonorms,
     "more_like_this_topk": more_like_this_topk,
     "search_sorted_by_field": search_sorted_by_field,

@@ -877,3 +877,40 @@ def test_shingle_field_index_phrases(spark, root):
         idx.search_phrase_fast("body", bigrams, k=5)
     with pytest.raises(ValueError, match="2-term"):
         idx.search_phrase_fast("body_phrase", [(0, "a b c")], k=5)
+
+
+def test_federated_indices_boost(spark, root):
+    """ES indices_boost: one index's hits multiply by its boost before
+    the coordinator merge — equal boosts of 1.0 change nothing; a big
+    boost on one index must put its hits ahead."""
+    import pyspark.sql.functions as F
+
+    from mario_spark.federate import search_indexes
+    from mario_spark.fixtures import make_pages_query_set, pages_df
+
+    cat = Catalog(spark, root)
+    pages = pages_df(spark, 300, seed=5, partitions=2).persist()
+    half = F.crc32(F.col("url")) % 2
+    na, nb = "ba-2026-01-01t00-00-00z", "bb-2026-01-01t00-00-00z"
+    cat.create(na).ingest(pages.filter(half == 0))
+    cat.create(nb).ingest(pages.filter(half == 1))
+    q = query_terms_df(spark, make_pages_query_set(seed=5, n=4))
+
+    plain = _canon(search_indexes(cat, [na, nb], q, k=10))
+    neutral = _canon(
+        search_indexes(cat, [na, nb], q, k=10,
+                       indices_boost={na: 1.0, nb: 1.0})
+    )
+    pd.testing.assert_frame_equal(neutral, plain, check_exact=False,
+                                  atol=1e-9)
+
+    boosted = search_indexes(
+        cat, [na, nb], q, k=10, indices_boost={nb: 100.0}
+    ).toPandas()
+    # for every query that has ANY hit in the boosted index, that index
+    # supplies rank 1 (a boost cannot conjure matches where none exist)
+    has_nb = set(plain[plain["index"] == nb]["query_id"])
+    assert has_nb, "fixture must give the boosted index some hits"
+    top1 = boosted[boosted["rank"] == 1].set_index("query_id")["index"]
+    for qid in has_nb:
+        assert top1[qid] == nb
