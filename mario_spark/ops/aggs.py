@@ -1409,3 +1409,73 @@ def variable_width_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def terms_agg_sharded(
+    df: DataFrame,
+    key_col: str,
+    size: int = 5,
+    shard_size: int = 3,
+    n_shards: int = 4,
+    shard_col: str = "doc_id",
+) -> DataFrame:
+    """ES terms agg TWO-PHASE distributed semantics, including
+    `doc_count_error_upper_bound`: each shard returns only its top
+    `shard_size` buckets by local count, the coordinator sums what was
+    reported, and a term's error bound is the sum — over full shards
+    that did NOT report it — of that shard's smallest reported count
+    (the term could have been hiding just below each cutoff).
+
+    Shards are deterministic (`shard_col % n_shards` — the stand-in for
+    ES's routing hash). This is the real ES approximation contract:
+    reported doc_counts can UNDERCOUNT, and the bound quantifies by how
+    much; shard_size >= the true cardinality makes the error 0.
+
+    Plan shape: one (shard, key) hash agg; per-shard top-N is a window
+    over the REDUCED (shard, key) table partitioned BY SHARD (parallel,
+    never global); the error join crosses <= size*n_shards candidate
+    keys with an n_shards-row broadcast dim. At scale every post-agg
+    row count is bounded by shard_size * n_shards.
+    """
+    shard = (F.col(shard_col) % n_shards).cast("long")
+    per = df.select(shard.alias("shard"), F.col(key_col).alias("key")).groupBy(
+        "shard", "key"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("key"))
+    ranked = per.withColumn("r", F.row_number().over(w))
+    reported = ranked.filter(F.col("r") <= shard_size)
+    # a shard that reported fewer than shard_size buckets reported ALL
+    # its buckets — nothing can hide below its cutoff
+    shard_stats = reported.groupBy("shard").agg(
+        F.min("cnt").alias("cutoff"), F.count("*").alias("n_rep")
+    ).withColumn(
+        "cutoff",
+        F.when(F.col("n_rep") >= shard_size, F.col("cutoff")).otherwise(
+            F.lit(0)
+        ),
+    )
+    summed = reported.groupBy("key").agg(
+        F.sum("cnt").cast("long").alias("doc_count")
+    )
+    top = summed.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+    # error bound: for each top key, sum the cutoffs of full shards
+    # that did not report it
+    missing = (
+        top.crossJoin(F.broadcast(shard_stats.select("shard", "cutoff")))
+        .join(
+            reported.select("key", "shard").withColumn(
+                "rep", F.lit(1)
+            ),
+            ["key", "shard"],
+            "left",
+        )
+        .withColumn(
+            "err",
+            F.when(F.col("rep").isNull(), F.col("cutoff")).otherwise(F.lit(0)),
+        )
+        .groupBy("key", "doc_count")
+        .agg(F.sum("err").cast("long").alias("doc_count_error_upper_bound"))
+    )
+    return missing.orderBy(F.desc("doc_count"), F.asc("key")).select(
+        "key", "doc_count", "doc_count_error_upper_bound"
+    )

@@ -5485,6 +5485,34 @@ SELECT qdoc AS query_id, rank, mdoc AS doc_id, score FROM rk WHERE rank <= 5
     "multimodal_decode": MULTIMODAL_DECODE,
     "highlight_fragments": HIGHLIGHT_FRAGMENTS,
     "facet_terms_lang": FACET_TERMS_LANG,
+    "agg_terms_sharded": """
+WITH per AS (
+  SELECT doc_id % 4 AS shard, source AS key, count(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT shard, key, cnt,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY cnt DESC, key ASC) AS r
+  FROM per
+),
+reported AS (SELECT * FROM ranked WHERE r <= 3),
+ss AS (
+  SELECT shard,
+         CASE WHEN count(*) >= 3 THEN min(cnt) ELSE 0 END AS cutoff
+  FROM reported GROUP BY 1
+),
+summed AS (SELECT key, sum(cnt)::BIGINT AS doc_count FROM reported GROUP BY 1),
+top AS (SELECT key, doc_count FROM summed
+        ORDER BY doc_count DESC, key ASC LIMIT 5)
+SELECT t.key, t.doc_count,
+       sum(CASE WHEN rep.key IS NULL THEN ss.cutoff ELSE 0 END)::BIGINT
+         AS doc_count_error_upper_bound
+FROM top t CROSS JOIN ss
+LEFT JOIN reported rep ON rep.shard = ss.shard AND rep.key = t.key
+GROUP BY 1, 2
+ORDER BY t.doc_count DESC, t.key ASC
+""",
     "facet_terms_filtered": """
 SELECT source AS key, count(*)::BIGINT AS doc_count
 FROM documents

@@ -1524,6 +1524,20 @@ def agg_nested_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_terms_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg two-phase distributed semantics incl.
+    doc_count_error_upper_bound: shards (doc_id % 4) each report only
+    their local top-3 buckets; the coordinator sums what was reported
+    and bounds each term's possible undercount by the cutoffs of full
+    shards that omitted it — the real ES approximation contract."""
+    from mario_spark.ops import aggs
+
+    return aggs.terms_agg_sharded(
+        _documents(spark, sf_dir), "source", size=5, shard_size=3,
+        n_shards=4,
+    )
+
+
 def facet_terms_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms agg with include/exclude bucket-key regexes: buckets of
     `source` matching src1x but not src13, top-5 by doc_count. Key
@@ -3746,6 +3760,7 @@ SUITE = {
     "phrase_shingle_topk": phrase_shingle_topk,
     "synonym_graph_topk": synonym_graph_topk,
     "facet_terms_filtered": facet_terms_filtered,
+    "agg_terms_sharded": agg_terms_sharded,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_components": dedup_components,
