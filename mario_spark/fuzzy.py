@@ -486,3 +486,60 @@ def search_fuzzy_damerau(
     return _search_expansion(
         postings, exp, n_docs, avgdl, k, k1, b, deleted=deleted
     )
+
+
+def search_fuzzy_blended(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Lucene's DEFAULT fuzzy rewrite — top_terms_blended_freqs_N
+    (BlendedTermQuery): every expansion in a query's blend group scores
+    with the GROUP's max df, so a rare typo variant ("joim", df 3)
+    cannot out-idf the common intended term ("join", df 2000) — the
+    documented reason BlendedTermQuery exists. Docs matching several
+    variants still sum their contributions (boolean rewrite of the
+    blended terms). search_fuzzy keeps the per-variant-idf
+    SCORING_BOOLEAN_REWRITE alternative.
+
+    Exhaustive DataFrame path: ONE dictionary pass for the expansion,
+    the (query, term, blended idf) dim broadcast into the tf stream,
+    partial+final agg — same plan as a plain OR query.
+    """
+    from mario_spark.docs import corpus_stats
+    from mario_spark.query import doc_frequencies, term_frequencies, topk
+
+    tf = term_frequencies(docs)
+    dfreq = doc_frequencies(tf)
+    stats = corpus_stats(docs)
+    exp = expand_terms(dfreq, query_terms, max_edits, prefix_length)
+    blend = exp.groupBy("query_id").agg(F.max("df").alias("bdf"))
+    q_idf = (
+        exp.select("query_id", "term")
+        .join(blend, "query_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("bdf") + 0.5) / (F.col("bdf") + 0.5)
+            ),
+        )
+        .select("query_id", "term", "idf", "avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(q_idf), "term")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("len") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return topk(scored, k)

@@ -402,6 +402,62 @@ def fuzzy_topk_sql(max_edits: int = 1, prefix_length: int = 1) -> str:
     return multiterm_topk_sql(qrows, cond)
 
 
+def fuzzy_blended_topk_sql(
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """BlendedTermQuery oracle: same expansion as fuzzy_topk but every
+    variant in a query's group scores with the group's MAX df —
+    mirrors fuzzy.search_fuzzy_blended."""
+    from mario_spark.fixtures import DOCUMENTS_FUZZY_SET
+
+    rows = [
+        f"({qid}, '{t}')"
+        for qid, qtext in DOCUMENTS_FUZZY_SET
+        for t in dict.fromkeys(py_tokenize(qtext))
+    ]
+    cond = (
+        f"substr(dfr.term, 1, {prefix_length}) = "
+        f"substr(fq.qterm, 1, {prefix_length}) "
+        f"AND levenshtein(dfr.term, fq.qterm) <= {max_edits}"
+    )
+    return f"""
+WITH fq(query_id, qterm) AS (VALUES {", ".join(rows)}),
+{_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS len FROM toks GROUP BY 1),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+exp AS (
+  SELECT DISTINCT fq.query_id, dfr.term, dfr.df
+  FROM fq JOIN dfr ON {cond}
+),
+bl AS (SELECT query_id, max(df) AS bdf FROM exp GROUP BY 1),
+sc AS (
+  SELECT exp.query_id::BIGINT AS query_id, tf.doc_id,
+         sum( ln(1.0 + (st.n_docs - bl.bdf + 0.5) / (bl.bdf + 0.5))
+              * (tf.tf * ({k1} + 1.0))
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl)) ) AS raw
+  FROM exp
+  JOIN bl  ON bl.query_id = exp.query_id
+  JOIN tf  USING (term)
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN st
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(raw, 4) DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 def fuzzy_damerau_topk_sql(prefix_length: int = 1) -> str:
     """Damerau-fuzzy oracle: DuckDB's builtin damerau_levenshtein (== OSA
     at distance 1) against the same prefix-pruned dictionary."""
@@ -5392,6 +5448,7 @@ ORACLES: dict[str, str] = {
     "prefix_topk": prefix_topk_sql(),
     "wildcard_topk": wildcard_topk_sql(),
     "regexp_topk": regexp_topk_sql(),
+    "fuzzy_blended_topk": fuzzy_blended_topk_sql(),
     "synonym_topk": synonym_topk_sql(),
     "collapse_topk": collapse_topk_sql(),
     "collapse_inner_hits": collapse_inner_hits_sql(),

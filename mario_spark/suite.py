@@ -208,6 +208,19 @@ def wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_wildcard(post, dic, q, st["n_docs"], st["avgdl"], k=10)
 
 
+def fuzzy_blended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene's default fuzzy rewrite (top_terms_blended_freqs /
+    BlendedTermQuery): each query's expansion group scores with the
+    group's MAX df, so typo variants can't out-idf the intended term;
+    matched variants still sum."""
+    from mario_spark.fixtures import DOCUMENTS_FUZZY_SET
+    from mario_spark.fuzzy import search_fuzzy_blended
+
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_FUZZY_SET)
+    return search_fuzzy_blended(d, q, max_edits=1, prefix_length=1, k=10)
+
+
 def bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool {must: match, filter: term lang=en}: filter context
     restricts the result set but never the scoring stats (idf/avgdl
@@ -3731,6 +3744,7 @@ SUITE = {
     "bm25_topk_msm": bm25_topk_msm,
     "fuzzy_topk": fuzzy_topk,
     "fuzzy_damerau_topk": fuzzy_damerau_topk,
+    "fuzzy_blended_topk": fuzzy_blended_topk,
     "prefix_topk": prefix_topk,
     "wildcard_topk": wildcard_topk,
     "regexp_topk": regexp_topk,
