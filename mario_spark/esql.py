@@ -405,6 +405,14 @@ def _cond_expr(body: str):
         mn = re.match(r"NOT\s+(.*)", clause, re.IGNORECASE)
         if mn:
             neg, clause = True, mn.group(1).strip()
+        # a parenthesised group recurses into the full condition
+        # grammar: `a OR (b AND c)`, `NOT (a OR b)`
+        if _paren_wrapped(clause):
+            expr = _cond_expr(clause.strip()[1:-1])
+            if neg:
+                expr = ~expr
+            cond = expr if cond is None else (cond & expr)
+            continue
         mi = re.fullmatch(
             r"(\w+)\s+IN\s*\(\s*([^()]+)\)", clause, re.IGNORECASE
         )
@@ -612,25 +620,52 @@ def _inlinestats(df: DataFrame, body: str) -> DataFrame:
 
 def _split_stages(query: str) -> list[str]:
     """Split a pipeline on top-level '|' only — pipes inside FORK's
-    parenthesised branches belong to the branch, not the outer
+    parenthesised branches belong to the branch, and pipes (or parens)
+    inside a "string literal" belong to the string, not the outer
     pipeline."""
-    out, buf, depth = [], [], 0
+    out, buf, depth, inq = [], [], 0, False
     for ch in query:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-            if depth < 0:
-                raise ValueError("ES|QL: unbalanced ')'")
-        if ch == "|" and depth == 0:
+        if ch == '"':
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    raise ValueError("ES|QL: unbalanced ')'")
+        if ch == "|" and depth == 0 and not inq:
             out.append("".join(buf).strip())
             buf = []
         else:
             buf.append(ch)
     if depth != 0:
         raise ValueError("ES|QL: unbalanced '('")
+    if inq:
+        raise ValueError("ES|QL: unterminated string literal")
     out.append("".join(buf).strip())
     return [s for s in out if s]
+
+
+def _paren_wrapped(s: str) -> bool:
+    """True iff `s` is one balanced '( ... )' group (quote-aware), so
+    the parens can be stripped and the inside re-parsed — what makes
+    `a OR (b AND c)` and `NOT (a OR b)` grammar, not syntax errors."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth, inq = 0, False
+    for i, ch in enumerate(s):
+        if ch == '"':
+            inq = not inq
+        elif not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return False  # closes before the end: not one group
+    return depth == 0 and not inq
 
 
 def _paren_groups(body: str) -> list[str]:

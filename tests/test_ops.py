@@ -483,3 +483,35 @@ def test_bpe_encode_matches_python_twin(spark):
     got = {r["doc_id"]: r["n_syms"] for r in bpe_encode_stats(d).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(py_bpe_encode(t)), (i, t)
+
+
+def test_esql_paren_groups_and_quoted_pipes(spark):
+    """WHERE parentheses recurse into the full condition grammar, and
+    '|' / '(' inside string literals never split stages or groups."""
+    from mario_spark.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    got = run_esql(
+        spark, sf,
+        'FROM documents | WHERE source == "src1" OR '
+        '(lang == "en" AND n_chars > 100) | STATS c = COUNT(*)',
+    ).collect()[0]["c"]
+    assert got == 190  # verified against DuckDB
+
+    neg = run_esql(
+        spark, sf,
+        'FROM documents | WHERE NOT (lang == "en" OR lang == "de") '
+        "| STATS c = COUNT(*)",
+    ).collect()[0]["c"]
+    assert neg == 236
+
+    piped = run_esql(
+        spark, sf,
+        'FROM documents | WHERE source == "a | b" | STATS c = COUNT(*)',
+    ).collect()[0]["c"]
+    assert piped == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unterminated"):
+        run_esql(spark, sf, 'FROM documents | WHERE source == "oops | LIMIT 1')
