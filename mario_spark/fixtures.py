@@ -330,6 +330,22 @@ DOCUMENTS_QS_SET: list[tuple[int, str]] = [
 ]
 
 
+# field-scoped query_string set (qs.search_query_string_fields):
+# `title:` / `contents:` prefixes scope clauses to per-field stats;
+# unprefixed atoms hit the default field (contents). Exercises field
+# should/must/not, a field phrase, cross-field composition, and the
+# unmapped-field behaviors (should = contributes nothing, must =
+# query matches nothing — Lucene semantics).
+DOCUMENTS_QSF_SET: list[tuple[int, str]] = [
+    (0, "title:hash join"),                  # field should + default should
+    (1, '+title:table contents:"sort merge"'),  # field must + field phrase
+    (2, "scan -title:fast"),                 # default should, field not
+    (3, "+contents:window +title:key"),      # cross-field conjunction
+    (4, "missing:foo join"),                 # unmapped should -> ignored
+    (5, "+missing:foo join"),                # unmapped must -> empty
+]
+
+
 # Ordered-proximity (span_near in_order, slop=2) query set: bigrams
 # only (keeps the SQL oracle's nested window predicate simple); the
 # wider window makes these match strictly more docs than slop=0.

@@ -1234,6 +1234,18 @@ def _qs_oracle() -> str:
     return query_string_sql(DOCUMENTS_QS_SET, k=10)
 
 
+def _qsf_oracle() -> str:
+    from mario_spark.fixtures import DOCUMENTS_QSF_SET
+    from mario_spark.qs import query_string_fields_sql
+
+    return query_string_fields_sql(
+        DOCUMENTS_QSF_SET,
+        {"title": "substr(text, 1, 64)", "contents": "text"},
+        default_field="contents",
+        k=10,
+    )
+
+
 AGG_HISTOGRAM_NCHARS = """
 WITH got AS (
   SELECT (n_chars // 500) * 500 AS key, count(*)::BIGINT AS n
@@ -5583,6 +5595,7 @@ LIMIT 5
     "agg_stats_lang": AGG_STATS_LANG,
     "agg_date_histogram": AGG_DATE_HISTOGRAM,
     "query_string_topk": _qs_oracle(),
+    "query_string_fields_topk": _qsf_oracle(),
     "term_suggest": _term_suggest_oracle(),
     "term_suggest_popular": _term_suggest_popular_oracle(),
     "terms_enum": TERMS_ENUM,

@@ -353,6 +353,371 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 """
 
 
+# ------------------------------------------- field-scoped query_string
+# ES query_string's `field:term` / `field:"a phrase"` syntax
+# (reference users hit this on day one: TIMDEX exposes `title:` etc.
+# over every analyzed field of es_record_mappings.json:33-401). Each
+# field-scoped clause scores against THAT field's own statistics
+# (df over the field, the field's docCount and avgFieldLength) —
+# Lucene's per-field index semantics, same stats model as
+# fields.search_field. Unmapped field prefixes keep Lucene behavior:
+# the clause can never match (a must on an unmapped field empties the
+# query; a should contributes nothing) — this falls out naturally
+# because an unmapped field has no corpus tokens, no df rows, no hits.
+
+_FIELD_ATOM_RE = re.compile(
+    r'([+-]?)(?:([A-Za-z_][A-Za-z0-9_]*):)?(?:"([^"]*)"|(\S+))'
+)
+
+
+def parse_query_string_fields(
+    s: str, default_field: str
+) -> list[tuple[str, str, list[str]]]:
+    """Parse into [(kind, field, chain_terms)]; kind in
+    must|should|not. `field:` prefixes scope the atom; atoms without a
+    prefix target `default_field`. Atom text runs through the standard
+    analyzer exactly like parse_query_string."""
+    out: list[tuple[str, str, list[str]]] = []
+    for sign, fld, quoted, bare in _FIELD_ATOM_RE.findall(s):
+        terms = py_tokenize(quoted if quoted else bare)
+        if not terms:
+            continue
+        kind = {"+": "must", "-": "not"}.get(sign, "should")
+        out.append((kind, fld or default_field, terms))
+    return out
+
+
+def search_query_string_fields(
+    documents: DataFrame,
+    queries: list[tuple[int, str]],
+    field_exprs: dict,
+    default_field: str,
+    k: int = 10,
+) -> DataFrame:
+    """query_string with field scoping over documents(doc_id, text).
+    `field_exprs` maps field name -> Column deriving that field's text
+    (the same derivation fields.build_field_doc_table takes). Same
+    BooleanQuery matching rules and chain-clause scoring as
+    search_query_string, but every frame is keyed by (field, ...) so a
+    clause reads its own field's tf/df/len/avgdl.
+
+    Distributed shape: ONE corpus scan tokenizes every declared field
+    (an array-of-structs explode over the same row — the pandas UDF
+    runs once per field inside one projection), then the shared
+    (field, doc, term) aggregation serves all term clauses and the
+    per-field stats; phrase chains ride the same scan. Everything
+    after the explode is keyed by tiny (field, term) pairs — no text
+    crosses a shuffle."""
+    spark = documents.sparkSession
+    parsed = [
+        (qid, parse_query_string_fields(s, default_field))
+        for qid, s in queries
+    ]
+
+    docs_t = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("field"),
+                            tokenize_udf(expr).alias("arr"),
+                        )
+                        for f, expr in field_exprs.items()
+                    ]
+                )
+            ).alias("fa"),
+        )
+        .select("doc_id", F.col("fa.field").alias("field"), F.col("fa.arr").alias("arr"))
+        .filter(F.size("arr") > 0)
+        .persist()
+    )
+    dl = docs_t.select(
+        "doc_id", "field", F.size("arr").cast("double").alias("len")
+    )
+    st = dl.groupBy("field").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    tf = (
+        docs_t.select("doc_id", "field", F.explode("arr").alias("term"))
+        .groupBy("field", "doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("field", "term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+
+    cl_rows, term_cl_rows, qc = [], [], {}
+    for qid, clauses in parsed:
+        n_must = sum(1 for kind, _, _ in clauses if kind == "must")
+        n_should = sum(1 for kind, _, _ in clauses if kind == "should")
+        qc[qid] = (n_must, n_should)
+        for cid, (kind, fld, terms) in enumerate(clauses):
+            for t in terms:
+                cl_rows.append((qid, cid, kind, fld, t))
+            if len(terms) == 1:
+                term_cl_rows.append((qid, cid, kind, fld, terms[0]))
+    if not cl_rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
+    cl = spark.createDataFrame(
+        cl_rows,
+        "query_id long, clause_id int, kind string, field string, term string",
+    )
+    # per-clause idf sum from the clause FIELD's stats; unmapped fields
+    # have no df/st rows and contribute 0 (and can never match)
+    sidf = (
+        cl.join(dfreq, ["field", "term"], "left")
+        .join(F.broadcast(st), "field", "left")
+        .groupBy("query_id", "clause_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("df").isNotNull(),
+                    F.log(
+                        F.lit(1.0)
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).alias("sidf")
+        )
+    )
+
+    parts = []
+    if term_cl_rows:
+        tcl = spark.createDataFrame(
+            term_cl_rows,
+            "query_id long, clause_id int, kind string, field string, term string",
+        )
+        parts.append(
+            tf.join(F.broadcast(tcl), ["field", "term"]).select(
+                "query_id",
+                "clause_id",
+                "kind",
+                "field",
+                "doc_id",
+                F.col("tf").alias("ctf"),
+            )
+        )
+    # multi-term chains share the one tokenized scan; each chain only
+    # fires on its own field's rows
+    chain_structs = [
+        F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.lit(cid).cast("int").alias("clause_id"),
+            F.lit(kind).alias("kind"),
+            F.when(
+                F.col("field") == F.lit(fld),
+                _chain_ctf_expr(F.col("arr"), terms),
+            )
+            .otherwise(F.lit(0))
+            .cast("double")
+            .alias("ctf"),
+        )
+        for qid, clauses in parsed
+        for cid, (kind, fld, terms) in enumerate(clauses)
+        if len(terms) > 1
+    ]
+    if chain_structs:
+        parts.append(
+            docs_t.select(
+                "doc_id",
+                "field",
+                F.explode(F.array(*chain_structs)).alias("c"),
+            )
+            .filter(F.col("c.ctf") > 0)
+            .select(
+                "c.query_id",
+                "c.clause_id",
+                "c.kind",
+                "field",
+                "doc_id",
+                F.col("c.ctf").alias("ctf"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+
+    scored = (
+        hits.join(F.broadcast(sidf), ["query_id", "clause_id"])
+        .join(dl, ["doc_id", "field"])
+        .join(F.broadcast(st), "field")
+        .withColumn(
+            "contrib",
+            F.when(F.col("kind") == "not", F.lit(0.0)).otherwise(
+                F.col("sidf")
+                * (F.col("ctf") * (K1 + 1.0))
+                / (
+                    F.col("ctf")
+                    + K1 * (1.0 - B + B * F.col("len") / F.col("avgdl"))
+                )
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.countDistinct(
+                F.when(F.col("kind") == "must", F.col("clause_id"))
+            ).alias("n_must_hit"),
+            F.max(F.when(F.col("kind") == "should", 1).otherwise(0)).alias(
+                "any_should"
+            ),
+            F.max(F.when(F.col("kind") == "not", 1).otherwise(0)).alias(
+                "any_not"
+            ),
+        )
+    )
+    qcdim = spark.createDataFrame(
+        [(qid, nm, ns) for qid, (nm, ns) in qc.items()],
+        "query_id long, req_must int, n_should int",
+    )
+    ok = (
+        scored.join(F.broadcast(qcdim), "query_id")
+        .filter(
+            (F.col("any_not") == 0)
+            & (F.col("n_must_hit") == F.col("req_must"))
+            & (
+                (F.col("n_should") == 0)
+                | (F.col("req_must") > 0)
+                | (F.col("any_should") == 1)
+            )
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    return topk(ok, k)
+
+
+def query_string_fields_sql(
+    queries: list[tuple[int, str]],
+    field_exprs_sql: dict,
+    default_field: str,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB oracle for search_query_string_fields, generated from the
+    SAME parse; `field_exprs_sql` maps field name -> SQL expression
+    over `documents` deriving that field's text."""
+    parsed = [
+        (qid, parse_query_string_fields(s, default_field))
+        for qid, s in queries
+    ]
+    cl_vals, tcl_vals, qc_vals, ph_selects = [], [], [], []
+    for qid, clauses in parsed:
+        n_must = sum(1 for kind, _, _ in clauses if kind == "must")
+        n_should = sum(1 for kind, _, _ in clauses if kind == "should")
+        qc_vals.append(f"({qid}, {n_must}, {n_should})")
+        for cid, (kind, fld, terms) in enumerate(clauses):
+            for t in terms:
+                cl_vals.append(f"({qid}, {cid}, '{kind}', '{fld}', '{t}')")
+            if len(terms) == 1:
+                tcl_vals.append(
+                    f"({qid}, {cid}, '{kind}', '{fld}', '{terms[0]}')"
+                )
+            else:
+                m = len(terms) - 1
+                conds = " AND ".join(
+                    f"arr[p + {j}] = '{t}'" for j, t in enumerate(terms)
+                )
+                ptf = (
+                    f"CASE WHEN len(arr) > {m} THEN "
+                    f"len(list_filter(generate_series(1, len(arr) - {m}), "
+                    f"p -> {conds})) ELSE 0 END::DOUBLE"
+                )
+                ph_selects.append(
+                    f"SELECT {qid} AS query_id, {cid} AS clause_id, "
+                    f"'{kind}' AS kind, '{fld}' AS field, doc_id, "
+                    f"{ptf} AS ctf FROM docs_t WHERE field = '{fld}'"
+                )
+    if not tcl_vals:
+        tcl_vals.append("(NULL, NULL, NULL, NULL, NULL)")
+        term_part = ""
+    else:
+        term_part = (
+            "SELECT tcl.query_id, tcl.clause_id, tcl.kind, tf.field, "
+            "tf.doc_id, tf.tf AS ctf FROM tf JOIN tcl USING (field, term)"
+        )
+    ph_part = " UNION ALL ".join(
+        f"SELECT query_id, clause_id, kind, field, doc_id, ctf "
+        f"FROM ({s}) WHERE ctf > 0"
+        for s in ph_selects
+    )
+    hits = " UNION ALL ".join(x for x in [term_part, ph_part] if x)
+    tok = r"[\p{L}\p{N}]+"
+    field_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{f}' AS field, "
+        f"regexp_extract_all(lower(nfc_normalize({e})), '{tok}') AS arr "
+        f"FROM documents"
+        for f, e in field_exprs_sql.items()
+    )
+    return f"""
+WITH docs_all AS ({field_rows}),
+docs_t AS (SELECT * FROM docs_all WHERE len(arr) > 0),
+toks AS (SELECT doc_id, field, unnest(arr) AS term FROM docs_t),
+tf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, field, len(arr)::DOUBLE AS len FROM docs_t),
+st AS (SELECT field, count(*)::DOUBLE AS n_docs, avg(len) AS avgdl FROM dl GROUP BY 1),
+dfr AS (SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+cl(query_id, clause_id, kind, field, term) AS (VALUES {", ".join(cl_vals)}),
+tcl(query_id, clause_id, kind, field, term) AS (VALUES {", ".join(tcl_vals)}),
+qc(query_id, req_must, n_should) AS (VALUES {", ".join(qc_vals)}),
+sidf AS (
+  SELECT cl.query_id, cl.clause_id,
+         sum(CASE WHEN dfr.df IS NOT NULL
+             THEN ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+             ELSE 0.0 END) AS sidf
+  FROM cl
+  LEFT JOIN dfr USING (field, term)
+  LEFT JOIN st USING (field)
+  GROUP BY 1, 2
+),
+hits AS ({hits}),
+contrib AS (
+  SELECT h.query_id, h.doc_id, h.clause_id, h.kind,
+         CASE WHEN h.kind = 'not' THEN 0.0
+              ELSE s.sidf * (h.ctf * ({k1} + 1.0))
+                   / (h.ctf + {k1} * (1.0 - {b} + {b} * dl.len / st.avgdl))
+         END AS contrib
+  FROM hits h
+  JOIN sidf s USING (query_id, clause_id)
+  JOIN dl ON h.doc_id = dl.doc_id AND h.field = dl.field
+  JOIN st ON h.field = st.field
+),
+agg AS (
+  SELECT query_id, doc_id,
+         sum(contrib) AS score,
+         count(DISTINCT CASE WHEN kind = 'must' THEN clause_id END) AS n_must_hit,
+         max(CASE WHEN kind = 'should' THEN 1 ELSE 0 END) AS any_should,
+         max(CASE WHEN kind = 'not' THEN 1 ELSE 0 END) AS any_not
+  FROM contrib GROUP BY 1, 2
+),
+ok AS (
+  SELECT a.query_id::BIGINT AS query_id, a.doc_id, a.score
+  FROM agg a JOIN qc USING (query_id)
+  WHERE a.any_not = 0
+    AND a.n_must_hit = qc.req_must
+    AND (qc.n_should = 0 OR qc.req_must > 0 OR a.any_should = 1)
+),
+rk AS (
+  SELECT query_id, doc_id, round(score, {SCORE_DECIMALS}) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, {SCORE_DECIMALS}) DESC,
+                                     doc_id ASC) AS rank
+  FROM ok
+)
+SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------------- indexed serving path
 def _qs_kernel(
     pdf,

@@ -1461,6 +1461,27 @@ def query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_query_string(d, DOCUMENTS_QS_SET, k=10)
 
 
+def query_string_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query_string with `field:` scoping (`title:hash join`,
+    '+title:table contents:"sort merge"'): each field-scoped clause
+    scores against THAT field's own stats (per-field df, docCount,
+    avgFieldLength — Lucene per-field index semantics); unmapped-field
+    clauses keep Lucene behavior (should contributes nothing, must
+    empties the query). Same BooleanQuery matching as query_string_topk
+    (qs.search_query_string_fields)."""
+    from mario_spark.fixtures import DOCUMENTS_QSF_SET
+    from mario_spark.qs import search_query_string_fields
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    return search_query_string_fields(
+        d,
+        DOCUMENTS_QSF_SET,
+        {"title": F.substring("text", 1, 64), "contents": F.col("text")},
+        default_field="contents",
+        k=10,
+    )
+
+
 def agg_histogram_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES histogram agg (interval=500, min_doc_count=0) over n_chars:
     empty buckets between the min and max observed keys are emitted
@@ -3809,6 +3830,7 @@ SUITE = {
     "agg_variable_width": agg_variable_width,
     "agg_composite_page": agg_composite_page,
     "query_string_topk": query_string_topk,
+    "query_string_fields_topk": query_string_fields_topk,
     "term_suggest": term_suggest,
     "term_suggest_popular": term_suggest_popular,
     "terms_enum": terms_enum,

@@ -67,6 +67,46 @@ def test_simple_qs_parser_degrades_never_raises():
     assert p("x-y*") == [[("chain", False, ["x", "y"])]]
 
 
+def test_query_string_fields_scoping_semantics(spark):
+    """field:term scopes matching to THAT field; unmapped fields keep
+    Lucene behavior (should contributes nothing, must matches nothing);
+    a field phrase requires adjacency within the field."""
+    from pyspark.sql import functions as F
+
+    from mario_spark.qs import search_query_string_fields
+
+    d = spark.createDataFrame(
+        [
+            (0, "alpha beta. gamma delta epsilon"),
+            (1, "zeta eta. alpha beta gamma"),
+            (2, "theta iota. beta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    fx = {
+        "title": F.substring("text", 1, 10),  # first ~2 tokens
+        "contents": F.col("text"),
+    }
+
+    def run(q):
+        out = search_query_string_fields(d, [(0, q)], fx, "contents", k=10)
+        return sorted(r["doc_id"] for r in out.collect())
+
+    # title: scoping — 'alpha' is in doc 0's title only (docs 1,2 have
+    # it in contents past char 10)
+    assert run("+title:alpha") == [0]
+    assert run("+contents:alpha") == [0, 1, 2]
+    # default field is contents
+    assert run("+alpha") == [0, 1, 2]
+    # field phrase: adjacency inside the field
+    assert run('+contents:"beta alpha"') == [2]
+    # unmapped must -> empty; unmapped should -> ignored
+    assert run("+missing:alpha beta") == []
+    assert run("missing:alpha beta") == [0, 1, 2]
+    # field-scoped NOT
+    assert run("beta -title:alpha") == [1, 2]
+
+
 def test_query_string_degenerate_inputs_empty_not_crash(spark):
     """Empty / operator-only / pure-negative query strings match
     NOTHING (Lucene's zero-clause BooleanQuery), never crash."""
