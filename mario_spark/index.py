@@ -1052,16 +1052,27 @@ class Index:
         return out.select(*cols)
 
     def search_query_string(
-        self, queries: list[tuple[int, str]], k: int = 10
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        default_field: str | None = None,
     ) -> DataFrame:
         """Full query_string mini-language over a positions=True index
         ([(query_id, raw query string)] — bare/+/-/"phrase" clauses):
         term clauses read tf from the positional postings, phrase
         clauses run the chain matcher, Lucene BooleanQuery matching
         applies, tombstones are masked. Rank-identical to
-        qs.search_query_string over the raw pages (asserted in
-        tests)."""
-        from mario_spark.qs import search_query_string_indexed
+        qs.search_query_string over the raw pages (asserted in tests).
+
+        On a fields=... index the `field:term` / `field:"a phrase"`
+        syntax is live: pass `default_field` (the ES default_field
+        option) for unprefixed atoms; each clause scores with ITS
+        field's df/docCount/avgFieldLength via the field-prefixed
+        posting keys. Rank-identical to qs.search_query_string_fields."""
+        from mario_spark.qs import (
+            search_query_string_fields_indexed,
+            search_query_string_indexed,
+        )
 
         meta = _read_json(self.paths.meta) or {}
         if not meta.get("positions"):
@@ -1070,12 +1081,15 @@ class Index:
                 "query_string needs them for its phrase clauses"
             )
         if meta.get("fields"):
-            # the mini-language has no field: syntax; unprefixed terms
-            # would silently miss the prefixed dictionary — refuse loudly
-            raise ValueError(
-                f"index '{self.paths.name}' is field-scoped; "
-                "query_string over field indexes is not supported "
-                "(use search_field / search_phrase with field=...)"
+            if default_field is None or default_field not in meta["fields"]:
+                raise ValueError(
+                    f"index '{self.paths.name}' is field-scoped; pass "
+                    f"default_field as one of {sorted(meta['fields'])}"
+                )
+            return search_query_string_fields_indexed(
+                self.postings(), self.dictionary(), queries,
+                self.field_stats(), default_field, k=k,
+                deleted_docs=self.deleted_ids(),
             )
         st = self.stats()
         return search_query_string_indexed(

@@ -721,8 +721,7 @@ SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= {k}
 # ------------------------------------------------- indexed serving path
 def _qs_kernel(
     pdf,
-    queries: list[tuple[int, list[tuple[str, tuple, float]], int, int]],
-    avgdl: float,
+    queries: list[tuple[int, list[tuple[str, tuple, float, float]], int, int]],
     k: int,
     k1: float,
     b: float,
@@ -732,7 +731,10 @@ def _qs_kernel(
     positional index. Exact per bucket: all of a doc's postings live in
     its dbucket, so must-counts, exclusions, and phrase positions are
     bucket-local facts. `queries` rows are
-    (query_id, [(kind, terms, sidf)], req_must, n_should)."""
+    (query_id, [(kind, terms, sidf, avgdl)], req_must, n_should) — avgdl
+    is per-CLAUSE so field-scoped clauses normalize by their own field's
+    average length (unscoped queries pass the corpus avgdl on every
+    clause)."""
     import numpy as np
     import pandas as pd
 
@@ -782,8 +784,11 @@ def _qs_kernel(
 
     out_q, out_d, out_s = [], [], []
     for qid, clauses, req_must, n_should in queries:
-        hits = [(kind, sidf, *clause_hits(terms)) for kind, terms, sidf in clauses]
-        parts = [h[2] for h in hits if h[2].size]
+        hits = [
+            (kind, sidf, ad, *clause_hits(terms))
+            for kind, terms, sidf, ad in clauses
+        ]
+        parts = [h[3] for h in hits if h[3].size]
         if not parts:
             continue
         all_ids = np.unique(np.concatenate(parts))
@@ -791,7 +796,7 @@ def _qs_kernel(
         must_cnt = np.zeros(all_ids.size, dtype=np.int64)
         should_hit = np.zeros(all_ids.size, dtype=bool)
         not_hit = np.zeros(all_ids.size, dtype=bool)
-        for kind, sidf, ids, ctf, lens in hits:
+        for kind, sidf, ad, ids, ctf, lens in hits:
             if ids.size == 0:
                 continue
             pos = np.searchsorted(all_ids, ids)
@@ -800,7 +805,7 @@ def _qs_kernel(
                 continue
             score[pos] += (
                 sidf * ctf * (k1 + 1.0)
-                / (ctf + k1 * (1.0 - b + b * lens / avgdl))
+                / (ctf + k1 * (1.0 - b + b * lens / ad))
             )
             if kind == "must":
                 must_cnt[pos] += 1
@@ -851,8 +856,6 @@ def search_query_string_indexed(
     qs.search_query_string (tests assert rank identity between the
     two). Plan = search_wand's: term-pruned scan -> per-dbucket batch
     kernel -> tiny per-query rank window."""
-    from pyspark.sql import Window
-
     from mario_spark.phrase import _collect_deleted
     from mario_spark.postings import idf as _idf
 
@@ -864,25 +867,33 @@ def search_query_string_indexed(
     idf_map = {
         r["term"]: _idf(float(n_docs), float(r["df"])) for r in df_rows
     }
+    ad = float(avgdl)
     queries_c = []
     for qid, clauses in parsed:
         req_must = sum(1 for kind, _ in clauses if kind == "must")
         n_should = sum(1 for kind, _ in clauses if kind == "should")
         cl = [
-            (kind, tuple(terms), sum(idf_map.get(t, 0.0) for t in terms))
+            (kind, tuple(terms), sum(idf_map.get(t, 0.0) for t in terms), ad)
             for kind, terms in clauses
         ]
         queries_c.append((int(qid), cl, req_must, n_should))
     deleted = _collect_deleted(deleted_docs)
     cand = postings.filter(F.col("term").isin(all_terms))
-    ad = float(avgdl)
 
     def kernel(pdf):
-        return _qs_kernel(pdf, queries_c, ad, k, k1, b, deleted)
+        return _qs_kernel(pdf, queries_c, k, k1, b, deleted)
 
     local = cand.groupBy("dbucket").applyInPandas(
         kernel, "query_id long, doc_id long, score double"
     )
+    return _rank_local(local, k)
+
+
+def _rank_local(local: DataFrame, k: int) -> DataFrame:
+    """Round + per-query rank window over a kernel's local top-k rows
+    (tiny: <= k rows per query per dbucket cross the exchange)."""
+    from pyspark.sql import Window
+
     s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")
@@ -892,6 +903,79 @@ def search_query_string_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def search_query_string_fields_indexed(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    queries: list[tuple[int, str]],
+    field_stats: dict[str, dict],
+    default_field: str,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    deleted_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Serve field-scoped query_string from a PERSISTED fields=... +
+    positions=True index (field-prefixed posting keys, fields.py).
+    Each clause's terms become `<field>:<term>` — pruning the postings
+    scan to exactly the queried fields' terms — and the clause scores
+    with ITS field's stats: idf from the prefixed dictionary df and the
+    FIELD's docCount, length norm from the field's avgdl (the lens
+    stored on a prefixed posting are that field's lengths by
+    construction, fields.field_tf). Unmapped fields keep Lucene
+    behavior for free: no dictionary rows (sidf 0), no postings (a must
+    can never match). Rank-identical to qs.search_query_string_fields
+    over the raw pages (asserted in tests)."""
+    from mario_spark.phrase import _collect_deleted
+    from mario_spark.postings import idf as _idf
+
+    parsed = [
+        (qid, parse_query_string_fields(s, default_field))
+        for qid, s in queries
+    ]
+    all_terms = sorted(
+        {
+            f"{fld}:{t}"
+            for _, cls in parsed
+            for _, fld, terms in cls
+            for t in terms
+        }
+    )
+    spark = postings.sparkSession
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
+    df_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
+    idf_map = {}
+    for r in df_rows:
+        fld = r["term"].split(":", 1)[0]
+        n_f = float(field_stats.get(fld, {}).get("n_docs", 0))
+        idf_map[r["term"]] = _idf(n_f, float(r["df"]))
+    queries_c = []
+    for qid, clauses in parsed:
+        req_must = sum(1 for kind, _, _ in clauses if kind == "must")
+        n_should = sum(1 for kind, _, _ in clauses if kind == "should")
+        cl = []
+        for kind, fld, terms in clauses:
+            pterms = tuple(f"{fld}:{t}" for t in terms)
+            sidf = sum(idf_map.get(t, 0.0) for t in pterms)
+            # avgdl placeholder 1.0 for unmapped fields is never read:
+            # such a clause has no postings, so it produces no hits
+            ad = float(field_stats.get(fld, {}).get("avgdl", 0.0)) or 1.0
+            cl.append((kind, pterms, sidf, ad))
+        queries_c.append((int(qid), cl, req_must, n_should))
+    deleted = _collect_deleted(deleted_docs)
+    cand = postings.filter(F.col("term").isin(all_terms))
+
+    def kernel(pdf):
+        return _qs_kernel(pdf, queries_c, k, k1, b, deleted)
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    return _rank_local(local, k)
 
 
 def parse_simple_query_string(

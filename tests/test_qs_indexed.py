@@ -51,6 +51,54 @@ def test_query_string_indexed_matches_composition(spark, root):
     assert not set(after["doc_id"]).intersection(dele)
 
 
+def test_query_string_fields_indexed_matches_composition(spark, root):
+    """Field-scoped query_string served from a persisted fields=... +
+    positions=True index must be rank-identical to the oracle-checked
+    composition path (qs.search_query_string_fields over raw pages)."""
+    from pyspark.sql import functions as F
+
+    from mario_spark.qs import search_query_string_fields
+
+    pages = pages_df(spark, 400, seed=13, partitions=4).withColumn(
+        "title", F.substring("text", 1, 48)
+    )
+    cat = Catalog(spark, root)
+    idx = cat.create("pages-2026-01-01t00-00-00z")
+    idx.ingest(
+        pages, segment_docs=256, positions=True,
+        fields={"title": "title", "contents": "text"},
+    )
+
+    queries = [
+        (0, "title:data web"),
+        (1, '+contents:"the data" title:web'),
+        (2, "data -title:crawl"),
+        (3, "+title:data +contents:page"),
+        (4, "+missing:foo data"),   # unmapped must -> empty
+        (5, "missing:foo data"),    # unmapped should -> ignored
+    ]
+    got = _canon(idx.search_query_string(queries, k=10, default_field="contents"))
+    ref_docs = assign_doc_ids(pages).select("doc_id", "text")
+    want = _canon(
+        search_query_string_fields(
+            ref_docs,
+            queries,
+            {"title": F.substring("text", 1, 48), "contents": F.col("text")},
+            default_field="contents",
+            k=10,
+        )
+    )
+    assert len(got) > 0
+    assert 4 not in set(got["query_id"])  # unmapped must matched nothing
+    assert 5 in set(got["query_id"])      # unmapped should was ignored
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+
+    # a fields index without default_field (or an unmapped one) refuses
+    for bad in (None, "nope"):
+        with pytest.raises(ValueError):
+            idx.search_query_string(queries, k=10, default_field=bad)
+
+
 def test_simple_qs_parser_degrades_never_raises():
     """Lucene SimpleQueryParser contract: malformed input parses to
     SOMETHING — unbalanced quotes, dangling operators, empty groups."""
