@@ -122,6 +122,12 @@ def main(argv: list[str] | None = None) -> int:
         "query_string parses the full +must/-not/\"phrase\" mini-language "
         "(needs an index ingested with --positions)",
     )
+    p.add_argument(
+        "--default-field",
+        help="for --kind query_string on a fields=... index: the field "
+        "unprefixed atoms target (ES default_field); field:term syntax "
+        "scopes clauses to per-field stats",
+    )
     p.add_argument("text", nargs="+")
 
     p = sub.add_parser("merge")
@@ -218,7 +224,10 @@ def main(argv: list[str] | None = None) -> int:
             res = idx.search_phrase([(0, " ".join(args.text))], k=args.k)
         elif args.kind == "query_string":
             idx = cat.resolve(args.index)
-            res = idx.search_query_string([(0, " ".join(args.text))], k=args.k)
+            res = idx.search_query_string(
+                [(0, " ".join(args.text))], k=args.k,
+                default_field=args.default_field,
+            )
         elif args.kind != "match":
             idx = cat.resolve(args.index)
             res = idx.search_multiterm(
