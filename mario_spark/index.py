@@ -221,6 +221,22 @@ def _field_analyzers(fields_cfg: dict) -> dict[str, str]:
     }
 
 
+def _jsonable(v):
+    """Commit-marker-safe encoding of a sort-bound value. Timestamps go
+    to ISO-8601 text (lexicographic order == chronological for the fixed
+    format, so marker bounds stay mutually comparable); numerics and
+    strings pass through."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        # fixed microsecond width: equal instants encode to equal text,
+        # so boundary (==) segments are never skipped on a format quirk
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     """Single-commit JSON write via the module committer."""
     _COMMITTER.commit_json(path, obj)
@@ -322,6 +338,8 @@ class Index:
         fail_after_segment: int | None = None,
         positions: bool = False,
         fields: dict[str, str] | None = None,
+        sort_docs_by: str | None = None,
+        sort_docs_desc: bool = True,
     ) -> dict:
         """Build (or resume building) the index from a pages DataFrame.
 
@@ -336,6 +354,17 @@ class Index:
         `<field>:<term>` (fields.py), so queries target one field with
         its own df/n_docs/avgdl (per-segment field stats live in the
         commit markers and stay additive). Query via search_field().
+
+        sort_docs_by pins ES index-time sorting (index.sort.field /
+        index.sort.order): each segment's docs parquet is written
+        SORTED by that column and its (min, max) recorded in the commit
+        marker, so a sorted top-k (search_sorted) early-terminates —
+        whole segments outside the threshold are skipped from the
+        marker bounds, and within scanned segments the threshold
+        predicate prunes parquet row groups because the file is sorted
+        (Lucene's sorted-segment early termination, re-expressed as
+        file/row-group skipping). Pinned in _meta.json like positions,
+        so appends keep the invariant.
 
         `fail_after_segment` exists for the resume test: raises after
         committing that many segments, simulating a mid-build crash.
@@ -368,11 +397,16 @@ class Index:
                 if fields
                 else ("text",)
             )
+            sort_cols = (sort_docs_by,) if sort_docs_by else ()
             slim_cols = [
                 c
-                for c in ("doc_id", "url", "lang", *text_cols, "html")
+                for c in ("doc_id", "url", "lang", *text_cols, *sort_cols, "html")
                 if c in pages.columns
             ]
+            if sort_docs_by and sort_docs_by not in pages.columns:
+                raise ValueError(
+                    f"sort_docs_by column '{sort_docs_by}' not in pages"
+                )
             n_docs = pages.count()
             rw = range_width or pick_range_width(n_docs, parts)
             seg_docs = segment_docs or max(rw, int(math.ceil(n_docs / 4 / rw)) * rw)
@@ -390,6 +424,11 @@ class Index:
                 "slim_cols": slim_cols,
                 "positions": positions,
                 "fields": fields,
+                "sort_docs": (
+                    {"field": sort_docs_by, "desc": bool(sort_docs_desc)}
+                    if sort_docs_by
+                    else None
+                ),
             }
             _atomic_write_json(self.paths.meta, meta)
         rw = meta["range_width"]
@@ -487,6 +526,23 @@ class Index:
             post, dic, _ = build_postings(d, max(seg_n, 1), range_width=rw)
             post = post.persist()
             docs_out = d.select(*[c for c in DOCS_COLS if c in d.columns])
+        sort_bounds = None
+        sd = meta.get("sort_docs")
+        if sd:
+            key = sd["field"]
+            if key not in docs_out.columns:
+                # the doc table drops non-standard columns; re-attach the
+                # sort key from the cached slim slice (segment-bounded join)
+                docs_out = docs_out.join(sl.select("doc_id", key), "doc_id")
+            kc = F.col(key)
+            docs_out = docs_out.orderBy(kc.desc() if sd["desc"] else kc.asc())
+            r = docs_out.agg(
+                F.min(key).alias("mn"), F.max(key).alias("mx")
+            ).collect()[0]
+            sort_bounds = {
+                "min": _jsonable(r["mn"]),
+                "max": _jsonable(r["mx"]),
+            }
         # Overlap the four segment outputs. postings is the only write
         # that COMPUTES anything (it materializes the post cache); the
         # docs write needs only the already-cached doc table, and the
@@ -537,6 +593,8 @@ class Index:
         }
         if field_stats is not None:
             marker["field_stats"] = field_stats
+        if sort_bounds is not None:
+            marker["sort_bounds"] = sort_bounds
         _atomic_write_json(p.seg_meta(seg_id), marker)
 
     def append(self, pages: DataFrame, source: str = "") -> dict:
@@ -644,8 +702,8 @@ class Index:
     def postings(self, segments: list[int] | None = None) -> DataFrame:
         return self.spark.read.parquet(*self._seg_paths("postings", segments))
 
-    def docs(self) -> DataFrame:
-        return self.spark.read.parquet(*self._seg_paths("docs"))
+    def docs(self, segments: list[int] | None = None) -> DataFrame:
+        return self.spark.read.parquet(*self._seg_paths("docs", segments))
 
     def dictionary(self, segments: list[int] | None = None) -> DataFrame:
         """Union of segment dictionaries; df is additive (doc-disjoint)."""
@@ -680,6 +738,122 @@ class Index:
             "segments": len(segs),
             "n_deleted": int(dels.get("n_deleted", 0)),
         }
+
+    # ------------------------------------------------ index-time sorting
+    def sorted_scan_plan(self, k: int = 10, where=None) -> dict:
+        """Plan a sorted top-k over a sort_docs_by index (ES index.sort
+        + Lucene sorted-segment early termination). Driver-side, from
+        commit-marker bounds only:
+
+        phase 1 — scan the minimal best-first prefix of segments whose
+        marker doc counts cover k, take its k-th value t (a sound bound:
+        the global k-th is at least as good as any subset's k-th; if a
+        `where` filter leaves fewer than k rows the prefix doubles);
+        phase 2 — any unscanned segment whose best bound cannot reach t
+        is skipped entirely. Docs equal to t can't hide in a skipped
+        segment (skipping is strict), so tie-breaks stay exact.
+
+        Returns {"segments", "threshold", "total_segments"} — threshold
+        None means the index (after filters) holds fewer than k docs and
+        everything selected must be read."""
+        meta = _read_json(self.paths.meta) or {}
+        sd = meta.get("sort_docs")
+        if not sd:
+            raise ValueError(
+                f"index '{self.paths.name}' was not ingested with "
+                "sort_docs_by=...; sorted early termination needs the "
+                "segment sort bounds"
+            )
+        key, desc = sd["field"], bool(sd["desc"])
+        segs = self.paths.committed_segments()
+        known, unknown = [], []
+        for s in segs:
+            m = _read_json(self.paths.seg_meta(s)) or {}
+            sb = m.get("sort_bounds") or {}
+            row = (s, sb.get("min"), sb.get("max"), m.get("n_docs", 0))
+            # a segment without bounds (e.g. written by an older tool or
+            # a reshard) is never skippable — it joins every scan
+            (unknown if row[1] is None or row[2] is None else known).append(row)
+        # best-first: by max desc, or by min asc
+        known.sort(key=(lambda b: b[2]) if desc else (lambda b: b[1]),
+                   reverse=desc)
+        bounds = unknown + known
+        kc = F.col(key)
+        order = [kc.desc() if desc else kc.asc(), F.col("doc_id").asc()]
+
+        def _scan(sel):
+            d = self.docs(sel).filter(kc.isNotNull())
+            if where is not None:
+                d = d.filter(where)
+            dele = self.deleted_ids()
+            if dele is not None:
+                d = d.join(dele, "doc_id", "left_anti")
+            return d
+
+        n_prefix, cum = 0, 0
+        for _, _, _, n in bounds:
+            n_prefix += 1
+            cum += n
+            if cum >= k:
+                break
+        while True:
+            sel = [b[0] for b in bounds[:n_prefix]]
+            rows = _scan(sel).orderBy(*order).limit(k).collect()
+            if len(rows) >= k or n_prefix >= len(bounds):
+                break
+            n_prefix = min(len(bounds), max(n_prefix * 2, n_prefix + 1))
+        if len(rows) < k:
+            return {
+                "segments": [b[0] for b in bounds],
+                "threshold": None,
+                "total_segments": len(bounds),
+            }
+        t = _jsonable(rows[-1][key])
+        scanned = set(sel)
+        sel += [
+            s
+            for s, mn, mx, _ in bounds
+            if s not in scanned
+            and (
+                mn is None or mx is None  # unbounded: never skippable
+                or (mx >= t if desc else mn <= t)
+            )
+        ]
+        return {
+            "segments": sorted(sel),
+            "threshold": t,
+            "total_segments": len(bounds),
+        }
+
+    def search_sorted(self, k: int = 10, where=None) -> DataFrame:
+        """Top-k docs by the index sort field (ES sorted query with
+        early termination): segments whose marker bounds cannot reach
+        the phase-1 threshold are never opened, and within opened
+        segments the threshold predicate pushes to the parquet scan —
+        row groups beyond the threshold are skipped because each
+        segment file is SORTED by the key (the Spark shape of Lucene's
+        per-segment sorted collector cutoff). `where` is an optional
+        extra filter Column (ES query + sort)."""
+        plan = self.sorted_scan_plan(k, where=where)  # raises if unsorted
+        meta = _read_json(self.paths.meta) or {}
+        sd = meta["sort_docs"]
+        key, desc = sd["field"], bool(sd["desc"])
+        kc = F.col(key)
+        d = self.docs(plan["segments"]).filter(kc.isNotNull())
+        if where is not None:
+            d = d.filter(where)
+        dele = self.deleted_ids()
+        if dele is not None:
+            d = d.join(dele, "doc_id", "left_anti")
+        t = plan["threshold"]
+        if t is not None:
+            # marker bounds are JSON-encoded (timestamps as ISO text);
+            # compare in the column's own type via a cast of the literal
+            lit = F.lit(t).cast(d.schema[key].dataType)
+            d = d.filter(kc >= lit if desc else kc <= lit)
+        return d.orderBy(
+            kc.desc() if desc else kc.asc(), F.col("doc_id").asc()
+        ).limit(k)
 
     # --------------------------------------------------- point in time
     def open_pit(self) -> dict:

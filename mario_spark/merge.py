@@ -193,6 +193,15 @@ def compact_segments(
     # reads the source dictionaries directly (plain path).
     from concurrent.futures import ThreadPoolExecutor
 
+    # a sort_docs_by index keeps its invariant through compaction: the
+    # merged docs file is re-sorted by the pinned key so threshold
+    # predicates keep pruning row groups in the new segment
+    sd = (_read_json(p.meta) or {}).get("sort_docs")
+    docs_w = docs
+    if sd:
+        kc = F.col(sd["field"])
+        docs_w = docs.orderBy(kc.desc() if sd["desc"] else kc.asc())
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_merged = pool.submit(
             lambda: merged.write.mode("overwrite").parquet(
@@ -200,7 +209,7 @@ def compact_segments(
             )
         )
         f_docs = pool.submit(
-            lambda: docs.write.mode("overwrite").parquet(
+            lambda: docs_w.write.mode("overwrite").parquet(
                 os.path.join(seg_dir, "docs")
             )
         )
@@ -283,6 +292,15 @@ def compact_segments(
         marker["field_stats"] = purged_field_stats
     elif fs_all:
         marker["field_stats"] = fs_all
+    # union sort bounds stay VALID over the merged docs (a purge can
+    # only shrink the true range; a too-wide bound costs extra scan,
+    # never a wrong skip)
+    sbs = [m.get("sort_bounds") for m in mans]
+    if sbs and all(sbs):
+        marker["sort_bounds"] = {
+            "min": min(sb["min"] for sb in sbs),
+            "max": max(sb["max"] for sb in sbs),
+        }
     _atomic_write_json(p.seg_meta(new_id), marker)
     # retire sources: markers first (loaders stop seeing them), then data
     for s in seg_ids:

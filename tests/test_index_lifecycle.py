@@ -914,3 +914,100 @@ def test_federated_indices_boost(spark, root):
     top1 = boosted[boosted["rank"] == 1].set_index("query_id")["index"]
     for qid in has_nb:
         assert top1[qid] == nb
+
+
+def test_index_sorting_early_termination(spark, root):
+    """ES index.sort: segments written sorted by warc_ts with marker
+    bounds; a sorted top-k scans only segments that can reach the
+    phase-1 threshold, pushes the threshold into the parquet scan, and
+    matches the naive global sort exactly — through filters, deletes,
+    and compaction."""
+    from pyspark.sql import functions as F
+
+    from mario_spark.docs import assign_doc_ids
+    from mario_spark.fixtures import pages_df
+
+    # crawl-shaped corpus: timestamps monotone in ingest (url) order,
+    # so the doc_id-range segments are time-disjoint
+    pages = assign_doc_ids(pages_df(spark, 512, seed=17, partitions=4))
+    pages = pages.withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2026-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, doc_id * 60)"
+        ),
+    )
+    cat = Catalog(spark, root)
+    idx = cat.create("sorted-2026-01-01t00-00-00z")
+    st = idx.ingest(pages, segment_docs=128, sort_docs_by="warc_ts")
+    assert st["segments"] == 4
+
+    def naive(k, where=None, exclude=frozenset()):
+        d = pages.select("doc_id", "url", "lang", "warc_ts")
+        if where is not None:
+            d = d.filter(where)
+        rows = d.orderBy(F.desc("warc_ts"), F.asc("doc_id")).collect()
+        rows = [r for r in rows if r["doc_id"] not in exclude]
+        return [(r["doc_id"], r["warc_ts"]) for r in rows[:k]]
+
+    # early termination: top-10 lives entirely in the newest segment
+    plan = idx.sorted_scan_plan(k=10)
+    assert plan["total_segments"] == 4
+    assert plan["segments"] == [3]
+    assert plan["threshold"] is not None
+
+    got = [
+        (r["doc_id"], r["warc_ts"])
+        for r in idx.search_sorted(k=10).collect()
+    ]
+    assert got == naive(10)
+
+    # the threshold reaches the parquet scan (row-group skipping in the
+    # sorted file)
+    ex = idx.search_sorted(k=10)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in ex and "GreaterThanOrEqual(warc_ts" in ex.replace(
+        " ", ""
+    )
+
+    # a filter that thins the newest segment widens the scan but stays
+    # exact (phase-1 doubling)
+    wh = F.col("lang") == "en"
+    got_f = [
+        (r["doc_id"], r["warc_ts"])
+        for r in idx.search_sorted(k=25, where=wh).collect()
+    ]
+    assert got_f == naive(25, where=F.col("lang") == "en")
+
+    # tombstones are honored (delete a RARE term so >k docs stay live)
+    from mario_spark.analyze import tokenize_udf
+
+    rare = (
+        pages.select(F.explode(tokenize_udf("text")).alias("t"))
+        .groupBy("t")
+        .count()
+        .filter("count between 3 and 8")
+        .orderBy("t")
+        .first()["t"]
+    )
+    dele = idx.delete_by_query([rare])
+    assert dele["deleted"] > 0
+    gone = {r["doc_id"] for r in idx.deleted_ids().collect()}
+    got_d = [
+        (r["doc_id"], r["warc_ts"])
+        for r in idx.search_sorted(k=10).collect()
+    ]
+    assert got_d == naive(10, exclude=gone)
+
+    # compaction keeps the invariant: merged docs re-sorted, union
+    # bounds carried, results unchanged
+    new_id = compact_segments(idx, seg_ids=[2, 3], purge_deletes=False)
+    assert idx.sorted_scan_plan(k=10)["segments"] == [new_id]
+    got_c = [
+        (r["doc_id"], r["warc_ts"])
+        for r in idx.search_sorted(k=10).collect()
+    ]
+    assert got_c == naive(10, exclude=gone)
