@@ -659,6 +659,104 @@ class QuerySession:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    def _df_for(self, terms: list[str]) -> dict[str, int]:
+        if self._df_map is not None:
+            return {t: self._df_map[t] for t in terms if t in self._df_map}
+        rows = self.dictionary.filter(
+            F.col("term").isin(sorted(terms))
+        ).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search_query_string(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        k1: float = K1,
+        b: float = B,
+        default_field: str | None = None,
+    ) -> DataFrame:
+        """Warm query_string serving (full mini-language incl. phrase
+        clauses) over a positions=True session: the dbucket-cached
+        postings skip the per-query shuffle and the driver dictionary
+        answers every clause's idf sum without a lookup job — the same
+        two savings the term path gets. On a session constructed with
+        field_stats pass default_field and the `field:` syntax is live:
+        each clause scores with ITS field's df/docCount/avgFieldLength
+        (qs.search_query_string_fields_indexed semantics). Results are
+        rank-identical to the Index serving paths (asserted)."""
+        from mario_spark import qs as qsmod
+
+        if "poss" not in self.postings.columns:
+            raise ValueError(
+                "session postings carry no positions stream; "
+                "query_string phrase clauses need positions=True"
+            )
+        queries_c: list = []
+        all_terms: set[str] = set()
+        if self.field_stats:
+            if default_field not in self.field_stats:
+                raise ValueError(
+                    "field-scoped session: pass default_field as one of "
+                    f"{sorted(self.field_stats)}"
+                )
+            parsed = [
+                (qid, qsmod.parse_query_string_fields(s, default_field))
+                for qid, s in queries
+            ]
+            for _, clauses in parsed:
+                for _, fld, terms in clauses:
+                    all_terms.update(f"{fld}:{t}" for t in terms)
+            dfm = self._df_for(sorted(all_terms))
+            for qid, clauses in parsed:
+                req = sum(1 for kind, _, _ in clauses if kind == "must")
+                n_sh = sum(1 for kind, _, _ in clauses if kind == "should")
+                cl = []
+                for kind, fld, terms in clauses:
+                    pterms = tuple(f"{fld}:{t}" for t in terms)
+                    fst = self.field_stats.get(fld)
+                    n_f = float(fst[0]) if fst else 0.0
+                    sidf = sum(
+                        _idf(n_f, float(dfm[t])) for t in pterms if t in dfm
+                    )
+                    ad = float(fst[1]) if fst and fst[1] else 1.0
+                    cl.append((kind, pterms, sidf, ad))
+                queries_c.append((int(qid), cl, req, n_sh))
+        else:
+            parsed = [
+                (qid, qsmod.parse_query_string(s)) for qid, s in queries
+            ]
+            for _, clauses in parsed:
+                for _, terms in clauses:
+                    all_terms.update(terms)
+            dfm = self._df_for(sorted(all_terms))
+            for qid, clauses in parsed:
+                req = sum(1 for kind, _ in clauses if kind == "must")
+                n_sh = sum(1 for kind, _ in clauses if kind == "should")
+                cl = [
+                    (
+                        kind,
+                        tuple(terms),
+                        sum(
+                            _idf(self.n_docs, float(dfm[t]))
+                            for t in terms
+                            if t in dfm
+                        ),
+                        self.avgdl,
+                    )
+                    for kind, terms in clauses
+                ]
+                queries_c.append((int(qid), cl, req, n_sh))
+        cand = self.postings.filter(F.col("term").isin(sorted(all_terms)))
+        kk, k1_, b_ = k, k1, b
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return qsmod._qs_kernel(pdf, queries_c, kk, k1_, b_, None)
+
+        local = cand.groupBy("dbucket").applyInPandas(
+            kernel, "query_id long, doc_id long, score double"
+        )
+        return qsmod._rank_local(local, k)
+
     def _search_driver(
         self,
         qlist: list[tuple[int, list[str]]],

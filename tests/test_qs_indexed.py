@@ -43,6 +43,17 @@ def test_query_string_indexed_matches_composition(spark, root):
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
 
+    # warm QuerySession serving is identical too
+    from mario_spark.wand import QuerySession
+
+    st = idx.stats()
+    sess = QuerySession(
+        idx.postings(), idx.dictionary(), st["n_docs"], st["avgdl"]
+    ).warm()
+    got_s = _canon(sess.search_query_string(QUERIES, k=10))
+    pd.testing.assert_frame_equal(got_s, want, check_exact=False, atol=1e-9)
+    sess.postings.unpersist()
+
     # tombstones are honored on this path too
     deleted_some = idx.delete_by_query(["data"])
     assert deleted_some["deleted"] > 0
@@ -97,6 +108,25 @@ def test_query_string_fields_indexed_matches_composition(spark, root):
     for bad in (None, "nope"):
         with pytest.raises(ValueError):
             idx.search_query_string(queries, k=10, default_field=bad)
+
+    # warm field-scoped QuerySession serving is identical too
+    from mario_spark.wand import QuerySession
+
+    fst = idx.field_stats()
+    sess = QuerySession(
+        idx.postings(), idx.dictionary(), idx.stats()["n_docs"],
+        idx.stats()["avgdl"],
+        field_stats={
+            f: (s["n_docs"], s["avgdl"]) for f, s in fst.items()
+        },
+    ).warm()
+    got_s = _canon(
+        sess.search_query_string(queries, k=10, default_field="contents")
+    )
+    pd.testing.assert_frame_equal(got_s, want, check_exact=False, atol=1e-9)
+    with pytest.raises(ValueError):
+        sess.search_query_string(queries, k=10, default_field="nope")
+    sess.postings.unpersist()
 
 
 def test_simple_qs_parser_degrades_never_raises():
