@@ -89,6 +89,73 @@ def minhash_lsh_pairs(
     return _verify_jaccard(distinct_terms(documents), cand, threshold)
 
 
+def minhash_band_keys(
+    documents: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """-> (doc_id, band, band_key): a corpus's persistable LSH state.
+
+    This is the cross-snapshot dedup contract: persist this table for
+    the accepted corpus (one 32-byte digest per doc per band) and each
+    incoming snapshot joins its own band keys against it — the old
+    corpus TEXT is only touched to verify candidate pairs. At 10^12
+    docs the state is append-only and bucketable by band_key prefix, so
+    the monthly-snapshot join stays a digest-keyed shuffled hash join.
+    """
+    rpb = n_hashes // n_bands
+    sigs = minhash_signatures(documents, n_hashes)
+    parts = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"mh{b * rpb + r}" for r in range(rpb)]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Cross-snapshot near-dup: flag NEW docs that near-duplicate the
+    accepted OLD corpus (the incremental form of minhash_lsh_pairs — a
+    monthly Common-Crawl snapshot deduped against everything already
+    ingested without re-pairing the old corpus with itself).
+
+    -> (new_doc, old_doc, jaccard >= threshold, 4dp). Candidates come
+    from an equi-join of the snapshot's band keys against the old
+    corpus's persisted band table (minhash_band_keys); old-vs-old pairs
+    are never generated. Verification computes exact Jaccard on
+    candidate pairs only.
+    """
+    nb = minhash_band_keys(new_docs, n_hashes, n_bands).select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    ob = minhash_band_keys(old_docs, n_hashes, n_bands).select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    cand = nb.join(ob, ["band", "band_key"]).select("doc_a", "doc_b").distinct()
+    terms = distinct_terms(new_docs).unionByName(distinct_terms(old_docs))
+    return _verify_jaccard(terms, cand, threshold).select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("old_doc"),
+        "jaccard",
+    )
+
+
 def _verify_jaccard(
     terms: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:

@@ -1727,6 +1727,46 @@ WHERE round(i / (sa.sz + sb.sz - i), 4) >= {threshold}
 
 MINHASH_LSH_PAIRS = minhash_pairs_sql(0.5)
 
+_BANDS_I = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_key FROM sig"
+    for b in range(4)
+)
+
+# cross-snapshot near-dup: candidates only between the incoming
+# snapshot (src10-19) and the accepted corpus (src0-9), same banding
+# and exact-Jaccard verify as minhash_pairs_sql
+INCREMENTAL_MINHASH_DEDUP = f"""
+WITH {_DTERMS_CTE},
+sig AS (SELECT doc_id, {_MH_COLS} FROM dterms GROUP BY doc_id),
+bands AS ({_BANDS_I}),
+newd AS (SELECT doc_id FROM documents
+         WHERE NOT regexp_full_match(source, 'src[0-9]')),
+oldd AS (SELECT doc_id FROM documents
+         WHERE regexp_full_match(source, 'src[0-9]')),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l
+  JOIN bands r USING (band, band_key)
+  JOIN newd ON newd.doc_id = l.doc_id
+  JOIN oldd ON oldd.doc_id = r.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM dterms GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN dterms ta ON ta.doc_id = c.doc_a
+  JOIN dterms tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2
+)
+SELECT doc_a AS new_doc, doc_b AS old_doc,
+       round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+"""
+
 DEDUP_COMPONENTS = f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({minhash_pairs_sql(0.8)}) t
@@ -5517,6 +5557,7 @@ ORACLES: dict[str, str] = {
     "synonym_graph_topk": synonym_graph_sql(),
     "minhash_signatures": MINHASH_SIGNATURES,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS,
+    "incremental_minhash_dedup": INCREMENTAL_MINHASH_DEDUP,
     "dedup_components": DEDUP_COMPONENTS,
     "dedup_keep_best": _dedup_keep_best_oracle(),
     "simhash64": _simhash_oracle(),

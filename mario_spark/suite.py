@@ -935,6 +935,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_documents(spark, sf_dir))
 
 
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot near-dup dedup: documents split by source into an
+    accepted corpus (src0-src9) and an incoming snapshot (src10-src19);
+    snapshot docs colliding with the accepted corpus's persisted LSH
+    band table in >= 1 band and verified at jaccard >= 0.5 are flagged
+    (the rows a pipeline drops before appending the snapshot). Old-vs-
+    old pairs are never generated (ops/dedup.incremental_near_dup)."""
+    from mario_spark.ops import dedup
+
+    d = _documents(spark, sf_dir)
+    is_old = F.col("source").rlike("^src[0-9]$")
+    return dedup.incremental_near_dup(
+        d.filter(~is_old), d.filter(is_old)
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (min-label propagation
     to fixpoint) over the verified minhash-LSH near-dup graph at
@@ -3798,6 +3814,7 @@ SUITE = {
     "agg_terms_sharded": agg_terms_sharded,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "incremental_minhash_dedup": incremental_minhash_dedup,
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
     "simhash64": simhash64,
