@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
         help="replace same-url docs instead of plain-appending "
         "(ES bulk same-_id semantics)",
     )
+    p.add_argument(
+        "--sort-by", dest="sort_by",
+        help="ES index.sort: write segment docs sorted by this column "
+        "(desc); marker bounds enable sorted-query early termination",
+    )
     p.add_argument("file")
 
     p = sub.add_parser("promote")
@@ -190,7 +195,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.new_index:
             name = cat.index_name(args.source)
             idx = cat.create(name)
-            st = idx.ingest(pages, source=args.file, positions=args.positions)
+            st = idx.ingest(
+                pages, source=args.file, positions=args.positions,
+                sort_docs_by=args.sort_by,
+            )
         else:
             name = cat.current(args.source)
             if name is None:

@@ -108,7 +108,11 @@ def suggest_terms(
     mode="popular" (ES suggest_mode=popular): only suggest terms MORE
     frequent than the input term — the input's own df (0 when absent
     from the index) gates every candidate. The gate is one broadcast
-    join of the tiny input-df table; everything else is unchanged."""
+    join of the tiny input-df table; everything else is unchanged.
+
+    mode="missing" (ES default suggest_mode): suggest ONLY for inputs
+    absent from the index — an input that exists as a term gets no
+    rows. Same tiny broadcast anti-join gate."""
     spark = dictionary.sparkSession
     inp = spark.createDataFrame([(t,) for t in inputs], "input string")
     cand = (
@@ -129,6 +133,13 @@ def suggest_terms(
         cand = cand.join(F.broadcast(in_df), "input").filter(
             F.col("df") > F.col("input_df")
         )
+    elif mode == "missing":
+        absent = inp.join(
+            dictionary.select(F.col("term").alias("input")),
+            "input",
+            "left_anti",
+        )
+        cand = cand.join(F.broadcast(absent), "input")
     elif mode != "always":
         raise ValueError(f"unknown suggest mode {mode!r}")
     from pyspark.sql import Window

@@ -601,6 +601,7 @@ def phrase_topk_sql(
     b: float = 0.75,
     slop: int = 0,
     query_set: list[tuple[int, str]] | None = None,
+    in_order: bool = True,
 ) -> str:
     """match_phrase oracle: per-query adjacency scan over the token
     array (arr[p+j] = term_j for all j), phrase_tf = count of valid
@@ -627,13 +628,26 @@ def phrase_topk_sql(
                 f"len(list_filter(generate_series(1, greatest(len(arr) - {m}, 0)), "
                 f"p -> {conds}))::DOUBLE"
             )
-        else:
+        elif in_order:
             assert len(terms) == 2, "slop oracle supports bigrams only"
             t0, t1 = terms
             ptf = (
                 f"len(list_filter(generate_series(1, greatest(len(arr) - 1, 0)), "
                 f"p -> arr[p] = '{t0}' AND len(list_filter("
                 f"generate_series(p + 1, least(p + 1 + {slop}, len(arr))), "
+                f"j -> arr[j] = '{t1}')) > 0))::DOUBLE"
+            )
+        else:
+            # span_near in_order=false: partner within |pa - pb| <= slop+1
+            # in EITHER direction (NearSpansUnordered for two unit spans)
+            assert len(terms) == 2, "slop oracle supports bigrams only"
+            t0, t1 = terms
+            w = slop + 1
+            ptf = (
+                f"len(list_filter(generate_series(1, len(arr)), "
+                f"p -> arr[p] = '{t0}' AND len(list_filter("
+                f"generate_series(greatest(p - {w}, 1), "
+                f"least(p + {w}, len(arr))), "
                 f"j -> arr[j] = '{t1}')) > 0))::DOUBLE"
             )
         ph_selects.append(
@@ -1214,6 +1228,34 @@ cand AS (
   FROM dfr CROSS JOIN ind
   WHERE levenshtein(ind.input, dfr.term) BETWEEN 1 AND 2
     AND dfr.df > ind.input_df
+),
+rk AS (
+  SELECT input,
+         row_number() OVER (PARTITION BY input
+                            ORDER BY dist ASC, df DESC, term ASC) AS rank,
+         term AS suggestion, dist, df
+  FROM cand
+)
+SELECT input, rank::BIGINT AS rank, suggestion, dist, df
+FROM rk WHERE rank <= 3
+""" % _TOKS_CTE
+
+
+def _term_suggest_missing_oracle() -> str:
+    return """
+WITH %s,
+tfp AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM tfp GROUP BY 1),
+inp(input) AS (VALUES ('part'), ('sortt')),
+absent AS (
+  SELECT input FROM inp
+  WHERE input NOT IN (SELECT term FROM dfr)
+),
+cand AS (
+  SELECT a.input, dfr.term, dfr.df,
+         levenshtein(a.input, dfr.term)::BIGINT AS dist
+  FROM dfr CROSS JOIN absent a
+  WHERE levenshtein(a.input, dfr.term) BETWEEN 1 AND 2
 ),
 rk AS (
   SELECT input,
@@ -5552,6 +5594,9 @@ ORACLES: dict[str, str] = {
     "explain_scores": _explain_oracle(),
     "phrase_topk": phrase_topk_sql(),
     "phrase_near_topk": phrase_topk_sql(slop=2, query_set=_near_set()),
+    "span_near_unordered_topk": phrase_topk_sql(
+        slop=2, query_set=_near_set(), in_order=False
+    ),
     "phrase_prefix_topk": phrase_prefix_topk_sql(),
     "phrase_shingle_topk": phrase_shingle_sql(),
     "synonym_graph_topk": synonym_graph_sql(),
@@ -5639,6 +5684,7 @@ LIMIT 5
     "query_string_fields_topk": _qsf_oracle(),
     "term_suggest": _term_suggest_oracle(),
     "term_suggest_popular": _term_suggest_popular_oracle(),
+    "term_suggest_missing": _term_suggest_missing_oracle(),
     "terms_enum": TERMS_ENUM,
     "repetition_stats": REPETITION_STATS,
     "url_dedup": URL_DEDUP,

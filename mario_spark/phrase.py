@@ -596,6 +596,107 @@ def search_span_or(
     )
 
 
+def search_span_near_unordered(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    pair_queries: list[tuple[int, list[str]]],
+    n_docs: int,
+    avgdl: float,
+    slop: int = 2,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    deleted_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Lucene span_near in_order=false over a term PAIR: a doc matches
+    where the two terms occur within `slop` intervening positions in
+    EITHER order — NearSpansUnordered's accounting for two unit-length
+    subspans reduces to |pa - pb| - 1 <= slop. freq = count of first-
+    term positions with a qualifying partner (the same per-start
+    counting convention as the ordered path); scored as PhraseWeight
+    (idf = sum of member idfs, saturated pseudo-term tf); an OOV member
+    empties the query like match_phrase. Plan shape is search_phrase's:
+    term-pruned scan -> per-dbucket kernel -> tiny per-query rank
+    window."""
+    all_terms = sorted({t for _, ts in pair_queries for t in ts})
+    df_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
+    idf_map = {
+        r["term"]: _idf(float(n_docs), float(r["df"])) for r in df_rows
+    }
+    queries = []
+    for qid, ts in pair_queries:
+        if len(ts) != 2:
+            raise ValueError(
+                "unordered span_near supports term pairs "
+                f"(got {len(ts)} terms for query {qid})"
+            )
+        if all(t in idf_map for t in ts):
+            queries.append(
+                (int(qid), ts[0], ts[1], sum(idf_map[t] for t in ts))
+            )
+    cand = postings.filter(F.col("term").isin(all_terms))
+    ad, w = float(avgdl), int(slop) + 1
+    deleted = _collect_deleted(deleted_docs)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        tds = {
+            t: _PosTermData(g.sort_values("block_id"))
+            for t, g in pdf.groupby("term", sort=False)
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, t0, t1, sidf in queries:
+            if t0 not in tds or t1 not in tds:
+                continue
+            ta, tb = tds[t0], tds[t1]
+            ids = ta.ids[np.isin(ta.ids, tb.ids, assume_unique=True)]
+            if deleted is not None:
+                ids = ids[~np.isin(ids, deleted, assume_unique=True)]
+            if ids.size == 0:
+                continue
+            ra = np.searchsorted(ta.ids, ids)
+            rb = np.searchsorted(tb.ids, ids)
+            ptf = np.zeros(ids.size, dtype=np.float64)
+            dl = np.zeros(ids.size, dtype=np.float64)
+            for ci in range(ids.size):
+                pa = ta.positions_of(int(ra[ci]))
+                pb = tb.positions_of(int(rb[ci]))
+                # distinct terms never share a position, so the window
+                # [pa - w, pa + w] can't self-match
+                lo = np.searchsorted(pb, pa - w, side="left")
+                hi = np.searchsorted(pb, pa + w, side="right")
+                ptf[ci] = float(np.count_nonzero(hi > lo))
+                dl[ci] = float(ta.lens[int(ra[ci])])
+            r = _score_and_topk(qid, ids, ptf, dl, sidf, ad, k, k1, b)
+            if r:
+                out_q.append(r[0]); out_d.append(r[1]); out_s.append(r[2])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "score": []}
+            ).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    local = cand.groupBy("dbucket").applyInPandas(
+        kernel, "query_id long, doc_id long, score double"
+    )
+    s = local.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w_ = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w_).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def search_span_not(
     postings: DataFrame,
     dictionary: DataFrame,

@@ -1436,6 +1436,20 @@ def term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.suggest_terms(dfreq, DOCUMENTS_SUGGEST_SET, max_edits=2, size=3)
 
 
+def term_suggest_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester, suggest_mode=missing (the ES default): only
+    inputs ABSENT from the index get suggestions — 'part' is a real
+    index term (no rows), 'sortt' is a typo (corrected)
+    (fuzzy.suggest_terms(mode="missing"))."""
+    from mario_spark import fuzzy
+
+    d = _doc_table(spark, sf_dir)
+    dfreq = query.doc_frequencies(query.term_frequencies(d))
+    return fuzzy.suggest_terms(
+        dfreq, ["part", "sortt"], max_edits=2, size=3, mode="missing"
+    )
+
+
 def terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _terms_enum API: up to 10 index terms starting with a prefix,
     lexicographic order, with doc frequencies — a pushdown-filtered
@@ -1495,6 +1509,23 @@ def query_string_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"title": F.substring("text", 1, 64), "contents": F.col("text")},
         default_field="contents",
         k=10,
+    )
+
+
+def span_near_unordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity (ES span_near in_order=false, slop=2): the
+    pair matches within |pa - pb| <= slop+1 in EITHER direction —
+    strictly more docs than the ordered phrase_near_topk on the same
+    query set; an OOV member (query 5) empties the query
+    (phrase.search_span_near_unordered)."""
+    from mario_spark import phrase as ph
+    from mario_spark.analyze import py_tokenize
+    from mario_spark.fixtures import DOCUMENTS_NEAR_SET
+
+    post, dic, st = _pos_index(spark, sf_dir)
+    queries = [(qid, py_tokenize(q)) for qid, q in DOCUMENTS_NEAR_SET]
+    return ph.search_span_near_unordered(
+        post, dic, queries, st["n_docs"], st["avgdl"], slop=2, k=10
     )
 
 
@@ -3807,6 +3838,7 @@ SUITE = {
     "explain_scores": explain_scores,
     "phrase_topk": phrase_topk,
     "phrase_near_topk": phrase_near_topk,
+    "span_near_unordered_topk": span_near_unordered_topk,
     "phrase_prefix_topk": phrase_prefix_topk,
     "phrase_shingle_topk": phrase_shingle_topk,
     "synonym_graph_topk": synonym_graph_topk,
@@ -3850,6 +3882,7 @@ SUITE = {
     "query_string_fields_topk": query_string_fields_topk,
     "term_suggest": term_suggest,
     "term_suggest_popular": term_suggest_popular,
+    "term_suggest_missing": term_suggest_missing,
     "terms_enum": terms_enum,
     "agg_histogram_nchars": agg_histogram_nchars,
     "agg_extended_stats": agg_extended_stats,
