@@ -621,3 +621,75 @@ def bpe_encode_stats(documents: DataFrame) -> DataFrame:
             F.lit(0.0),
         ).alias("fertility"),
     )
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(documents: DataFrame) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Appendix A — the named
+    document-level filter most open web corpora reuse: Dolma,
+    RefinedWeb, FineWeb all start from it):
+
+      R1  50 <= word count <= 100,000            (whitespace words)
+      R2  3 <= mean word length <= 10
+      R3  symbol-to-word ratio <= 0.1            ('#' and '...')
+      R4  <= 10% of lines start with a bullet    (-, *, •)
+      R5  <= 30% of lines end with an ellipsis
+      R6  >= 80% of words contain an alphabetic character
+      R7  >= 2 of the 8 Gopher stop words occur
+
+    -> (doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        ellipsis_frac, alpha_frac, stop_hits, keep). All ratios 4dp;
+    `keep` is evaluated on the ROUNDED values so the DuckDB oracle
+    agrees bit-for-bit at rule boundaries. Pure whole-stage codegen
+    (regexp + higher-order array functions) fusing into the scan —
+    text never crosses a shuffle, so the filter runs at scan bandwidth
+    at any corpus size.
+    """
+    stops = " + ".join(
+        f"int(array_contains({_TOKENS}, '{w}'))" for w in GOPHER_STOPS
+    )
+    d = documents.selectExpr(
+        "doc_id",
+        r"size(regexp_extract_all(text, '\\S+', 0)) as n_words",
+        r"aggregate(regexp_extract_all(text, '\\S+', 0), 0L,"
+        r" (a, w) -> a + length(w)) as sum_wlen",
+        r"size(filter(regexp_extract_all(text, '\\S+', 0),"
+        r" w -> w rlike '[A-Za-z]')) as n_alpha",
+        r"regexp_count(text, '#') + regexp_count(text, '\\.\\.\\.') as n_sym",
+        r"size(filter(split(text, '\n'), l -> ltrim(l) rlike '^[-*•]'))"
+        r" as n_bullet",
+        r"size(filter(split(text, '\n'),"
+        r" l -> rtrim(l) rlike '(\\.\\.\\.|…)$')) as n_ell",
+        r"greatest(size(split(text, '\n')), 1) as nl",
+        f"({stops}) as stop_hits",
+    )
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    mean_wlen = F.round(F.col("sum_wlen") / nw, 4)
+    sym = F.round(F.col("n_sym") / nw, 4)
+    bullet = F.round(F.col("n_bullet") / F.col("nl"), 4)
+    ell = F.round(F.col("n_ell") / F.col("nl"), 4)
+    alpha = F.round(F.col("n_alpha") / nw, 4)
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (sym <= 0.1)
+        & (bullet <= 0.1)
+        & (ell <= 0.3)
+        & (alpha >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        bullet.alias("bullet_frac"),
+        ell.alias("ellipsis_frac"),
+        alpha.alias("alpha_frac"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        keep.alias("keep"),
+    )

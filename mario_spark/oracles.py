@@ -1241,6 +1241,61 @@ FROM rk WHERE rank <= 3
 """ % _TOKS_CTE
 
 
+_GOPHER_STOP_HITS = " + ".join(
+    f"list_contains(toks, '{w}')::INT"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+# Gopher rules (Rae et al. 2021 App. A) — arithmetic mirrors
+# ops/textstats.gopher_quality_filter exactly; keep uses the ROUNDED
+# values so boundary docs agree bit-for-bit
+GOPHER_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\\S+') AS words,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+         regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         greatest(len(words), 1) AS nw,
+         coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS sum_wlen,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         n_sym,
+         greatest(len(lines), 1) AS nl,
+         len(list_filter(lines,
+             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines,
+             l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS n_ell,
+         ({_GOPHER_STOP_HITS})::BIGINT AS stop_hits
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_words,
+         round(sum_wlen / nw, 4) AS mean_word_len,
+         round(n_sym / nw, 4) AS symbol_ratio,
+         round(n_bullet / nl, 4) AS bullet_frac,
+         round(n_ell / nl, 4) AS ellipsis_frac,
+         round(n_alpha / nw, 4) AS alpha_frac,
+         stop_hits
+  FROM c
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000)
+       AND mean_word_len BETWEEN 3.0 AND 10.0
+       AND symbol_ratio <= 0.1
+       AND bullet_frac <= 0.1
+       AND ellipsis_frac <= 0.3
+       AND alpha_frac >= 0.8
+       AND stop_hits >= 2 AS keep
+FROM r
+"""
+
+
 def _term_suggest_missing_oracle() -> str:
     return """
 WITH %s,
@@ -5636,6 +5691,7 @@ SELECT qdoc AS query_id, rank, mdoc AS doc_id, score FROM rk WHERE rank <= 5
     "ann_ivf_topk": _ann_ivf_oracle(),
     "lang_id": _lang_id_oracle(),
     "quality_score": _quality_oracle(),
+    "gopher_quality": GOPHER_QUALITY,
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "multimodal_decode": MULTIMODAL_DECODE,
     "highlight_fragments": HIGHLIGHT_FRAGMENTS,

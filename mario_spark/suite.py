@@ -1141,6 +1141,17 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_documents(spark, sf_dir))
 
 
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 Appendix A): the named
+    7-rule document filter (word count, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+    hits) with per-rule signals and the keep verdict
+    (ops/textstats.gopher_quality_filter)."""
+    from mario_spark.ops import textstats
+
+    return textstats.gopher_quality_filter(_documents(spark, sf_dir))
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import textstats
 
@@ -3864,6 +3875,7 @@ SUITE = {
     "ann_ivf_topk": ann_ivf_topk,
     "lang_id": lang_id,
     "quality_score": quality_score,
+    "gopher_quality": gopher_quality,
     "winnow_fingerprints": winnow_fingerprints,
     "multimodal_decode": multimodal_decode,
     "highlight_fragments": highlight_fragments,
