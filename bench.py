@@ -168,6 +168,10 @@ def main() -> None:
         "more_like_this_topk",
         "agg_cardinality_users",
         "query_string_topk",
+        "query_string_fields_topk",
+        "span_near_unordered_topk",  # shared pos index
+        "gopher_quality",
+        "incremental_minhash_dedup",
         "url_dedup",
         "repetition_stats",
         "combined_fields_topk",
