@@ -68,18 +68,31 @@ def geo_bbox_filter(
 
 
 def build_completion_table(
-    df: DataFrame, value_col: str, key_col: str, max_prefix: int = 12
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    max_prefix: int = 12,
+    context_col: str | None = None,
 ) -> DataFrame:
-    """-> (prefix, value, key): the suggester's prefix dimension table.
+    """-> (prefix, value, key[, context]): the suggester's prefix
+    dimension table.
 
     `preserve_separators: false` semantics: prefixes are computed over
     the value with separators ([ ./;=,-]) removed, lowercased. At scale
     this table is bucketable by prefix and tiny relative to the corpus
-    (<= max_prefix rows per value).
+    (<= max_prefix rows per value). `context_col` carries an ES
+    completion CATEGORY context alongside each row (suggest_contexts
+    filters/boosts on it).
     """
     norm = F.lower(F.regexp_replace(F.col(value_col), r"[ ./;=,\-]", ""))
+    extra = [F.col(context_col).alias("context")] if context_col else []
     return (
-        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"), norm.alias("norm"))
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).alias("value"),
+            norm.alias("norm"),
+            *extra,
+        )
         .filter(F.length("norm") > 0)
         .select(
             "key",
@@ -88,9 +101,47 @@ def build_completion_table(
                 F.sequence(F.lit(1), F.least(F.length("norm"), F.lit(max_prefix)))
             ).alias("plen"),
             "norm",
+            *(["context"] if context_col else []),
         )
-        .select(F.expr("substr(norm, 1, plen)").alias("prefix"), "value", "key")
+        .select(
+            F.expr("substr(norm, 1, plen)").alias("prefix"),
+            "value",
+            "key",
+            *(["context"] if context_col else []),
+        )
         .distinct()
+    )
+
+
+def suggest_contexts(
+    completion_table: DataFrame,
+    text: str,
+    contexts: dict[str, float],
+    k: int = 5,
+) -> DataFrame:
+    """ES completion context suggester (category contexts): candidates
+    restricted to the given context values, each suggestion scored by
+    its best context's boost (suggestion weight defaults to 1, so
+    score = boost), ranked score DESC then value/key — ES's
+    boosted-weight order with deterministic ties.
+
+    The (context, boost) dim is a handful of literals broadcast onto
+    the tiny prefix-bucketable completion table: one pushable prefix
+    equality, no doc-sized shuffle."""
+    spark = completion_table.sparkSession
+    q = "".join(c for c in text.lower() if c not in " ./;=,-")
+    ctx = spark.createDataFrame(
+        [(c, float(b)) for c, b in contexts.items()],
+        "context string, boost double",
+    )
+    return (
+        completion_table.filter(F.col("prefix") == q)
+        .join(F.broadcast(ctx), "context")
+        .groupBy("value", "key")
+        .agg(F.round(F.max("boost"), 4).alias("score"))
+        .orderBy(F.desc("score"), "value", "key")
+        .limit(k)
+        .select("score", "value", "key")
     )
 
 

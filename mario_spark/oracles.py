@@ -2376,6 +2376,30 @@ SELECT value, key FROM hits ORDER BY value, key LIMIT 5
 """
 
 
+COMPLETION_SUGGEST_CONTEXT = """
+WITH v AS (
+  SELECT doc_id AS key, split_part(text, ' ', 1) AS value, lang AS context,
+         lower(regexp_replace(split_part(text, ' ', 1), '[ ./;=,-]', '', 'g')) AS norm
+  FROM documents
+),
+p AS (
+  SELECT DISTINCT substr(norm, 1, plen) AS prefix, value, key, context
+  FROM (SELECT key, value, norm, context,
+               unnest(generate_series(1, least(len(norm), 12))) AS plen
+        FROM v WHERE len(norm) > 0)
+),
+ctx(context, boost) AS (VALUES ('en', 2.0), ('de', 1.0)),
+hits AS (
+  SELECT value, key, round(max(boost), 4) AS score
+  FROM p JOIN ctx USING (context)
+  WHERE prefix = 'ha'
+  GROUP BY 1, 2
+)
+SELECT score, value, key FROM hits
+ORDER BY score DESC, value, key LIMIT 5
+"""
+
+
 # ------------------- round-2: remaining ES agg family + count/constant
 AGG_RARE_TERMS = f"""
 WITH {_TOKS_CTE},
@@ -5765,6 +5789,7 @@ LIMIT 5
     "geo_distance": GEO_DISTANCE,
     "geo_bbox": GEO_BBOX,
     "completion_suggest": COMPLETION_SUGGEST,
+    "completion_suggest_context": COMPLETION_SUGGEST_CONTEXT,
     "completion_suggest_fuzzy": """
 WITH v AS (
   SELECT doc_id AS key, split_part(text, ' ', 1) AS value,

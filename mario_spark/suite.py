@@ -1224,6 +1224,20 @@ def completion_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo.suggest_fuzzy(table, "hsh", k=5)
 
 
+def completion_suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion context suggester (category contexts): completions
+    for 'ha' restricted to lang contexts en (boost 2) and de (boost 1);
+    score = best matching context's boost, ranked score desc then
+    value/key (ops/geo.suggest_contexts)."""
+    from mario_spark.ops import geo
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "lang", F.split(F.col("text"), " ").getItem(0).alias("v")
+    )
+    table = geo.build_completion_table(d, "v", "doc_id", context_col="lang")
+    return geo.suggest_contexts(table, "ha", {"en": 2.0, "de": 1.0}, k=5)
+
+
 def search_sorted_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES sort-by-field (sort: n_chars desc, doc_id asc tiebreak — NOT
     by _score): docs containing 'join', top 10. Match reduces to a
@@ -4051,4 +4065,5 @@ SUITE = {
     "geo_polygon_query": geo_polygon_query,
     "completion_suggest": completion_suggest,
     "completion_suggest_fuzzy": completion_suggest_fuzzy,
+    "completion_suggest_context": completion_suggest_context,
 }
