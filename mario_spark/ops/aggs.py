@@ -272,6 +272,92 @@ def pipeline_date_histogram(
     )
 
 
+def bucket_ks_test(
+    df: DataFrame, ts_col: str, interval: str = "month"
+) -> DataFrame:
+    """ES bucket_count_ks_test (alternative=two_sided vs the uniform
+    null): over the ORDERED date_histogram buckets, the KS statistic
+    D = max |ecdf(doc_count) - uniform_cdf| where ecdf is the running
+    doc-count fraction and uniform_cdf = bucket_rank / n_buckets.
+
+    -> one row (n_buckets, total_docs, ks_stat 4dp). Like every
+    pipeline agg this runs over the REDUCED bucket table
+    (coordinating-node semantics): the window and the 1-row reduction
+    see O(#buckets) rows, never the raw events."""
+    from pyspark.sql import Window
+
+    b = F.date_format(
+        F.date_trunc(interval, F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w = Window.orderBy("bucket")
+    s = g.select(
+        F.row_number().over(w).cast("double").alias("r"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    return (
+        s.crossJoin(
+            F.broadcast(
+                g.agg(
+                    F.count("*").cast("double").alias("nb"),
+                    F.sum("n").alias("tot"),
+                )
+            )
+        )
+        .agg(
+            F.max(F.col("nb")).cast("long").alias("n_buckets"),
+            F.max(F.col("tot")).cast("long").alias("total_docs"),
+            F.round(
+                F.max(F.abs(F.col("cum") / F.col("tot") - F.col("r") / F.col("nb"))),
+                4,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def bucket_correlation(
+    df: DataFrame, ts_col: str, value_col: str, interval: str = "month"
+) -> DataFrame:
+    """ES bucket_correlation (count_correlation function): Pearson r
+    between the per-bucket doc_count series and the per-bucket
+    sum(value) series of a date_histogram. Computed from explicit
+    moments (n*Sxy - Sx*Sy over the root-product of variances) so the
+    DuckDB oracle reproduces the arithmetic bit-for-bit; one row, 4dp.
+    Runs over the reduced bucket table like every pipeline agg."""
+    b = F.date_format(
+        F.date_trunc(interval, F.col(ts_col).cast("timestamp")), "yyyy-MM-dd"
+    )
+    g = df.groupBy(b.alias("bucket")).agg(
+        F.count("*").cast("double").alias("x"),
+        F.sum(value_col).alias("y"),
+    )
+    m = g.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    # a degenerate series (one bucket, or zero variance) has no defined
+    # r — pin to 0.0 on both engines rather than NULL/NaN
+    return m.select(
+        F.col("n").cast("long").alias("n_buckets"),
+        F.when(den > 0, F.round(num / den, 4))
+        .otherwise(F.lit(0.0))
+        .alias("correlation"),
+    )
+
+
 def percentiles_agg(
     df: DataFrame,
     key_col: str,

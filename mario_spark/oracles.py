@@ -1405,6 +1405,39 @@ SELECT bucket, n, sum_value,
 FROM g
 """
 
+AGG_BUCKET_KS = """
+WITH g AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         count(*)::DOUBLE AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT row_number() OVER (ORDER BY bucket)::DOUBLE AS r,
+         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+),
+t AS (SELECT count(*)::DOUBLE AS nb, sum(n) AS tot FROM g)
+SELECT t.nb::BIGINT AS n_buckets, t.tot::BIGINT AS total_docs,
+       round(max(abs(s.cum / t.tot - s.r / t.nb)), 4) AS ks_stat
+FROM s CROSS JOIN t GROUP BY 1, 2
+"""
+
+AGG_BUCKET_CORRELATION = """
+WITH g AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         count(*)::DOUBLE AS x, sum(value) AS y
+  FROM events GROUP BY 1
+),
+m AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM g)
+SELECT n::BIGINT AS n_buckets,
+       CASE WHEN sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) > 0
+            THEN round((n*sxy - sx*sy)
+                       / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4)
+            ELSE 0.0 END AS correlation
+FROM m
+"""
+
 AGG_GEOTILE_GRID = """
 WITH p AS (
   SELECT (doc_id % 360 - 180 + 0.5)::DOUBLE AS lon,
@@ -5775,6 +5808,8 @@ LIMIT 5
     "agg_filters": AGG_FILTERS,
     "agg_pipeline_monthly": AGG_PIPELINE_MONTHLY,
     "agg_geotile_grid": AGG_GEOTILE_GRID,
+    "agg_bucket_ks_test": AGG_BUCKET_KS,
+    "agg_bucket_correlation": AGG_BUCKET_CORRELATION,
     "agg_nested_terms": AGG_NESTED_TERMS,
     "agg_range_nchars": AGG_RANGE_NCHARS,
     "agg_percentiles": AGG_PERCENTILES,

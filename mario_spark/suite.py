@@ -1604,6 +1604,28 @@ def agg_pipeline_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggs.pipeline_date_histogram(e, "ts", "value", "month")
 
 
+def agg_bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_count_ks_test (two_sided vs uniform): KS statistic of
+    the daily event-count distribution against a uniform spread over
+    the buckets; runs over the reduced bucket table
+    (ops/aggs.bucket_ks_test)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.bucket_ks_test(e, "ts", "day")
+
+
+def agg_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_correlation (count_correlation): Pearson r between the
+    daily doc_count and sum(value) bucket series, from explicit
+    moments so the oracle reproduces the arithmetic
+    (ops/aggs.bucket_correlation)."""
+    from mario_spark.ops import aggs
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return aggs.bucket_correlation(e, "ts", "value", "day")
+
+
 def agg_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geotile_grid aggregation (zoom=4): slippy-map tile buckets
     over the same synthesized (lon, lat) as geo_distance; top-20 by
@@ -3915,6 +3937,8 @@ SUITE = {
     "agg_filters": agg_filters,
     "agg_pipeline_monthly": agg_pipeline_monthly,
     "agg_geotile_grid": agg_geotile_grid,
+    "agg_bucket_ks_test": agg_bucket_ks_test,
+    "agg_bucket_correlation": agg_bucket_correlation,
     "agg_nested_terms": agg_nested_terms,
     "rescore_topk": rescore_topk,
     "search_after_page": search_after_page,
