@@ -3095,10 +3095,23 @@ def rank_feature_sql(
     pivot: float = 200.0,
     k1: float = 1.2,
     b: float = 0.75,
+    function: str = "saturation",
+    exponent: float = 0.6,
+    scaling_factor: float = 1.0,
 ) -> str:
-    """rank_feature saturation oracle: BM25 raw + boost*f/(f+pivot),
-    f = character length of the doc text, rounded once at rank time
-    (identical to Spark's topk() rounding of the composed score)."""
+    """rank_feature oracle: BM25 raw + boost*fn(f) for ES's three
+    functions (saturation/log/sigmoid), f = character length of the doc
+    text, rounded once at rank time (identical to Spark's topk()
+    rounding of the composed score)."""
+    fns = {
+        "saturation": f"ft.feat / (ft.feat + {pivot})",
+        "log": f"ln({scaling_factor} + ft.feat)",
+        "sigmoid": (
+            f"pow(ft.feat, {exponent})"
+            f" / (pow(ft.feat, {exponent}) + {float(pivot) ** exponent})"
+        ),
+    }
+    fn = fns[function]
     return f"""
 WITH q(query_id, term) AS (VALUES {_query_values()}),
 {_TOKS_CTE},
@@ -3121,7 +3134,7 @@ sc AS (
 ),
 rk AS (
   SELECT sc.query_id, sc.doc_id,
-         round(sc.raw + {boost} * ft.feat / (ft.feat + {pivot}), 4) AS score
+         round(sc.raw + {boost} * ({fn}), 4) AS score
   FROM sc JOIN ft USING (doc_id)
 ),
 rr AS (
@@ -5904,6 +5917,8 @@ FROM k
     "agg_cumulative_cardinality": AGG_CUMULATIVE_CARDINALITY,
     "pinned_topk": pinned_topk_sql(),
     "rank_feature_topk": rank_feature_sql(),
+    "rank_feature_log_topk": rank_feature_sql(function="log"),
+    "rank_feature_sigmoid_topk": rank_feature_sql(function="sigmoid"),
     "terms_set_topk": terms_set_sql(),
     "distance_feature_topk": distance_feature_sql(),
     "percolate_match": percolate_sql(),

@@ -632,10 +632,17 @@ def search_rank_feature(
     k: int = 10,
     boost: float = 2.0,
     pivot: float = 200.0,
+    function: str = "saturation",
+    exponent: float = 0.6,
+    scaling_factor: float = 1.0,
 ) -> DataFrame:
     """ES bool {must: match, should: rank_feature}: final score =
-    BM25 + boost * f / (f + pivot) — the rank_feature saturation
-    function (log/sigmoid are trivial variants of the same join).
+    BM25 + boost * fn(f), with ES's three rank_feature functions:
+
+      saturation  f / (f + pivot)                    (the default)
+      log         ln(scaling_factor + f)
+      sigmoid     f^exp / (f^exp + pivot^exp)
+
     `features` is (doc_id, feature double): pagerank, url_length,
     recency-derived numbers — any static per-doc signal. The clause
     is a should: it boosts matching docs, never selects new ones; a
@@ -647,6 +654,19 @@ def search_rank_feature(
     """
     from mario_spark.docs import corpus_stats
 
+    f = F.col("feature")
+    if function == "saturation":
+        fn = f / (f + F.lit(pivot))
+    elif function == "log":
+        fn = F.log(F.lit(scaling_factor) + f)
+    elif function == "sigmoid":
+        fn = F.pow(f, exponent) / (
+            F.pow(f, exponent) + F.lit(float(pivot) ** exponent)
+        )
+    else:
+        raise ValueError(
+            f"function must be saturation|log|sigmoid, got {function!r}"
+        )
     tf = term_frequencies(docs)
     dfreq = doc_frequencies(tf)
     stats = corpus_stats(docs)
@@ -656,10 +676,7 @@ def search_rank_feature(
         .withColumn(
             "score",
             F.col("score")
-            + F.when(
-                F.col("feature").isNotNull(),
-                boost * F.col("feature") / (F.col("feature") + F.lit(pivot)),
-            ).otherwise(F.lit(0.0)),
+            + F.when(f.isNotNull(), boost * fn).otherwise(F.lit(0.0)),
         )
         .select("query_id", "doc_id", "score")
     )

@@ -2457,6 +2457,29 @@ def rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query.search_rank_feature(d, q, feats, k=10)
 
 
+def rank_feature_log_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature with the log function: score = BM25 +
+    2.0 * ln(1 + n_chars) (query.search_rank_feature(function='log'))."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    feats = _documents(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("double").alias("feature")
+    )
+    return query.search_rank_feature(d, q, feats, k=10, function="log")
+
+
+def rank_feature_sigmoid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature with the sigmoid function: score = BM25 +
+    2.0 * f^0.6 / (f^0.6 + 200^0.6)
+    (query.search_rank_feature(function='sigmoid'))."""
+    d = _doc_table(spark, sf_dir)
+    q = query_terms_df(spark, DOCUMENTS_QUERY_SET)
+    feats = _documents(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("double").alias("feature")
+    )
+    return query.search_rank_feature(d, q, feats, k=10, function="sigmoid")
+
+
 def phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES phrase suggester over bigram inputs: per-position dist<=1
     dictionary candidates (incl. dist 0), cross product collated
@@ -3991,6 +4014,8 @@ SUITE = {
     "agg_cumulative_cardinality": agg_cumulative_cardinality,
     "pinned_topk": pinned_topk,
     "rank_feature_topk": rank_feature_topk,
+    "rank_feature_log_topk": rank_feature_log_topk,
+    "rank_feature_sigmoid_topk": rank_feature_sigmoid_topk,
     "terms_set_topk": terms_set_topk,
     "distance_feature_topk": distance_feature_topk,
     "percolate_match": percolate_match,
