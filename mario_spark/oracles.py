@@ -4852,6 +4852,30 @@ SELECT query_id, rank, doc_id, rscore AS score FROM rk WHERE rank <= {k}
 """
 
 
+AGG_REVERSE_NESTED = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS arr
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(0, cast(ceil(len(arr) / 10.0) as int) - 1),
+             i -> list_slice(arr, i * 10 + 1, i * 10 + 10))) AS chunk
+  FROM w WHERE len(arr) > 0
+),
+t AS (
+  SELECT doc_id, unnest(list_distinct(chunk)) AS key FROM s
+),
+g AS (
+  SELECT key, count(*)::BIGINT AS nested_doc_count,
+         count(DISTINCT doc_id)::BIGINT AS parent_doc_count
+  FROM t GROUP BY 1
+)
+SELECT * FROM g ORDER BY nested_doc_count DESC, key ASC LIMIT 5
+"""
+
 NESTED_QUERY_MATCH = r"""
 WITH n AS (
   SELECT doc_id,
@@ -5959,6 +5983,7 @@ FROM k
     "rank_eval_bm25": rank_eval_sql(),
     "rerank_topk": rerank_sql(),
     "nested_query_match": NESTED_QUERY_MATCH,
+    "agg_reverse_nested": AGG_REVERSE_NESTED,
     "lsh_recall_audit": lsh_audit_sql(),
     "agg_change_point": AGG_CHANGE_POINT,
     "fingerprint_keys": FINGERPRINT_KEYS,

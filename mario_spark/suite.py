@@ -2975,6 +2975,43 @@ def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested terms agg + reverse_nested: docs split into nested
+    "passage" objects (10-token windows); buckets = top-5 passage
+    tokens by NESTED doc_count (one per passage containing the token),
+    each with the reverse_nested PARENT doc_count (distinct docs) —
+    nested > parent exactly where a doc repeats the token across
+    passages, which is what reverse_nested exists to expose. One
+    explode + one hash agg carrying both counts."""
+    d = _documents(spark, sf_dir).filter(
+        F.expr(r"size(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+', 0)) > 0")
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                r"transform(sequence(0,"
+                r" cast(ceil(size(regexp_extract_all(lower(text),"
+                r" '[\\p{L}\\p{N}]+', 0)) / 10.0) as int) - 1),"
+                r" i -> slice(regexp_extract_all(lower(text),"
+                r" '[\\p{L}\\p{N}]+', 0), i * 10 + 1, 10))"
+            )
+        ).alias("chunk"),
+    )
+    toks = chunks.select(
+        "doc_id", F.explode(F.array_distinct("chunk")).alias("key")
+    )
+    return (
+        toks.groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("nested_doc_count"),
+            F.countDistinct("doc_id").cast("long").alias("parent_doc_count"),
+        )
+        .orderBy(F.desc("nested_doc_count"), F.asc("key"))
+        .limit(5)
+    )
+
+
 def nested_query_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES nested query: docs split into nested "sentence" objects
     (split on '.'), matching when ONE AND THE SAME element satisfies
@@ -4056,6 +4093,7 @@ SUITE = {
     "rank_eval_bm25": rank_eval_bm25,
     "rerank_topk": rerank_topk,
     "nested_query_match": nested_query_match,
+    "agg_reverse_nested": agg_reverse_nested,
     "lsh_recall_audit": lsh_recall_audit,
     "agg_change_point": agg_change_point,
     "fingerprint_keys": fingerprint_keys,
