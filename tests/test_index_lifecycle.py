@@ -1011,3 +1011,49 @@ def test_index_sorting_early_termination(spark, root):
         for r in idx.search_sorted(k=10).collect()
     ]
     assert got_c == naive(10, exclude=gone)
+
+
+def test_index_sorting_overlapping_bounds_exact(spark, root):
+    """Worst case for sorted early termination: timestamps RANDOM in
+    url order, so every segment's bounds overlap and phase 2 must pull
+    most segments back in. Exactness must hold anyway — for plain
+    top-k, for k larger than one segment, for a filter that starves
+    phase 1 (prefix doubling), and for k > corpus (threshold None)."""
+    from pyspark.sql import functions as F
+
+    from mario_spark.docs import assign_doc_ids
+    from mario_spark.fixtures import pages_df
+
+    pages = assign_doc_ids(pages_df(spark, 384, seed=23, partitions=4))
+    # md5-derived pseudo-random minute offset: deterministic, uncorrelated
+    # with the doc_id order that defines segment boundaries
+    pages = pages.withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2026-03-01 00:00:00' + make_interval(0, 0, 0, 0, 0,"
+            " cast(conv(substring(md5(url), 1, 6), 16, 10) as int) % 50000, 0)"
+        ),
+    )
+    cat = Catalog(spark, root)
+    idx = cat.create("rnd-2026-01-01t00-00-00z")
+    idx.ingest(pages, segment_docs=128, sort_docs_by="warc_ts")
+
+    rows = pages.select("doc_id", "lang", "warc_ts").collect()
+
+    def naive(k, langs=None):
+        xs = [r for r in rows if langs is None or r["lang"] in langs]
+        xs.sort(key=lambda r: (r["warc_ts"], -r["doc_id"]), reverse=True)
+        # reverse=True on the tuple gives ts desc; -doc_id reversed = asc
+        return [(r["doc_id"], r["warc_ts"]) for r in xs[:k]]
+
+    for k, where, langs in [
+        (7, None, None),
+        (150, None, None),                      # spans >1 segment
+        (60, F.col("lang") == "pt", ["pt"]),    # sparse filter -> doubling
+        (10_000, None, None),                   # k > corpus -> no threshold
+    ]:
+        got = [
+            (r["doc_id"], r["warc_ts"])
+            for r in idx.search_sorted(k=k, where=where).collect()
+        ]
+        assert got == naive(k, langs), (k, len(got))
