@@ -340,6 +340,7 @@ class Index:
         fields: dict[str, str] | None = None,
         sort_docs_by: str | None = None,
         sort_docs_desc: bool = True,
+        vector_col: str | None = None,
     ) -> dict:
         """Build (or resume building) the index from a pages DataFrame.
 
@@ -365,6 +366,12 @@ class Index:
         (Lucene's sorted-segment early termination, re-expressed as
         file/row-group skipping). Pinned in _meta.json like positions,
         so appends keep the invariant.
+
+        vector_col pins an ES dense_vector field: the named
+        array<float> column is stored in each segment's docs parquet,
+        so the ONE index serves BM25, kNN (Index.knn) and hybrid RRF
+        (Index.search_hybrid) — the ES dense_vector-in-the-same-index
+        model. Pinned in _meta.json like positions/fields.
 
         `fail_after_segment` exists for the resume test: raises after
         committing that many segments, simulating a mid-build crash.
@@ -398,15 +405,19 @@ class Index:
                 else ("text",)
             )
             sort_cols = (sort_docs_by,) if sort_docs_by else ()
+            vec_cols = (vector_col,) if vector_col else ()
             slim_cols = [
                 c
-                for c in ("doc_id", "url", "lang", *text_cols, *sort_cols, "html")
+                for c in (
+                    "doc_id", "url", "lang", *text_cols, *sort_cols,
+                    *vec_cols, "html",
+                )
                 if c in pages.columns
             ]
-            if sort_docs_by and sort_docs_by not in pages.columns:
-                raise ValueError(
-                    f"sort_docs_by column '{sort_docs_by}' not in pages"
-                )
+            for need, what in ((sort_docs_by, "sort_docs_by"),
+                               (vector_col, "vector_col")):
+                if need and need not in pages.columns:
+                    raise ValueError(f"{what} column '{need}' not in pages")
             n_docs = pages.count()
             rw = range_width or pick_range_width(n_docs, parts)
             seg_docs = segment_docs or max(rw, int(math.ceil(n_docs / 4 / rw)) * rw)
@@ -429,6 +440,7 @@ class Index:
                     if sort_docs_by
                     else None
                 ),
+                "vector_col": vector_col,
             }
             _atomic_write_json(self.paths.meta, meta)
         rw = meta["range_width"]
@@ -526,6 +538,11 @@ class Index:
             post, dic, _ = build_postings(d, max(seg_n, 1), range_width=rw)
             post = post.persist()
             docs_out = d.select(*[c for c in DOCS_COLS if c in d.columns])
+        vc = meta.get("vector_col")
+        if vc and vc not in docs_out.columns and vc in sl.columns:
+            # the doc table drops non-standard columns; re-attach the
+            # dense_vector from the cached slim slice (segment-bounded)
+            docs_out = docs_out.join(sl.select("doc_id", vc), "doc_id")
         sort_bounds = None
         sd = meta.get("sort_docs")
         if sd:
@@ -738,6 +755,84 @@ class Index:
             "segments": len(segs),
             "n_deleted": int(dels.get("n_deleted", 0)),
         }
+
+    # ------------------------------------------------------ dense vectors
+    def knn(
+        self,
+        query_vectors: list[tuple[int, list[float]]],
+        k: int = 10,
+        where=None,
+    ) -> DataFrame:
+        """ES kNN search over the index's dense_vector column
+        ([(query_id, raw query vector)] — the vectors travel in the
+        search body, exactly like ES's knn.query_vector):
+        -> (query_id, rank, doc_id, cos). Exact cosine (the brute
+        baseline; num_candidates tuning belongs to the ANN variants in
+        ops/ann.py), tombstones masked, `where` = ES kNN filter
+        (pre-filtering: the predicate prunes the scan BEFORE any
+        distance math)."""
+        from mario_spark.ops.ann import brute_topk_vectors
+
+        meta = _read_json(self.paths.meta) or {}
+        vc = meta.get("vector_col")
+        if not vc:
+            raise ValueError(
+                f"index '{self.paths.name}' was not ingested with "
+                "vector_col=...; kNN needs a dense_vector column"
+            )
+        d = self.docs().filter(F.col(vc).isNotNull())
+        if where is not None:
+            d = d.filter(where)
+        dele = self.deleted_ids()
+        if dele is not None:
+            d = d.join(dele, "doc_id", "left_anti")
+        return brute_topk_vectors(d, "doc_id", vc, query_vectors, k=k)
+
+    def search_hybrid(
+        self,
+        queries: list[tuple[int, str]],
+        query_vectors: list[tuple[int, list[float]]],
+        k: int = 10,
+        window: int = 20,
+        rrf_k: int = 60,
+    ) -> DataFrame:
+        """ES hybrid retriever (rrf) served from ONE index: the lexical
+        arm runs block-max WAND over the postings, the dense arm exact
+        cosine over the stored dense_vector column, each a
+        rank-window of `window`, fused as sum 1/(rrf_k + rank)
+        (Cormack et al. 2009). Both arms are already tiny per query at
+        fusion time — the full-outer join and the final window touch
+        <= 2*window rows per query."""
+        from mario_spark.fixtures import query_terms_df as _qtd
+
+        lex = (
+            self.search(
+                _qtd(self.spark, queries), k=window
+            ).select("query_id", "doc_id", F.col("rank").alias("lrank"))
+        )
+        den = self.knn(query_vectors, k=window).select(
+            "query_id", "doc_id", F.col("rank").alias("drank")
+        )
+        fused = lex.join(den, ["query_id", "doc_id"], "full_outer").withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(float(rrf_k)) + F.col("lrank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(float(rrf_k)) + F.col("drank")), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+        return (
+            fused.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "rrf")
+        )
 
     # ------------------------------------------------ index-time sorting
     def sorted_scan_plan(self, k: int = 10, where=None) -> dict:

@@ -138,6 +138,63 @@ def brute_topk(
     )
 
 
+def brute_topk_vectors(
+    frame: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vectors: list[tuple[int, list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of EXPLICIT query vectors against
+    (id, vector) rows — the serving-path twin of brute_topk (which
+    resolves queries by vec_id from the same table). No
+    self-exclusion: the queries are external (an ES kNN search body
+    carries the raw query_vector). Same distributed shape: the
+    normalized query matrix broadcasts in the task closure, each
+    partition emits <= k rows per query via one BLAS matmul, the final
+    per-query window ranks <= k * n_partitions tiny rows.
+
+    -> (query_id, rank, <id_col>, cos), cos rounded 4dp, ties on id asc.
+    """
+    qids = np.array([int(q) for q, _ in query_vectors], dtype=np.int64)
+    Q = np.array([v for _, v in query_vectors], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(np.int64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cos = Qn @ Vn.T
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(qids)):
+                c = cos[qi]
+                order = np.lexsort((ids, -c))[:k]
+                out_q.append(np.full(order.size, qids[qi], dtype=np.int64))
+                out_v.append(ids[order])
+                out_c.append(c[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_v),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    local = frame.select(id_col, vec_col).mapInPandas(
+        kernel, f"query_id long, {id_col} long, cos double"
+    )
+    s = local.withColumn("cos", F.round("cos", 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cos")
+    )
+
+
 def bucket_signature_expr(hp: np.ndarray):
     """LSH bucket id: sum of sign bits vs the pinned hyperplanes.
 

@@ -1057,3 +1057,70 @@ def test_index_sorting_overlapping_bounds_exact(spark, root):
             for r in idx.search_sorted(k=k, where=where).collect()
         ]
         assert got == naive(k, langs), (k, len(got))
+
+
+def test_index_vector_knn_and_hybrid(spark, root):
+    """ES dense_vector in the SAME index: ingest stores the vector
+    column in the docs parquet; Index.knn matches a driver-side numpy
+    cosine oracle (with filter and tombstone semantics), and
+    search_hybrid equals the manual RRF of the two standalone arms."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mario_spark.fixtures import make_pages_query_set
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pages = (
+        documents_as_pages(spark, SF_DIR)
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+    )
+    cat = Catalog(spark, root)
+    idx = cat.create("vec-2026-01-01t00-00-00z")
+    idx.ingest(pages, segment_docs=256, vector_col="embedding")
+
+    rows = pages.select("doc_id", "lang", "embedding").collect()
+    ids = np.array([r["doc_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qvecs = [(int(ids[i]), [float(x) for x in V[i]]) for i in (0, 7, 42)]
+
+    def naive(qv, k, keep=None):
+        q = np.array(qv, dtype=np.float64)
+        cos = np.round(Vn @ (q / np.linalg.norm(q)), 4)
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))
+        out = [(int(ids[i]), float(cos[i])) for i in order
+               if keep is None or keep(rows[i])]
+        return out[:k]
+
+    got = idx.knn(qvecs, k=5).toPandas()
+    for qid, qv in qvecs:
+        g = got[got["query_id"] == qid].sort_values("rank")
+        assert list(zip(g["doc_id"], g["cos"])) == naive(qv, 5), qid
+
+    # ES kNN filter = pre-filtering
+    gotf = idx.knn(qvecs[:1], k=5, where=F.col("lang") == "en").toPandas()
+    assert list(zip(gotf["doc_id"], gotf["cos"])) == naive(
+        qvecs[0][1], 5, keep=lambda r: r["lang"] == "en"
+    )
+
+    # hybrid rrf == manual fusion of the two arms
+    qset = make_pages_query_set(seed=2, n=3)
+    tq = [(qvecs[i][0], qset[i][1]) for i in range(3)]
+    hv = [(qvecs[i][0], qvecs[i][1]) for i in range(3)]
+    fused = idx.search_hybrid(tq, hv, k=10, window=20).toPandas()
+    lex = idx.search(query_terms_df(spark, tq), k=20).toPandas()
+    den = idx.knn(hv, k=20).toPandas()
+    for qid, _ in tq:
+        score = {}
+        for _, r in lex[lex["query_id"] == qid].iterrows():
+            score[r["doc_id"]] = score.get(r["doc_id"], 0) + 1 / (60 + r["rank"])
+        for _, r in den[den["query_id"] == qid].iterrows():
+            score[r["doc_id"]] = score.get(r["doc_id"], 0) + 1 / (60 + r["rank"])
+        want = sorted(score.items(), key=lambda x: (-round(x[1], 6), x[0]))[:10]
+        g = fused[fused["query_id"] == qid].sort_values("rank")
+        assert [
+            (d, round(s, 6)) for d, s in want
+        ] == list(zip(g["doc_id"], g["rrf"])), qid
