@@ -323,7 +323,8 @@ def _eval(df: DataFrame, body: str) -> DataFrame:
         except TypeError as e:  # wrong arity
             raise ValueError(f"ES|QL: bad EVAL {body!r}: {e}") from e
     m = re.fullmatch(
-        r"(\w+)\s*=\s*(\w+)\s*([+\-*/])\s*(\"[^\"]*\"|[\w.]+)", body.strip()
+        r"(\w+)\s*=\s*(\w+)\s*([+\-*/])\s*(\"[^\"]*\"|-?[\w.]+)",
+        body.strip(),
     )
     if not m:
         raise ValueError(f"ES|QL: bad EVAL {body!r}")
@@ -891,6 +892,33 @@ def _apply_stage(
         df = outs[0]
         for b in outs[1:]:
             df = df.unionByName(b, allowMissingColumns=True)
+    elif kw == "FUSE":
+        # FUSE (9.x tech preview): RRF-combine the FORK branches.
+        # Per-branch rank re-derives from each branch's _score (desc,
+        # _id asc — the order the branch's SORT produced), fused
+        # _score = sum over branches of 1/(60 + rank), grouped by _id
+        # (Cormack et al. 2009, the rrf retriever's constant). Output
+        # contract: (_id, _score) — ES replaces _score and drops the
+        # per-branch rows; project/enrich other columns after FUSE.
+        from pyspark.sql import Window
+
+        for need in ("_fork", "_id", "_score"):
+            if need not in df.columns:
+                raise ValueError(
+                    f"ES|QL: FUSE needs a FORK output with {need!r}"
+                )
+        w = Window.partitionBy("_fork").orderBy(
+            F.desc("_score"), F.asc("_id")
+        )
+        df = (
+            df.withColumn("_rank", F.row_number().over(w))
+            .groupBy("_id")
+            .agg(
+                F.round(
+                    F.sum(1.0 / (F.lit(60.0) + F.col("_rank"))), 6
+                ).alias("_score")
+            )
+        )
     else:
         raise ValueError(f"ES|QL: unknown command {kw!r}")
     return df

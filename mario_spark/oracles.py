@@ -5478,6 +5478,23 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1 ORDER BY 1 ASC
 """
 
+ESQL_FUSE = """
+WITH b1 AS (
+  SELECT doc_id AS _id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r
+  FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+),
+b2 AS (
+  SELECT doc_id AS _id,
+         row_number() OVER (ORDER BY doc_id ASC) AS r
+  FROM documents ORDER BY doc_id ASC LIMIT 20
+),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+f AS (SELECT _id, round(sum(1.0 / (60.0 + r)), 6) AS _score
+      FROM u GROUP BY 1)
+SELECT _id, _score FROM f ORDER BY _score DESC, _id ASC LIMIT 10
+"""
+
 ESQL_FORK = """
 WITH b1 AS (
   SELECT event_type, count(*)::BIGINT AS n, NULL::DOUBLE AS avg_v,
@@ -6003,6 +6020,7 @@ FROM k
     "esql_sample": ESQL_SAMPLE,
     "esql_lookup_join": ESQL_LOOKUP_JOIN,
     "esql_fork": ESQL_FORK,
+    "esql_fuse": ESQL_FUSE,
     "esql_change_point": ESQL_CHANGE_POINT,
     "esql_where_in_like": ESQL_WHERE_IN_LIKE,
     "esql_where_or": ESQL_WHERE_OR,

@@ -3342,6 +3342,23 @@ def esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def esql_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FUSE (9.x tech preview): rrf-combine two FORK branches —
+    one ranking docs by n_chars desc, one by doc_id asc — into a fused
+    _score = sum 1/(60 + rank) per _id (esql.run_esql)."""
+    from mario_spark.esql import run_esql
+
+    return run_esql(
+        spark, sf_dir,
+        "FROM documents | RENAME doc_id AS _id | FORK "
+        "( EVAL _score = TO_DOUBLE(n_chars) | SORT _score DESC, _id ASC"
+        " | LIMIT 20 ) "
+        "( EVAL _score = _id * -1.0 | SORT _score DESC, _id ASC"
+        " | LIMIT 20 ) "
+        "| FUSE | SORT _score DESC, _id ASC | LIMIT 10",
+    )
+
+
 def esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL FORK (8.19): two branches over the same input — an
     error-only count and an all-types count+avg — unioned by name with
@@ -4113,6 +4130,7 @@ SUITE = {
     "esql_sample": esql_sample,
     "esql_lookup_join": esql_lookup_join,
     "esql_fork": esql_fork,
+    "esql_fuse": esql_fuse,
     "esql_change_point": esql_change_point,
     "esql_where_in_like": esql_where_in_like,
     "esql_where_or": esql_where_or,
