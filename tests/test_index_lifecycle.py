@@ -1124,3 +1124,74 @@ def test_index_vector_knn_and_hybrid(spark, root):
         assert [
             (d, round(s, 6)) for d, s in want
         ] == list(zip(g["doc_id"], g["rrf"])), qid
+
+
+def test_append_keeps_sort_and_vector_invariants(spark, root):
+    """append() (mario's default ingest) into a sort_docs_by +
+    vector_col index: new segments get sorted docs files, marker
+    bounds, and the vector column — search_sorted and knn stay exact
+    over the union."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mario_spark.docs import assign_doc_ids
+    from mario_spark.fixtures import pages_df
+
+    def with_cols(pages):
+        return pages.withColumn(
+            "warc_ts",
+            F.expr(
+                "timestamp'2026-05-01' + make_interval(0, 0, 0, 0, 0,"
+                " cast(conv(substring(md5(url), 1, 6), 16, 10) as int)"
+                " % 90000, 0)"
+            ),
+        ).withColumn(
+            "embedding",
+            F.expr(
+                "transform(sequence(1, 8), i -> cast("
+                "conv(substring(md5(concat(url, i)), 1, 4), 16, 10)"
+                " as float) / 65535.0)"
+            ),
+        )
+
+    first = with_cols(assign_doc_ids(pages_df(spark, 256, seed=31, partitions=4)))
+    more_raw = pages_df(spark, 500, seed=32, partitions=4).filter(
+        F.col("url").contains("p/000003")  # disjoint small batch
+    )
+    cat = Catalog(spark, root)
+    idx = cat.create("av-2026-01-01t00-00-00z")
+    idx.ingest(
+        first, segment_docs=128, sort_docs_by="warc_ts",
+        vector_col="embedding",
+    )
+    st = idx.append(with_cols(more_raw))
+    assert st["n_docs"] > 256
+
+    # every committed segment carries sort bounds
+    from mario_spark.index import _read_json
+
+    for s in idx.paths.committed_segments():
+        m = _read_json(idx.paths.seg_meta(s)) or {}
+        assert m.get("sort_bounds"), s
+
+    docs = idx.docs().select("doc_id", "warc_ts", "embedding").collect()
+    want = sorted(docs, key=lambda r: (r["warc_ts"], -r["doc_id"]), reverse=True)
+    got = idx.search_sorted(k=15).collect()
+    assert [(r["doc_id"], r["warc_ts"]) for r in got] == [
+        (r["doc_id"], r["warc_ts"]) for r in want[:15]
+    ]
+
+    # knn sees appended docs too
+    V = np.array([r["embedding"] for r in docs], dtype=np.float64)
+    ids = np.array([r["doc_id"] for r in docs])
+    q = V[-1]
+    cos = np.round(
+        (V / np.linalg.norm(V, axis=1, keepdims=True))
+        @ (q / np.linalg.norm(q)),
+        4,
+    )
+    order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:5]
+    got_k = idx.knn([(0, [float(x) for x in q])], k=5).collect()
+    assert [(r["doc_id"], r["cos"]) for r in got_k] == [
+        (int(ids[i]), float(cos[i])) for i in order
+    ]
