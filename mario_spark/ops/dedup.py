@@ -47,9 +47,19 @@ def distinct_terms(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """-> (doc_id, mh0..mh{n-1}): lexicographic-min md5 per salt."""
-    t = distinct_terms(documents)
+def minhash_signatures(
+    documents: DataFrame,
+    n_hashes: int = N_MINHASH,
+    terms: DataFrame | None = None,
+) -> DataFrame:
+    """-> (doc_id, mh0..mh{n-1}): lexicographic-min md5 per salt.
+
+    Pass `terms` (a precomputed, ideally persisted (doc_id, term)
+    frame) to skip re-tokenizing — the tokenize UDF + explode +
+    distinct is the expensive stage, and callers that need the terms
+    again (LSH verify) should compute it once and thread it through.
+    """
+    t = terms if terms is not None else distinct_terms(documents)
     aggs = [
         F.min(F.md5(F.concat_ws("#", "term", F.lit(str(i))))).alias(f"mh{i}")
         for i in range(n_hashes)
@@ -69,7 +79,10 @@ def minhash_lsh_pairs(
     jaccard rounded to 4dp.
     """
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(documents, n_hashes)
+    # tokenize ONCE: signatures and the Jaccard verify share the same
+    # (doc_id, term) frame instead of re-running the pandas tokenizer
+    terms = distinct_terms(documents).persist()
+    sigs = minhash_signatures(documents, n_hashes, terms=terms)
     bands = None
     for b in range(n_bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -86,13 +99,14 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _verify_jaccard(distinct_terms(documents), cand, threshold)
+    return _verify_jaccard(terms, cand, threshold)
 
 
 def minhash_band_keys(
     documents: DataFrame,
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """-> (doc_id, band, band_key): a corpus's persistable LSH state.
 
@@ -104,7 +118,7 @@ def minhash_band_keys(
     the monthly-snapshot join stays a digest-keyed shuffled hash join.
     """
     rpb = n_hashes // n_bands
-    sigs = minhash_signatures(documents, n_hashes)
+    sigs = minhash_signatures(documents, n_hashes, terms=terms)
     parts = [
         sigs.select(
             "doc_id",
@@ -141,14 +155,20 @@ def incremental_near_dup(
     are never generated. Verification computes exact Jaccard on
     candidate pairs only.
     """
-    nb = minhash_band_keys(new_docs, n_hashes, n_bands).select(
+    # tokenize each half exactly ONCE and persist: the (doc_id, term)
+    # frames feed BOTH the band-key build and the Jaccard verify (they
+    # were previously recomputed ~4x — the pandas tokenize UDF dominated
+    # the whole pipeline's runtime)
+    tn = distinct_terms(new_docs).persist()
+    to = distinct_terms(old_docs).persist()
+    nb = minhash_band_keys(new_docs, n_hashes, n_bands, terms=tn).select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
     )
-    ob = minhash_band_keys(old_docs, n_hashes, n_bands).select(
+    ob = minhash_band_keys(old_docs, n_hashes, n_bands, terms=to).select(
         F.col("doc_id").alias("doc_b"), "band", "band_key"
     )
     cand = nb.join(ob, ["band", "band_key"]).select("doc_a", "doc_b").distinct()
-    terms = distinct_terms(new_docs).unionByName(distinct_terms(old_docs))
+    terms = tn.unionByName(to)
     return _verify_jaccard(terms, cand, threshold).select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("old_doc"),
@@ -159,26 +179,37 @@ def incremental_near_dup(
 def _verify_jaccard(
     terms: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:
-    sizes = terms.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = terms.select(F.col("doc_id").alias("doc_a"), "term")
-    tb = terms.select(F.col("doc_id").alias("doc_b"), "term")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    """Exact Jaccard on candidate pairs via per-doc term-HASH arrays.
+
+    Shape (the part that survives 100x): instead of exploding every
+    candidate pair into |pair| x |terms| rows and re-shuffling on
+    (doc, term) — O(candidates x doc_len) rows through two exchanges —
+    we collect each doc's distinct terms ONCE into an array of 64-bit
+    hashes (one agg keyed on doc_id), join each side of the candidate
+    table against that compact table (two doc_id-keyed joins carrying
+    digests-only arrays), and intersect the two small arrays inside
+    whole-stage codegen (`array_intersect`). A size-ratio prune runs
+    before the intersect: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    whose sizes alone rule out the threshold never pay for the
+    intersection (slack 1e-4 preserves the round-to-4dp-then-filter
+    contract). xxhash64 stands in for the term string: collisions at
+    web vocab (2^-64 birthday term) are negligible and deterministic.
+    """
+    doc_terms = terms.groupBy("doc_id").agg(
+        F.collect_set(F.xxhash64("term")).alias("hset")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    a = doc_terms.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
+    b = doc_terms.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
+    sza, szb = F.size("ha"), F.size("hb")
+    inter = F.size(F.array_intersect("ha", "hb"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4
-            ),
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(
+            F.least(sza, szb)
+            >= (threshold - 1e-4) * F.greatest(sza, szb)
         )
+        .withColumn("jaccard", F.round(inter / (sza + szb - inter), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -742,7 +773,7 @@ def lsh_audit(
     the "all-pairs" side is term-bounded, not a cartesian.
     """
     sample = documents.filter(F.col("doc_id") < sample_max_id)
-    terms = distinct_terms(sample)
+    terms = distinct_terms(sample).persist()
     ta = terms.select(F.col("doc_id").alias("doc_a"), "term")
     tb = terms.select(F.col("doc_id").alias("doc_b"), "term")
     share = (
@@ -755,7 +786,7 @@ def lsh_audit(
         "doc_a", "doc_b"
     )
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(sample, n_hashes)
+    sigs = minhash_signatures(sample, n_hashes, terms=terms)
     bands = None
     for b in range(n_bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
