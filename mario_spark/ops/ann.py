@@ -71,6 +71,15 @@ def cosine_expr(a: str, b: str):
     return dot / (na * nb)
 
 
+def _safe_norm(M: np.ndarray) -> np.ndarray:
+    """Row L2 norms with zero-norm rows mapped to 1, so an all-zero
+    vector scores cosine 0 against everything (deterministically last)
+    instead of propagating NaN into the ranking window."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return n
+
+
 def brute_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -98,7 +107,7 @@ def brute_topk(
     )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / _safe_norm(Q)
 
     def kernel(batches):
         for pdf in batches:
@@ -106,7 +115,7 @@ def brute_topk(
                 continue
             V = np.array(list(pdf["embedding"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy(np.int64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / _safe_norm(V)
             cos = Qn @ Vn.T  # (q, n)
             out_q, out_v, out_c = [], [], []
             for qi in range(len(qids)):
@@ -158,7 +167,7 @@ def brute_topk_vectors(
     """
     qids = np.array([int(q) for q, _ in query_vectors], dtype=np.int64)
     Q = np.array([v for _, v in query_vectors], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / _safe_norm(Q)
 
     def kernel(batches):
         for pdf in batches:
@@ -166,7 +175,7 @@ def brute_topk_vectors(
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             ids = pdf[id_col].to_numpy(np.int64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / _safe_norm(V)
             cos = Qn @ Vn.T
             out_q, out_v, out_c = [], [], []
             for qi in range(len(qids)):
@@ -220,6 +229,67 @@ DEFAULT_CENTROID_IDS = list(range(10, 18))  # 8 sampled centroids
 IVF_N_PROBE = 2
 
 
+def _assign_cells(embeddings: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, scale-shaped: the centroid matrix
+    (collected driver-side — n_cells rows, tiny by contract) broadcasts
+    in a mapInPandas closure; each Arrow batch runs ONE (n x d) @
+    (d x m) matmul and an argmin. Replaces the former
+    crossJoin(broadcast(cents)) + per-vector row_number window — whose
+    N x n_cells rows through a vec_id-partitioned window was the
+    dominant shuffle at real cell counts (the 10^9-vector / thousands-
+    of-cells regime). Ties (equal squared L2) resolve to the LOWEST
+    cell id, identical to the old orderBy(d, cell) rank-1 rule and to
+    the DuckDB oracle. Output: the input columns + cell (long); the
+    pass is narrow (partition-preserving, no exchange).
+    """
+    crows = sorted(
+        cents.select("cell", "cvec").collect(), key=lambda r: r["cell"]
+    )
+    cid = np.array([r["cell"] for r in crows], dtype=np.int64)
+    C = np.array([r["cvec"] for r in crows], dtype=np.float64)
+    csq = (C * C).sum(axis=1)
+    vec_col = "embedding"
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in embeddings.schema.fields
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + csq[None, :]
+            out = pdf.copy()
+            out["cell"] = cid[np.argmin(d, axis=1)]
+            yield out
+
+    return embeddings.mapInPandas(kernel, f"{fields}, cell long")
+
+
+def _probe_cells(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    query_ids: list[int],
+    n_probe: int,
+) -> DataFrame:
+    """Per-QUERY top-n_probe cells -> (query_id, cell). The query side
+    is |query_ids| rows, so a broadcast crossJoin + rank window here is
+    query-sized (not corpus-sized) at any scale; _sq_l2 keeps the exact
+    sequential-FP sum the DuckDB oracle computes for probe ranking."""
+    qdist = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", _sq_l2("embedding", "cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    return (
+        qdist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+
+
 def _sq_l2(a: str, b: str):
     """Squared euclidean distance of two float arrays (float64, JVM)."""
     return F.aggregate(
@@ -248,33 +318,22 @@ def ivf_topk(
 
     Centroids here are SAMPLED rows (vec_id in centroid_ids) — a
     standard k-means init — so the DuckDB oracle reproduces the cell
-    assignment from the same table with no trained state. At scale:
-    refine with distributed Lloyd's (groupBy cell, per-dim mean — see
-    train_centroids_kmeans) and replace the broadcast-crossJoin
-    assignment with a mapInPandas matmul over a broadcast centroid
-    matrix; the query path is unchanged.
+    assignment from the same table with no trained state. Corpus
+    assignment is the broadcast-matrix mapInPandas argmin
+    (_assign_cells — one narrow matmul pass, no N x n_cells blowup);
+    only the query-sized probe ranking uses a crossJoin + window.
 
-    Determinism: assignment/probe rank on (squared L2, cell id) — both
-    engines sum dims in index order, so the floats are bit-identical;
+    Determinism: assignment/probe rank on (squared L2, cell id);
     output cosine rounded 4dp, ties on vec_id asc.
     """
     cids = centroid_ids or DEFAULT_CENTROID_IDS
     cents = embeddings.filter(F.col("vec_id").isin(cids)).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
-    dist = embeddings.crossJoin(F.broadcast(cents)).withColumn(
-        "d", _sq_l2("embedding", "cvec")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cell")
-    ranked = dist.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select(
+    assign = _assign_cells(embeddings, cents).select(
         "vec_id", "cell", "embedding"
     )
-    qprobe = (
-        ranked.filter(F.col("vec_id").isin(query_ids))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    qprobe = _probe_cells(embeddings, cents, query_ids, n_probe)
     qe = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -301,22 +360,18 @@ def train_centroids_kmeans(
 ) -> DataFrame:
     """Distributed Lloyd's refinement of sampled centroids.
 
-    Each iteration: assign by nearest centroid (broadcast crossJoin +
-    per-vec rank), then per-cell per-dim mean via posexplode + hash agg
-    — two shuffles per iteration, no driver-side data. Returns
+    Each iteration: assign by nearest centroid (broadcast centroid
+    matrix + mapInPandas argmin — a narrow pass, see _assign_cells),
+    then per-cell per-dim mean via posexplode + hash agg — ONE shuffle
+    per iteration, no corpus-sized driver data (each round collects
+    only the n_cells centroid rows to rebroadcast). Returns
     (cell, cvec). Deterministic for a fixed input + init."""
     cents = embeddings.filter(F.col("vec_id").isin(init_ids)).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
     for _ in range(iters):
-        dist = embeddings.crossJoin(F.broadcast(cents)).withColumn(
-            "d", _sq_l2("embedding", "cvec")
-        )
-        w = Window.partitionBy("vec_id").orderBy("d", "cell")
-        assign = (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cell", "embedding")
+        assign = _assign_cells(embeddings, cents).select(
+            "cell", "embedding"
         )
         cents = (
             assign.select(
@@ -403,7 +458,8 @@ def semdedup(
     centroid — any one-per-group rule works).
     -> (vec_id, cell, keep boolean).
 
-    Scale shape: centroids broadcast for assignment (one scan); the
+    Scale shape: assignment is the broadcast-centroid-matrix
+    mapInPandas argmin (_assign_cells — one narrow matmul pass); the
     intra-cluster pair check joins on cell — quadratic only WITHIN a
     cluster, which is the SemDeDup algorithm itself (k grows with N to
     bound cluster size; the paper uses k=50k for 5B points). At real
@@ -416,14 +472,8 @@ def semdedup(
     cents = embeddings.filter(F.col("vec_id").isin(cids)).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
-    dist = embeddings.crossJoin(F.broadcast(cents)).withColumn(
-        "d", _sq_l2("embedding", "cvec")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cell")
-    assign = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "embedding")
+    assign = _assign_cells(embeddings, cents).select(
+        "vec_id", "cell", "embedding"
     )
     a = assign.select(
         "cell", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
@@ -869,17 +919,8 @@ def ivf_pq_topk(
     cents = embeddings.filter(F.col("vec_id").isin(cids)).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
     )
-    dist = embeddings.crossJoin(F.broadcast(cents)).withColumn(
-        "d", _sq_l2("embedding", "cvec")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cell")
-    ranked = dist.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
-    qprobe = (
-        ranked.filter(F.col("vec_id").isin(query_ids))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    assign = _assign_cells(embeddings, cents).select("vec_id", "cell")
+    qprobe = _probe_cells(embeddings, cents, query_ids, n_probe)
     # per-query integer ADC tables as a broadcast dim
     cb = _pq_codebook(embeddings)
     qrows = (
@@ -960,6 +1001,60 @@ def bitsig_sql(vec_col: str, dims: int = 64, dialect: str = "spark") -> str:
     return "concat(" + ", ".join(outs) + ")"
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape)."""
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+        return np.bitwise_count(x).astype(np.int64)
+    b = np.unpackbits(
+        np.ascontiguousarray(x).view(np.uint8).reshape(*x.shape, 8), axis=-1
+    )
+    return b.sum(axis=-1, dtype=np.int64)
+
+
+def _bit_hamming_local(
+    embeddings: DataFrame, query_ids: list[int], k: int
+) -> DataFrame:
+    """Per-partition hamming top-k -> (query_id, vec_id, hamming),
+    <= k rows per query per ARROW BATCH (so <= k x batches-per-
+    partition x |queries| per partition; the batch-local cap is what
+    bounds the downstream exchange). Signatures are computed from the
+    floats in codegen (bitsig_sql); the query signatures ride the task
+    closure; hamming is a vectorized XOR+popcount per batch."""
+    sig = F.expr(bitsig_sql("embedding", dialect="spark"))
+    s = embeddings.select("vec_id", sig.alias("sig"))
+    qrows = s.filter(F.col("vec_id").isin(query_ids)).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qsig = np.array([int(r["sig"], 16) for r in qrows], dtype=np.uint64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            sigs = np.array(
+                [int(x, 16) for x in pdf["sig"]], dtype=np.uint64
+            )
+            ham = _popcount64(qsig[:, None] ^ sigs[None, :])  # (q, n)
+            out_q, out_v, out_h = [], [], []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                hm, im = ham[qi][mask], ids[mask]
+                # local top-k: hamming asc, vec_id asc
+                order = np.lexsort((im, hm))[:k]
+                out_q.append(np.full(order.size, qids[qi], dtype=np.int64))
+                out_v.append(im[order])
+                out_h.append(hm[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "hamming": np.concatenate(out_h),
+                }
+            )
+
+    return s.mapInPandas(kernel, "query_id long, vec_id long, hamming long")
+
+
 def bit_hamming_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 10
 ) -> DataFrame:
@@ -967,28 +1062,19 @@ def bit_hamming_topk(
     bit-quantized vectors (ES knn on element_type=bit). Self-matches
     excluded; ties break on vec_id asc.
 
-    100TB shape: signatures are 8 bytes/vector (the scan reads ONLY
-    them), the query signatures broadcast, and hamming is a codegen
-    popcount chain (ops.dedup.hamming_sql) — no floats move after the
-    one-time binarization. The same banded-LSH trick as simhash_pairs
-    confines candidate generation when the query side is also large."""
-    from mario_spark.ops.dedup import hamming_sql
-
-    sig = F.expr(bitsig_sql("embedding", dialect="spark"))
-    s = embeddings.select("vec_id", sig.alias("sig"))
-    qs = s.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
-    )
-    j = s.crossJoin(F.broadcast(qs)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    ham = F.expr(hamming_sql("qsig", "sig", dialect="spark"))
-    r = j.withColumn("hamming", ham.cast("long"))
+    100TB shape: signatures are 8 bytes/vector, computed from the
+    floats once in codegen; each partition pre-selects its local top-k
+    per query (_bit_hamming_local), so the only exchange — the final
+    rank window — carries O(n_partitions x |queries| x k) rows, never
+    the corpus. (The former shape — broadcast NLJ + corpus-sized
+    per-query window — shuffled all N rows into one partition per
+    query.)"""
+    local = _bit_hamming_local(embeddings, query_ids, k)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("vec_id")
     )
     return (
-        r.withColumn("rank", F.row_number().over(w).cast("long"))
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "hamming")
     )

@@ -357,13 +357,18 @@ def test_bucket_sort_take_ordered(spark):
 
 
 def test_semdedup_broadcasts_centroids(spark):
-    """Centroid assignment must broadcast the (tiny) centroid set; the
-    only nested-loop is that explicit broadcast crossJoin."""
+    """Centroid assignment is the broadcast-matrix mapInPandas argmin
+    (_assign_cells): no per-vector rank window (a Window keyed on
+    vec_id would shuffle N x n_cells rows) and no cartesian — the
+    centroid matrix rides the task closure, not a join."""
     from mario_spark.suite import semdedup_keep
 
     plan = _plan(semdedup_keep(spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+    # no Window operator may be keyed on vec_id (per-vector rank)
+    for frag in plan.split("\n"):
+        if "Window" in frag and "partition" in frag.lower():
+            assert "vec_id" not in frag
 
 
 def test_chunk_dedup_shuffles_digests_not_text(spark):
@@ -661,16 +666,32 @@ def test_esql_sample_fuses_into_scan(spark):
     assert plan.count("Exchange") <= 2  # agg partial->final only
 
 
-def test_bit_hamming_broadcasts_queries(spark):
-    """Bit-vector kNN: the 5-row query-signature side must broadcast
-    (never a shuffled cartesian), and the signature math stays in
-    codegen (no Python)."""
+def test_bit_hamming_local_topk_bounds_exchange(spark):
+    """Bit-vector kNN: each partition pre-selects its local top-k per
+    query, so the frame entering the global rank window is bounded by
+    batches x |queries| x k — NEVER corpus-sized — and no cartesian
+    appears anywhere."""
+    from mario_spark.ops.ann import _bit_hamming_local, bit_hamming_topk
     from mario_spark.suite import ann_bit_hamming_topk
 
     plan = _plan(ann_bit_hamming_topk(spark, SF_DIR))
-    assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
-    assert "Python" not in plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    qids = [0, 7, 21]
+    k = 10
+    local = _bit_hamming_local(emb, qids, k)
+    pre_window = local.count()
+    # arrow batches cap at 10k rows -> a generous upper bound on
+    # batches; the real point is pre_window << n * len(qids)
+    n_parts = emb.rdd.getNumPartitions()
+    max_batches = n_parts + n // 10_000 + 1
+    assert pre_window <= max_batches * len(qids) * k
+    assert pre_window < n * len(qids) / 10
+    # and the global result is still exactly k per query
+    res = bit_hamming_topk(emb, qids, k=k)
+    assert res.count() == len(qids) * k
 
 
 def test_collapse_inner_hits_broadcasts_groups(spark):
