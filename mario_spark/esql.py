@@ -720,6 +720,36 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return df
 
 
+def _parse_sort_order(body: str) -> list:
+    """SORT body -> list of Spark sort Columns (shared by SORT and the
+    FORK rank capture, so a branch's rank is derived from the EXACT
+    ordering its SORT declared)."""
+    order = []
+    for part in body.split(","):
+        m2 = re.fullmatch(
+            r"(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?",
+            part.strip(),
+            re.IGNORECASE,
+        )
+        if not m2:
+            raise ValueError(f"ES|QL: bad SORT key {part!r}")
+        col, direc, nulls = m2.groups()
+        desc = (direc or "ASC").upper() == "DESC"
+        # ES|QL default: nulls sort last under ASC, first under DESC
+        # (nulls are "largest") — same as Spark's default
+        nulls = (nulls or ("FIRST" if desc else "LAST")).upper()
+        c = F.col(col)
+        order.append(
+            {
+                (False, "FIRST"): c.asc_nulls_first(),
+                (False, "LAST"): c.asc_nulls_last(),
+                (True, "FIRST"): c.desc_nulls_first(),
+                (True, "LAST"): c.desc_nulls_last(),
+            }[(desc, nulls)]
+        )
+    return order
+
+
 def _apply_stage(
     spark: SparkSession, sf_dir: str, df: DataFrame, stage: str
 ) -> DataFrame:
@@ -734,30 +764,7 @@ def _apply_stage(
     elif kw == "INLINESTATS":
         df = _inlinestats(df, body)
     elif kw == "SORT":
-        order = []
-        for part in body.split(","):
-            m2 = re.fullmatch(
-                r"(\w+)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?",
-                part.strip(),
-                re.IGNORECASE,
-            )
-            if not m2:
-                raise ValueError(f"ES|QL: bad SORT key {part!r}")
-            col, direc, nulls = m2.groups()
-            desc = (direc or "ASC").upper() == "DESC"
-            # ES|QL default: nulls sort last under ASC, first under DESC
-            # (nulls are "largest") — same as Spark's default
-            nulls = (nulls or ("FIRST" if desc else "LAST")).upper()
-            c = F.col(col)
-            order.append(
-                {
-                    (False, "FIRST"): c.asc_nulls_first(),
-                    (False, "LAST"): c.asc_nulls_last(),
-                    (True, "FIRST"): c.desc_nulls_first(),
-                    (True, "LAST"): c.desc_nulls_last(),
-                }[(desc, nulls)]
-            )
-        df = df.orderBy(*order)
+        df = df.orderBy(*_parse_sort_order(body))
     elif kw == "LIMIT":
         df = df.limit(int(body))
     elif kw == "KEEP":
@@ -883,39 +890,87 @@ def _apply_stage(
         branches = _paren_groups(body)
         if len(branches) < 2:
             raise ValueError("ES|QL: FORK needs at least two branches")
+        from pyspark.sql import Window
+
         outs = []
         for i, br in enumerate(branches, start=1):
             b = df
+            last_sort = None
             for st in _split_stages(br):
                 b = _apply_stage(spark, sf_dir, b, st)
+                kw2 = st.split(None, 1)[0].upper()
+                if kw2 == "SORT":
+                    last_sort = st.partition(" ")[2]
+                elif kw2 not in ("LIMIT", "KEEP", "DROP", "RENAME"):
+                    # a later collapsing stage (STATS, MV_EXPAND, ...)
+                    # invalidates the captured ordering
+                    last_sort = None
+            if last_sort is not None:
+                keys = [
+                    re.match(r"\w+", p.strip()).group(0)
+                    for p in last_sort.split(",")
+                ]
+                if not all(c in b.columns for c in keys):
+                    # a KEEP/DROP/RENAME after SORT removed a sort key;
+                    # the declared ordering is no longer derivable
+                    last_sort = None
+            # Capture the branch's rank AT materialization, from the
+            # ordering its own SORT declared — FUSE must not guess it
+            # back from _score (a branch sorted by ts ASC would get
+            # silently wrong RRF ranks). Fallback for un-sorted scoring
+            # branches: ES's own tie-break, _score DESC / _id ASC.
+            if last_sort is not None:
+                order = _parse_sort_order(last_sort)
+            elif "_score" in b.columns and "_id" in b.columns:
+                order = [F.desc("_score"), F.asc("_id")]
+            else:
+                order = None
+            if order is not None:
+                # branches feeding FUSE are LIMITed top-k by contract,
+                # so the single-partition rank window is query-sized
+                b = b.withColumn(
+                    "_fork_rank",
+                    F.row_number().over(Window.orderBy(*order)),
+                )
             outs.append(b.withColumn("_fork", F.lit(f"fork{i}")))
         df = outs[0]
         for b in outs[1:]:
             df = df.unionByName(b, allowMissingColumns=True)
     elif kw == "FUSE":
         # FUSE (9.x tech preview): RRF-combine the FORK branches.
-        # Per-branch rank re-derives from each branch's _score (desc,
-        # _id asc — the order the branch's SORT produced), fused
-        # _score = sum over branches of 1/(60 + rank), grouped by _id
-        # (Cormack et al. 2009, the rrf retriever's constant). Output
-        # contract: (_id, _score) — ES replaces _score and drops the
-        # per-branch rows; project/enrich other columns after FUSE.
-        from pyspark.sql import Window
-
-        for need in ("_fork", "_id", "_score"):
+        # Per-branch rank is `_fork_rank`, captured by FORK at branch
+        # materialization from the branch's OWN SORT ordering (so a
+        # branch sorted by ts ASC fuses with its actual ranks, not a
+        # guessed _score order). Fused _score = sum over branches of
+        # 1/(60 + rank), grouped by _id (Cormack et al. 2009, the rrf
+        # retriever's constant). Output contract: (_id, _score) — ES
+        # replaces _score and drops the per-branch rows;
+        # project/enrich other columns after FUSE.
+        for need in ("_fork", "_id", "_fork_rank"):
             if need not in df.columns:
                 raise ValueError(
-                    f"ES|QL: FUSE needs a FORK output with {need!r}"
+                    f"ES|QL: FUSE needs a FORK output with {need!r} "
+                    "(every FORK branch must be rankable: end it with "
+                    "SORT, or emit _score/_id)"
                 )
-        w = Window.partitionBy("_fork").orderBy(
-            F.desc("_score"), F.asc("_id")
-        )
         df = (
-            df.withColumn("_rank", F.row_number().over(w))
+            # assert_true: an unranked branch (no SORT, no _score)
+            # must fail loudly at execution, not fuse as a no-op
+            df.withColumn(
+                "_chk",
+                F.assert_true(
+                    F.col("_fork_rank").isNotNull(),
+                    F.lit(
+                        "ES|QL: FUSE saw a FORK branch with no rank "
+                        "(end every branch with SORT or emit _score)"
+                    ),
+                ),
+            )
+            .drop("_chk")
             .groupBy("_id")
             .agg(
                 F.round(
-                    F.sum(1.0 / (F.lit(60.0) + F.col("_rank"))), 6
+                    F.sum(1.0 / (F.lit(60.0) + F.col("_fork_rank"))), 6
                 ).alias("_score")
             )
         )

@@ -406,11 +406,16 @@ class Index:
             )
             sort_cols = (sort_docs_by,) if sort_docs_by else ()
             vec_cols = (vector_col,) if vector_col else ()
+            # dict.fromkeys: sort_docs_by / vector_col may name an
+            # always-kept column; a duplicate here makes later
+            # per-segment selects ambiguous
             slim_cols = [
                 c
-                for c in (
-                    "doc_id", "url", "lang", *text_cols, *sort_cols,
-                    *vec_cols, "html",
+                for c in dict.fromkeys(
+                    (
+                        "doc_id", "url", "lang", *text_cols, *sort_cols,
+                        *vec_cols, "html",
+                    )
                 )
                 if c in pages.columns
             ]
@@ -1359,6 +1364,13 @@ class Index:
                 self.postings(), self.dictionary(), queries,
                 self.field_stats(), default_field, k=k,
                 deleted_docs=self.deleted_ids(),
+            )
+        if default_field is not None:
+            # silently ignoring the flag would hide a typo'd
+            # --default-field on a single-field index
+            raise ValueError(
+                f"index '{self.paths.name}' has no fields config; "
+                "default_field only applies to a fields=... index"
             )
         st = self.stats()
         return search_query_string_indexed(

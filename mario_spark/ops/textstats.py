@@ -634,7 +634,7 @@ def gopher_quality_filter(documents: DataFrame) -> DataFrame:
       R1  50 <= word count <= 100,000            (whitespace words)
       R2  3 <= mean word length <= 10
       R3  symbol-to-word ratio <= 0.1            ('#' and '...')
-      R4  <= 10% of lines start with a bullet    (-, *, •)
+      R4  <= 90% of lines start with a bullet    (-, *, •)
       R5  <= 30% of lines end with an ellipsis
       R6  >= 80% of words contain an alphabetic character
       R7  >= 2 of the 8 Gopher stop words occur
@@ -677,7 +677,7 @@ def gopher_quality_filter(documents: DataFrame) -> DataFrame:
         & (mean_wlen >= 3.0)
         & (mean_wlen <= 10.0)
         & (sym <= 0.1)
-        & (bullet <= 0.1)
+        & (bullet <= 0.9)
         & (ell <= 0.3)
         & (alpha >= 0.8)
         & (F.col("stop_hits") >= 2)

@@ -1288,7 +1288,7 @@ SELECT *,
        (n_words BETWEEN 50 AND 100000)
        AND mean_word_len BETWEEN 3.0 AND 10.0
        AND symbol_ratio <= 0.1
-       AND bullet_frac <= 0.1
+       AND bullet_frac <= 0.9
        AND ellipsis_frac <= 0.3
        AND alpha_frac >= 0.8
        AND stop_hits >= 2 AS keep

@@ -515,3 +515,61 @@ def test_esql_paren_groups_and_quoted_pipes(spark):
 
     with _pt.raises(ValueError, match="unterminated"):
         run_esql(spark, sf, 'FROM documents | WHERE source == "oops | LIMIT 1')
+
+
+def test_esql_fuse_uses_branch_sort_order(spark):
+    """FUSE must rank each FORK branch by ITS OWN SORT ordering — a
+    branch sorted ts/doc_id ASC fuses with those ranks, not a guessed
+    _score DESC re-derivation (the rank is captured at FORK
+    materialization as _fork_rank)."""
+    from mario_spark.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    # branch 1 ranks doc_id ASC (so _id=0 is rank 1), branch 2 ranks
+    # doc_id DESC; neither branch's _score agrees with its SORT, so a
+    # _score-derived rank would invert branch 1.
+    got = run_esql(
+        spark, sf,
+        "FROM documents | RENAME doc_id AS _id | EVAL _score = _id * 0.0 "
+        "| FORK ( SORT _id ASC | LIMIT 3 ) ( SORT _id DESC | LIMIT 3 ) "
+        "| FUSE | SORT _score DESC, _id ASC",
+    ).collect()
+    scores = {r["_id"]: r["_score"] for r in got}
+    n_docs = 500  # sf0.001 documents rows
+    # rank-1 of each branch: _id 0 (asc) and _id n-1 (desc)
+    assert abs(scores[0] - 1.0 / 61.0) < 1e-6  # FUSE rounds 6dp
+    assert abs(scores[n_docs - 1] - 1.0 / 61.0) < 1e-6
+    # rank-2s score strictly less
+    assert scores[1] < scores[0] and scores[n_docs - 2] < scores[n_docs - 1]
+
+
+def test_esql_fuse_unranked_branch_raises(spark):
+    """A FORK feeding FUSE where no branch is rankable (no SORT, no
+    _score/_id) must raise, not fuse garbage."""
+    import pytest
+
+    from mario_spark.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="FUSE needs a FORK"):
+        run_esql(
+            spark, sf,
+            "FROM documents | FORK ( LIMIT 2 ) ( LIMIT 3 ) | FUSE",
+        )
+
+
+def test_query_string_default_field_requires_fields_index(spark, tmp_path):
+    """Passing default_field against a non-field-scoped index raises
+    instead of silently ignoring the flag (a typo'd --default-field
+    must not change nothing)."""
+    import pytest
+
+    from mario_spark.fixtures import pages_df
+    from mario_spark.index import Catalog
+
+    pages = pages_df(spark, 60, seed=3, partitions=2)
+    cat = Catalog(spark, str(tmp_path / "catalog"))
+    idx = cat.create("pages-2026-01-01t00-00-00z")
+    idx.ingest(pages, positions=True)
+    with pytest.raises(ValueError, match="no fields config"):
+        idx.search_query_string([(0, "hello")], default_field="title")
