@@ -63,6 +63,13 @@ def _as_pages(raw, source: str):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mario-spark")
     ap.add_argument("--root", default=DEFAULT_ROOT, help="catalog root dir")
+    ap.add_argument(
+        "--committer", default="file", choices=["file", "cas"],
+        help="catalog commit backend: 'file' = atomic rename "
+        "(single driver on POSIX), 'cas' = generation-keyed "
+        "conditional put (safe for CONCURRENT drivers; the shape an "
+        "S3/GCS/Iceberg backend implements)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("ping")
@@ -166,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = ap.parse_args(argv)
+    if args.committer == "cas":
+        from mario_spark.index import CasCommitter, set_committer
+
+        set_committer(CasCommitter())
     spark = _spark(args)
     cat = _catalog(spark, args)
 

@@ -62,6 +62,7 @@ class _TermData:
 
     __slots__ = (
         "raw_ids", "raw_tfs", "raw_lens", "block_max", "block_lens",
+        "first_doc", "last_doc",
         "t_idf", "avgdl", "k1", "b", "_blocks", "_full",
     )
 
@@ -69,6 +70,10 @@ class _TermData:
         self.raw_ids = rows["doc_ids"].tolist()
         self.raw_tfs = rows["tfs"].tolist()
         self.raw_lens = rows["lens"].tolist()
+        # stored per-block doc-id bounds (Lucene skip data): range
+        # pruning for conjunctive queries needs no decode
+        self.first_doc = rows["first_doc"].to_numpy(np.int64)
+        self.last_doc = rows["last_doc"].to_numpy(np.int64)
         # block-max bound from stored impacts + CURRENT collection stats
         self.block_max = block_upper_bound(
             t_idf,
@@ -141,22 +146,30 @@ def _conjunctive_scores(
     """AND semantics: docs present in EVERY term's postings, scored.
 
     Classic rarest-first sorted-list intersection (doc ids are sorted
-    within a bucket), then per-term contrib lookup via searchsorted.
-    Rarest-first also bounds decode: after the first intersection the
-    candidate id range could prune later terms' blocks by
-    (first_doc, last_doc); kept simple here — AND queries decode their
-    terms fully.
-    """
+    within a bucket), with RANGE-PRUNED decode: only the rarest term is
+    fully decoded; every later term decodes just the blocks whose
+    stored (first_doc, last_doc) span intersects a surviving candidate
+    id — the skip-pointer walk of a sorted-list intersection, done
+    block-wise on stored bounds. The final per-term contrib lookup
+    reuses the gathered arrays (no second decode)."""
     tds = sorted(tds, key=lambda t: t.n_postings)
     ids, _ = tds[0].full()
+    gathered: list[tuple[np.ndarray, np.ndarray]] = [tds[0].full()]
     for td in tds[1:]:
-        t_ids, _ = td.full()
-        ids = ids[np.isin(ids, t_ids, assume_unique=True)]
         if ids.size == 0:
             return ids, np.empty(0)
+        # block j survives iff some candidate id lies in
+        # [first_doc[j], last_doc[j]] (candidates are sorted)
+        lo = np.searchsorted(ids, td.first_doc)
+        hi = np.searchsorted(ids, td.last_doc, side="right")
+        t_ids, t_contrib = td.gather(hi > lo)
+        gathered.append((t_ids, t_contrib))
+        ids = ids[np.isin(ids, t_ids, assume_unique=True)]
+    if ids.size == 0:
+        return ids, np.empty(0)
     total = np.zeros(ids.size)
-    for td in tds:
-        t_ids, t_contrib = td.full()
+    # ids only ever shrank, so it is a subset of every gathered t_ids
+    for t_ids, t_contrib in gathered:
         pos = np.searchsorted(t_ids, ids)
         total += t_contrib[pos]
     return ids, total
@@ -196,10 +209,15 @@ def _bucket_kernel(
     live in one dbucket, so exclusion is bucket-local and exact.
 
     msm = ES minimum_should_match over the disjunctive terms: a doc
-    must match >= msm distinct query terms. msm > 1 disables the θ
-    bootstrap (a θ derived from single-term partials could exceed the
-    true k-th best among msm-satisfying docs and over-prune); the
-    block-max mask degenerates to all-live, i.e. exhaustive-in-bucket.
+    must match >= msm distinct query terms. The θ bootstrap stays
+    SOUND under msm > 1 via pigeonhole: every msm-satisfying doc
+    matches at least one of the (n_terms - msm + 1) rarest terms, so
+    those terms' postings are decoded together and θ is taken from the
+    k-th best partial among docs whose match count WITHIN that subset
+    already reaches msm (such docs provably satisfy msm, and a doc's
+    true total >= its subset partial). Decoded blocks stay in the
+    per-term cache, so the bootstrap's decode work is reused by the
+    scoring pass.
     """
     must_not = must_not or {}
     # metadata-only construction: NO decode happens here. must_not
@@ -268,6 +286,11 @@ def _bucket_kernel(
         # (max idf == min df, so pick by idf) — the only forced decode.
         # Excluded docs are masked out of the bootstrap first: θ must
         # lower-bound the k-th best among VALID docs only.
+        if msm > len(terms):
+            # all of a doc's postings live in this bucket, so no doc
+            # here can match msm distinct terms (ES: a query with
+            # fewer terms than the minimum matches nothing)
+            continue
         if msm <= 1:
             rare = max(terms, key=lambda t: idf_map[t])
             b_ids, boot = tds[rare].full()
@@ -284,7 +307,28 @@ def _bucket_kernel(
                 else -np.inf
             )
         else:
-            theta = -np.inf
+            # pigeonhole bootstrap (see docstring): decode the
+            # (n - msm + 1) rarest terms; θ = k-th best subset-partial
+            # among docs already matching >= msm terms WITHIN the subset
+            boot_terms = sorted(terms, key=lambda t: -idf_map[t])[
+                : len(terms) - msm + 1
+            ]
+            bparts = [tds[t].full() for t in boot_terms]
+            b_ids = np.concatenate([p[0] for p in bparts])
+            b_sc = np.concatenate([p[1] for p in bparts])
+            uniq_b, inv_b = np.unique(b_ids, return_inverse=True)
+            part = np.bincount(inv_b, weights=b_sc)
+            valid = np.bincount(inv_b) >= msm
+            if excl is not None:
+                valid &= ~np.isin(uniq_b, excl, assume_unique=True)
+            if allow is not None:
+                valid &= np.isin(uniq_b, allow, assume_unique=True)
+            boot = part[valid]
+            theta = (
+                float(np.partition(boot, boot.size - k)[boot.size - k])
+                if boot.size >= k
+                else -np.inf
+            )
         total_ub = sum(bucket_max[t] for t in terms)
         ids_parts, contrib_parts = [], []
         for t in terms:

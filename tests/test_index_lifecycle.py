@@ -1195,3 +1195,82 @@ def test_append_keeps_sort_and_vector_invariants(spark, root):
     assert [(r["doc_id"], r["cos"]) for r in got_k] == [
         (int(ids[i]), float(cos[i])) for i in order
     ]
+
+
+def test_cas_two_process_race_no_lost_update(tmp_path):
+    """Two real OS processes hammer CasCommitter.update_json on the
+    SAME alias-registry document concurrently. Every update must land
+    (no lost update) and the generation sequence must be dense and
+    monotone — one .g<N> file per committed update, no gaps."""
+    import subprocess
+    import sys as _sys
+
+    path = str(tmp_path / "aliases.json")
+    n_each = 30
+    worker = (
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from mario_spark.index import CasCommitter\n"
+        "c = CasCommitter()\n"
+        "who, n = sys.argv[1], int(sys.argv[2])\n"
+        "for i in range(n):\n"
+        "    c.update_json(%r, lambda a, i=i: {**(a or {}), f'{who}-{i}': [who]})\n"
+        % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), path)
+    )
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", worker, who, str(n_each)],
+            stderr=subprocess.PIPE,
+        )
+        for who in ("alpha", "beta")
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+
+    from mario_spark.index import CasCommitter
+
+    final = CasCommitter().read_json(path)
+    # no lost update: all 60 keys from both processes are present
+    want = {f"{who}-{i}" for who in ("alpha", "beta") for i in range(n_each)}
+    assert set(final) == want
+    # generation sequence is dense: exactly one file per update,
+    # numbered 1..60 with no gaps (a gap would mean a torn commit)
+    gens = sorted(
+        int(f.rsplit(".g", 1)[1])
+        for f in os.listdir(tmp_path)
+        if ".g" in f and not f.startswith("aliases.json.tmp")
+    )
+    assert gens == list(range(1, 2 * n_each + 1))
+    # monotonicity of content: each generation's registry is a superset
+    # of nothing it later loses — spot-check that gen g has exactly g keys
+    for g in (1, n_each, 2 * n_each):
+        with open(str(tmp_path / f"aliases.json.g{g}")) as f:
+            assert len(json.load(f)) == g
+
+
+def test_cli_committer_flag_selects_cas(spark, root, capsys):
+    """--committer cas routes ALL catalog mutations through the CAS
+    backend: after a promote, the registry exists as generation files
+    (no plain aliases.json), and the CLI reads it back."""
+    from mario_spark import index as idxmod
+    from mario_spark.cli import main
+
+    prev = idxmod._COMMITTER
+    try:
+        rc = main(["--root", root, "--committer", "cas", "ping"])
+        assert rc == 0
+        assert isinstance(idxmod._COMMITTER, idxmod.CasCommitter)
+        name = "pages-2026-07-01t00-00-00z"
+        os.makedirs(os.path.join(root, name), exist_ok=True)
+        assert main(["--root", root, "--committer", "cas",
+                     "promote", "-i", name]) == 0
+        assert os.path.exists(os.path.join(root, "aliases.json.g1"))
+        assert not os.path.exists(os.path.join(root, "aliases.json"))
+        capsys.readouterr()
+        assert main(["--root", root, "--committer", "cas",
+                     "aliases"]) == 0
+        out = capsys.readouterr().out
+        assert name in out
+    finally:
+        idxmod.set_committer(prev)

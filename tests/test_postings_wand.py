@@ -240,3 +240,122 @@ def test_query_session_phrase_identical_to_cold_path(spark):
         got = _canon(sess.search_phrase(DOCUMENTS_PHRASE_SET, k=10, slop=slop))
         pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
     sess.close()
+
+def _kernel_fixture(spark, seed):
+    """Single-bucket corpus + driver-side pdf/idf_map for direct
+    _bucket_kernel calls (monkeypatching can't reach Spark workers,
+    so pruning is asserted on the kernel run in-process)."""
+    pages = pages_df(spark, 3000, seed=seed, partitions=8)
+    d = docs.build_doc_table(pages).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    # one bucket = whole corpus -> head terms span many 128-doc blocks
+    post, dic, _ = build_postings(d, st_["n_docs"], range_width=1 << 20)
+    pdf = post.toPandas()
+    dic_pdf = dic.toPandas()
+    idf_map = {
+        r.term: idf(float(st_["n_docs"]), float(r.df))
+        for r in dic_pdf.itertuples()
+    }
+    return d, st_, post, dic, pdf, dic_pdf, idf_map
+
+
+def _kernel_canon(kout, k):
+    out = kout.copy()
+    out["score"] = out["score"].round(4)
+    out = out.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    ).groupby("query_id").head(k)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "doc_id", "score"]].reset_index(
+        drop=True
+    )
+
+
+def test_wand_msm_theta_prunes_blocks(spark, monkeypatch):
+    """minimum_should_match > 1 must KEEP block-max pruning: the
+    pigeonhole θ bootstrap (decode the n-msm+1 rarest terms, take the
+    k-th best partial among docs already matching >= msm within that
+    subset) prunes blocks AND stays rank-identical to the exhaustive
+    terms_set scorer. Corpus: 200 short docs strong in aaa+bbb, 200
+    long docs weak in aaa, 400 ccc-only — the weak aaa blocks must be pruned by the
+    θ bootstrapped from the strong aaa∩bbb partials."""
+    import mario_spark.wand as wand
+    from mario_spark.query import search_terms_set
+
+    rows = (
+        [(i, "aaa bbb " * 6 + "ccc") for i in range(200)]
+        + [(i, "aaa " + "filler " * 50 + "ccc") for i in range(200, 400)]
+        + [(i, "filler " * 50 + "ccc") for i in range(400, 800)]
+    )
+    d = docs.build_doc_table(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st_["n_docs"], range_width=1 << 20)
+    pdf = post.toPandas()
+    idf_map = {
+        r.term: idf(float(st_["n_docs"]), float(r.df))
+        for r in dic.toPandas().itertuples()
+    }
+
+    pruned = {"n": 0, "seen": 0}
+    orig = wand._TermData.gather
+
+    def spy(self, live):
+        pruned["n"] += int(live.size - live.sum())
+        pruned["seen"] += int(live.size)
+        return orig(self, live)
+
+    monkeypatch.setattr(wand._TermData, "gather", spy)
+    kout = wand._bucket_kernel(
+        pdf, [(0, ["aaa", "bbb", "ccc"])], idf_map, float(st_["avgdl"]),
+        10, 1.2, 0.75, msm=2,
+    )
+    assert pruned["seen"] > 0
+    assert pruned["n"] > 0, f"msm=2 pruned no blocks ({pruned})"
+    got = _kernel_canon(kout, 10)
+    want = _canon(search_terms_set(d, [(0, ["aaa", "bbb", "ccc"], 2)], k=10))
+    assert len(want) == 10
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d.unpersist()
+
+
+def test_wand_conjunctive_range_prunes_decode(spark, monkeypatch):
+    """AND queries must NOT decode later terms fully: after the
+    rarest-first intersection, a later term's block is decoded only if
+    its stored (first_doc, last_doc) span intersects a surviving
+    candidate — so the decode count stays below the query terms' total
+    block count, and results stay rank-identical to exhaustive AND."""
+    import mario_spark.wand as wand
+
+    d, st_, post, dic, pdf, dic_pdf, idf_map = _kernel_fixture(spark, 9)
+    common = dic_pdf.sort_values(["df", "term"], ascending=[False, True])
+    rare = dic_pdf[(dic_pdf["df"] >= 3) & (dic_pdf["df"] <= 8)].sort_values(
+        "term"
+    )
+    t_common, t_rare = common["term"].iloc[0], rare["term"].iloc[0]
+
+    decoded = {"n": 0}
+    orig = wand._TermData._block
+
+    def spy(self, i):
+        if i not in self._blocks and self._full is None:
+            decoded["n"] += 1
+        return orig(self, i)
+
+    monkeypatch.setattr(wand._TermData, "_block", spy)
+    kout = wand._bucket_kernel(
+        pdf, [(0, [t_rare, t_common])], idf_map, float(st_["avgdl"]),
+        10, 1.2, 0.75, conjunctive=True,
+    )
+    total_blocks = int(pdf[pdf["term"].isin([t_rare, t_common])].shape[0])
+    assert decoded["n"] < total_blocks, (
+        f"decoded {decoded['n']} of {total_blocks} blocks — range "
+        "pruning did nothing"
+    )
+    got = _kernel_canon(kout, 10)
+    q = query_terms_df(spark, [(0, f"{t_rare} {t_common}")])
+    want = _canon(query.search_exhaustive(d, q, k=10, conjunctive=True))
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    d.unpersist()
