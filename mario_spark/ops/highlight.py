@@ -72,3 +72,69 @@ def highlight_fragment(
         frag.substr(s + tlen, F.lit(frag_len)),
     )
     return d.withColumn("snippet", snippet)
+
+
+def highlight_best_passage(
+    df: DataFrame,
+    text_col: str,
+    term_weights: dict[str, float],
+    passage_words: int = 30,
+) -> DataFrame:
+    """ES/Lucene unified-highlighter contract: split the field into
+    passages, score each passage by the SUM OF MATCHED-TERM WEIGHTS
+    (the caller passes BM25 idf per term — Lucene's passage scorer),
+    return the BEST passage with every matched term wrapped in <em>.
+
+    Deterministic pinned subset of Lucene's BreakIterator behavior:
+    passages are consecutive `passage_words`-word windows over the
+    whitespace token stream; a word matches a term iff lower(word) ==
+    term; ties pick the EARLIEST passage (array_position returns the
+    first maximum). Whitespace inside the snippet is normalized to
+    single spaces (the words are re-joined).
+
+    Adds (passage, score, snippet); rows with no match are dropped.
+    Everything is whole-stage-codegen higher-order array functions —
+    no UDF, no shuffle, so it scales as a map over the hits exactly
+    like the first-match variant.
+    """
+    terms = sorted(term_weights)
+    W = int(passage_words)
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    n_pass = F.greatest(
+        F.lit(1), F.ceil(F.size(words) / F.lit(W)).cast("int")
+    )
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - F.lit(1)),
+        lambda i: F.slice(words, i * W + F.lit(1), W),
+    )
+
+    def _pscore(pw: Column) -> Column:
+        s = F.lit(0.0)
+        for t in terms:
+            s = s + F.when(
+                F.exists(pw, lambda w: F.lower(w) == F.lit(t)),
+                F.lit(float(term_weights[t])),
+            ).otherwise(F.lit(0.0))
+        return F.round(s, 4)
+
+    scores = F.transform(passages, _pscore)
+    best = F.array_position(scores, F.array_max(scores))
+    pw = F.element_at(passages, best.cast("int"))
+    snippet = F.array_join(
+        F.transform(
+            pw,
+            lambda w: F.when(
+                F.lower(w).isin(terms),
+                F.concat(F.lit("<em>"), w, F.lit("</em>")),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    return (
+        df.withColumn("passage", best.cast("long"))
+        .withColumn("score", F.element_at(scores, best.cast("int")))
+        .withColumn("snippet", snippet)
+        .filter(F.col("score") > 0)
+    )

@@ -963,6 +963,65 @@ SELECT doc_id, pos, term,
 FROM f ORDER BY doc_id LIMIT 20
 """
 
+# Mirrors ops/highlight.py highlight_best_passage: 30-word whitespace
+# passages, passage score = sum of matched-term Lucene idf (rounded
+# 4dp), earliest max passage wins, matched words wrapped in <em>,
+# whitespace normalized to single spaces.
+HIGHLIGHT_BEST_PASSAGE = f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfs AS (
+  SELECT
+    coalesce(max(CASE WHEN term = 'hash' THEN df END), 0) AS df_hash,
+    coalesce(max(CASE WHEN term = 'join' THEN df END), 0) AS df_join
+  FROM (
+    SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE term IN ('hash', 'join') GROUP BY 1
+  )
+),
+w AS (
+  SELECT ln(1 + (s.n - d.df_hash + 0.5) / (d.df_hash + 0.5)) AS w_hash,
+         ln(1 + (s.n - d.df_join + 0.5) / (d.df_join + 0.5)) AS w_join
+  FROM stats s, dfs d
+),
+p AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+pass AS (
+  SELECT doc_id, w_hash, w_join,
+         list_transform(
+           range(0, greatest(1, ceil(len(words) / 30.0))::INT),
+           i -> list_slice(words, i * 30 + 1, i * 30 + 30)) AS passages
+  FROM p, w
+),
+sc AS (
+  SELECT doc_id, passages,
+         list_transform(passages, pw -> round(
+           CASE WHEN len(list_filter(pw, x -> lower(x) = 'hash')) > 0
+                THEN w_hash ELSE 0 END
+           + CASE WHEN len(list_filter(pw, x -> lower(x) = 'join')) > 0
+                  THEN w_join ELSE 0 END, 4)) AS scores
+  FROM pass
+),
+b AS (
+  SELECT doc_id, passages, scores,
+         list_position(scores, list_aggregate(scores, 'max')) AS best
+  FROM sc
+)
+SELECT doc_id, best::BIGINT AS passage,
+       scores[best] AS score,
+       array_to_string(
+         list_transform(passages[best],
+           x -> CASE WHEN lower(x) IN ('hash', 'join')
+                     THEN '<em>' || x || '</em>' ELSE x END), ' ')
+         AS snippet
+FROM b WHERE scores[best] > 0
+ORDER BY doc_id LIMIT 20
+"""
+
 FACET_TERMS_LANG = f"""
 WITH {_TOKS_CTE},
 hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'join'),
@@ -5806,6 +5865,7 @@ SELECT qdoc AS query_id, rank, mdoc AS doc_id, score FROM rk WHERE rank <= 5
     "winnow_fingerprints": WINNOW_FINGERPRINTS,
     "multimodal_decode": MULTIMODAL_DECODE,
     "highlight_fragments": HIGHLIGHT_FRAGMENTS,
+    "highlight_best_passage": HIGHLIGHT_BEST_PASSAGE,
     "facet_terms_lang": FACET_TERMS_LANG,
     "agg_terms_sharded": """
 WITH per AS (

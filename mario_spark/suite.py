@@ -1707,6 +1707,34 @@ def highlight_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def highlight_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES unified highlighter: 30-word passages scored by the sum of
+    matched-term BM25 idf ('hash', 'join'), best (earliest-max)
+    passage returned with every matched word wrapped in <em>. The idf
+    weights come from the corpus dictionary; the passage walk is pure
+    codegen array HOFs (ops/highlight.py). First 20 matching docs."""
+    from mario_spark.ops import highlight
+    from mario_spark.postings import idf as _idf
+
+    terms = ["hash", "join"]
+    dt = _doc_table(spark, sf_dir)
+    n_docs = float(docs.corpus_stats(dt).collect()[0]["n_docs"])
+    tf = query.term_frequencies(dt)
+    dfs = {
+        r["term"]: float(r["df"])
+        for r in tf.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    weights = {t: _idf(n_docs, dfs.get(t, 0.0)) for t in terms}
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = highlight.highlight_best_passage(d, "text", weights)
+    return out.select("doc_id", "passage", "score", "snippet").orderBy(
+        "doc_id"
+    ).limit(20)
+
+
 def facet_terms_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms aggregation (the facet behind every TIMDEX UI filter):
     buckets of `lang` over docs matching the term query 'join', with a
@@ -3992,6 +4020,7 @@ SUITE = {
     "winnow_fingerprints": winnow_fingerprints,
     "multimodal_decode": multimodal_decode,
     "highlight_fragments": highlight_fragments,
+    "highlight_best_passage": highlight_best_passage,
     "facet_terms_lang": facet_terms_lang,
     "agg_stats_lang": agg_stats_lang,
     "agg_date_histogram": agg_date_histogram,

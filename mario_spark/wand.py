@@ -52,6 +52,25 @@ from mario_spark.query import B, K1, SCORE_DECIMALS
 _EPS = 1e-9
 
 
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest leading run of the regex that must match literally —
+    the prefix window a terms-index walk can seek to (Lucene compiles
+    the automaton and intersects it with the FST; the literal prefix
+    is the cheap sound subset of that). Conservative: alternation
+    anywhere disables the prefix, and a char followed by a quantifier
+    is excluded (it may match zero times)."""
+    if "|" in pattern:
+        return ""
+    out = []
+    for i, c in enumerate(pattern):
+        if not (c.isalnum() or c == "_"):
+            break
+        if i + 1 < len(pattern) and pattern[i + 1] in "*?+{":
+            break
+        out.append(c)
+    return "".join(out)
+
+
 class _TermData:
     """One term's posting blocks within one dbucket — LAZY decode.
 
@@ -546,6 +565,11 @@ class QuerySession:
             if cache_dictionary
             else None
         )
+        # sorted term array for bisect prefix windows (built lazily) —
+        # the in-heap shape of Lucene's terms-index FST: multi-term
+        # expansion walks only the matching prefix RANGE, not the
+        # whole vocabulary
+        self._vocab_arr: list[str] | None = None
 
     def warm(self) -> "QuerySession":
         self.postings.count()
@@ -889,31 +913,39 @@ class QuerySession:
                 out.setdefault(int(r["query_id"]), []).append(r["term"])
             return out
 
-        vocab = self._df_map.keys()
         out = {}
         for qid, q in queries:
             if kind == "fuzzy":
                 pfx = q[:prefix_length]
                 hits = [
                     t
-                    for t in vocab
+                    for t in self._prefix_window(pfx)
                     if t[:prefix_length] == pfx
                     and fuzzymod.levenshtein_le(t, q, max_edits)
                 ]
             elif kind == "prefix":
-                hits = [t for t in vocab if t.startswith(q)]
+                hits = list(self._prefix_window(q))
             elif kind == "wildcard":
-                # * -> .*, ? -> . over re-escaped literals; whole-term
+                # * -> .*, ? -> . over re-escaped literals; whole-term.
+                # The literal run before the first metachar bounds the
+                # scan to its prefix window (a LEADING wildcard windows
+                # nothing — the ES docs warn those are O(vocab) there
+                # too; the distributed fallback handles web vocab).
+                lit = _re.match(r"[^*?]*", q).group(0)
                 pat = _re.compile(
                     ".*".join(
                         ".".join(_re.escape(p) for p in part.split("?"))
                         for part in q.split("*")
                     )
                 )
-                hits = [t for t in vocab if pat.fullmatch(t)]
+                hits = [t for t in self._prefix_window(lit) if pat.fullmatch(t)]
             elif kind == "regexp":
                 pat = _re.compile(q)
-                hits = [t for t in vocab if pat.fullmatch(t)]
+                hits = [
+                    t
+                    for t in self._prefix_window(_regex_literal_prefix(q))
+                    if pat.fullmatch(t)
+                ]
             else:
                 raise ValueError(
                     f"kind must be fuzzy|prefix|wildcard|regexp, got {kind!r}"
@@ -921,6 +953,22 @@ class QuerySession:
             if hits:
                 out.setdefault(int(qid), []).extend(hits)
         return out
+
+    def _prefix_window(self, pfx: str) -> list[str]:
+        """All vocabulary terms starting with `pfx`, via bisect over
+        the sorted term array — O(log V + window) instead of O(V).
+        Empty prefix returns the whole vocabulary (sorted)."""
+        import bisect
+
+        if self._vocab_arr is None:
+            self._vocab_arr = sorted(self._df_map)
+        arr = self._vocab_arr
+        if not pfx:
+            return arr
+        lo = bisect.bisect_left(arr, pfx)
+        # every string starting with pfx sorts < pfx + chr(0x10FFFF)
+        hi = bisect.bisect_right(arr, pfx + "\U0010ffff", lo=lo)
+        return arr[lo:hi]
 
     def search_multiterm(
         self,

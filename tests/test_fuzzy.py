@@ -242,3 +242,62 @@ def test_filter_and_must_not_compose(spark):
         check_exact=False, atol=1e-9,
     )
     d.unpersist()
+
+
+def test_warm_expansion_scans_only_prefix_window(spark, monkeypatch):
+    """The warm-path multi-term expansion must walk a bisect prefix
+    WINDOW of the sorted vocabulary, not the whole dictionary: on a
+    100k-term vocab, a fuzzy query with prefix_length=2 may invoke the
+    Levenshtein check only for terms sharing the 2-char prefix, and
+    prefix/wildcard/regexp expansions return the identical hits the
+    full scan would."""
+    import re
+
+    import mario_spark.fuzzy as fuzzymod
+    import mario_spark.wand as wand
+
+    # synthetic 10x vocabulary: 100k terms over many prefixes
+    vocab = {f"w{i:05d}": i % 97 + 1 for i in range(100_000)}
+    vocab.update({"join": 3, "joim": 2, "joint": 4, "zeta": 5})
+
+    sess = object.__new__(wand.QuerySession)
+    sess._df_map = vocab
+    sess._vocab_arr = None
+
+    calls = {"n": 0}
+    orig = fuzzymod.levenshtein_le
+
+    def spy(a, b, m):
+        calls["n"] += 1
+        return orig(a, b, m)
+
+    monkeypatch.setattr(fuzzymod, "levenshtein_le", spy)
+    got = wand.QuerySession._expand(
+        sess, [(0, "joim")], "fuzzy", max_edits=1, prefix_length=2
+    )
+    window = [t for t in vocab if t[:2] == "jo"]
+    assert calls["n"] <= len(window) < 100  # not the 100k vocab
+    assert sorted(got[0]) == ["joim", "join"]
+
+    # prefix: identical to the full-scan answer
+    got = wand.QuerySession._expand(sess, [(1, "w0042")], "prefix", 1, 1)
+    assert sorted(got[1]) == sorted(
+        t for t in vocab if t.startswith("w0042")
+    )
+
+    # wildcard with literal head: windowed, same hits as full scan
+    got = wand.QuerySession._expand(sess, [(2, "w999?7")], "wildcard", 1, 1)
+    pat = re.compile(r"w999.7")
+    assert sorted(got[2]) == sorted(t for t in vocab if pat.fullmatch(t))
+
+    # leading wildcard still works (full scan — the documented O(V)
+    # case, as in ES)
+    got = wand.QuerySession._expand(sess, [(3, "*eta")], "wildcard", 1, 1)
+    assert got[3] == ["zeta"]
+
+    # regexp: literal prefix extracted, quantified char excluded
+    got = wand.QuerySession._expand(sess, [(4, "joi?nt?")], "regexp", 1, 1)
+    assert sorted(got[4]) == ["join", "joint"]
+    assert wand._regex_literal_prefix("joi?nt?") == "jo"
+    assert wand._regex_literal_prefix("ab|cd") == ""
+    assert wand._regex_literal_prefix("w00.2") == "w00"

@@ -573,3 +573,29 @@ def test_query_string_default_field_requires_fields_index(spark, tmp_path):
     idx.ingest(pages, positions=True)
     with pytest.raises(ValueError, match="no fields config"):
         idx.search_query_string([(0, "hello")], default_field="title")
+
+
+def test_highlight_best_passage_picks_highest_idf_sum(spark):
+    """The unified-highlighter contract: a LATER passage matching both
+    terms must beat an earlier passage matching only the common term,
+    every matched word in the winning passage gets wrapped, and
+    no-match rows are dropped."""
+    from mario_spark.ops.highlight import highlight_best_passage
+
+    filler = " ".join(f"f{i}" for i in range(30))
+    rows = [
+        # passage 1: only 'hash'; passage 2: 'hash' AND 'join' -> wins
+        (0, "hash " + " ".join(f"a{i}" for i in range(29))
+            + " join hash z"),
+        (1, filler),                      # no match -> dropped
+        (2, "x Join y"),                  # case-insensitive match
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = highlight_best_passage(
+        d, "text", {"hash": 2.0, "join": 1.0}, passage_words=30
+    ).toPandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 2]
+    assert out.loc[0, "passage"] == 2 and out.loc[0, "score"] == 3.0
+    assert out.loc[0, "snippet"] == "<em>join</em> <em>hash</em> z"
+    assert out.loc[2, "passage"] == 1 and out.loc[2, "score"] == 1.0
+    assert out.loc[2, "snippet"] == "x <em>Join</em> y"
