@@ -78,18 +78,14 @@ def minhash_lsh_pairs(
     -> (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
     jaccard rounded to 4dp.
     """
-    rows_per_band = n_hashes // n_bands
     # tokenize ONCE: signatures and the Jaccard verify share the same
-    # (doc_id, term) frame instead of re-running the pandas tokenizer
+    # (doc_id, term) frame instead of re-running the pandas tokenizer;
+    # band keys come from the single-pass posexplode (one signature agg
+    # total, not one per band)
     terms = distinct_terms(documents).persist()
-    sigs = minhash_signatures(documents, n_hashes, terms=terms)
-    bands = None
-    for b in range(n_bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = sigs.select(
-            "doc_id", F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = minhash_band_keys(
+        documents, n_hashes, n_bands, terms=terms
+    ).select("doc_id", "band_key")
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(r, F.col("l.band_key") == F.col("r.band_key"))
@@ -119,22 +115,23 @@ def minhash_band_keys(
     """
     rpb = n_hashes // n_bands
     sigs = minhash_signatures(documents, n_hashes, terms=terms)
-    parts = [
-        sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
+    # ONE pass: a union-of-selects would re-run the signature agg (the
+    # expensive groupBy over the token stream) once per band; building
+    # all band digests as an array and posexploding computes the
+    # signatures exactly once
+    band_arr = F.array(
+        *[
             F.md5(
                 F.concat_ws(
                     "|", *[f"mh{b * rpb + r}" for r in range(rpb)]
                 )
-            ).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "band_key")
+    )
 
 
 def incremental_near_dup(
@@ -155,12 +152,26 @@ def incremental_near_dup(
     are never generated. Verification computes exact Jaccard on
     candidate pairs only.
     """
-    # tokenize each half exactly ONCE and persist: the (doc_id, term)
-    # frames feed BOTH the band-key build and the Jaccard verify (they
-    # were previously recomputed ~4x — the pandas tokenize UDF dominated
-    # the whole pipeline's runtime)
-    tn = distinct_terms(new_docs).persist()
-    to = distinct_terms(old_docs).persist()
+    # tokenize BOTH halves in one tagged pass and persist: the
+    # (doc_id, term) frame feeds the band-key build of each half AND
+    # the Jaccard verify (doc ids must be disjoint across halves —
+    # they are two filters of one corpus). One Spark job materializes
+    # the cache with both halves' tokenization running concurrently,
+    # instead of two half-parallel jobs + re-derived verify input.
+    tagged = new_docs.select(
+        F.lit(True).alias("_new"), "doc_id", "text"
+    ).unionByName(
+        old_docs.select(F.lit(False).alias("_new"), "doc_id", "text")
+    )
+    terms = (
+        tagged.select(
+            "_new", "doc_id", F.explode(tokenize_udf("text")).alias("term")
+        )
+        .distinct()
+        .persist()
+    )
+    tn = terms.filter(F.col("_new")).select("doc_id", "term")
+    to = terms.filter(~F.col("_new")).select("doc_id", "term")
     nb = minhash_band_keys(new_docs, n_hashes, n_bands, terms=tn).select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
     )
@@ -168,8 +179,9 @@ def incremental_near_dup(
         F.col("doc_id").alias("doc_b"), "band", "band_key"
     )
     cand = nb.join(ob, ["band", "band_key"]).select("doc_a", "doc_b").distinct()
-    terms = tn.unionByName(to)
-    return _verify_jaccard(terms, cand, threshold).select(
+    return _verify_jaccard(
+        terms.select("doc_id", "term"), cand, threshold
+    ).select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("old_doc"),
         "jaccard",
