@@ -501,6 +501,172 @@ def semdedup(
     )
 
 
+def knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine k-NN GRAPH over the whole vector table —
+    (src, rank, dst, cos) with k rows per src, self-edges excluded,
+    ties on the 4dp-rounded cosine breaking dst asc. The graph is the
+    building block HNSW constructs incrementally; batch pipelines
+    (SemDeDup clustering, diversity sampling, label propagation) want
+    it materialized as a table, which a distributed matmul builds
+    directly — see the HNSW position note in SURVEY §6.
+
+    Shape: the src side broadcasts as ONE normalized query matrix in
+    the task closure (N x d doubles — fine to the ~10^6-vector range);
+    each candidate partition runs a single (N x d) @ (d x b) BLAS
+    matmul and emits only its local top-k per src (rounded-score,
+    dst-asc selection, so a tie at the global k-th boundary can never
+    be dropped locally); the only exchange carries
+    O(partitions x N x k) rows into the per-src rank window. Beyond
+    broadcastable N, use knn_graph_ivf (cell-local matmuls).
+    """
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    qids = rows["vec_id"].to_numpy(np.int64)
+    Q = np.array(list(rows["embedding"]), dtype=np.float64)
+    Qn = Q / _safe_norm(Q)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            order_ids = np.argsort(ids)  # id-asc columns => stable
+            ids = ids[order_ids]         # argsort ties pick lower dst
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)[order_ids]
+            Vn = V / _safe_norm(V)
+            cos = Qn @ Vn.T  # (N, b)
+            cos[qids[:, None] == ids[None, :]] = -np.inf  # self
+            # SELECT on the global criterion (4dp-rounded desc, dst
+            # asc — stable argsort over id-asc columns) so a tie at
+            # the k-th rounded score is never dropped locally; EMIT
+            # raw, the JVM F.round applies the repo's half-up rule
+            sel = np.round(cos, 4)
+            kk = min(k, cos.shape[1])
+            top = np.argsort(-sel, axis=1, kind="stable")[:, :kk]
+            vals = np.take_along_axis(cos, top, axis=1).ravel()
+            keep = vals > -np.inf
+            yield pd.DataFrame(
+                {
+                    "src": np.repeat(qids, kk)[keep],
+                    "dst": ids[top.ravel()][keep],
+                    "cos": vals[keep],
+                }
+            )
+
+    local = embeddings.select("vec_id", "embedding").mapInPandas(
+        kernel, "src long, dst long, cos double"
+    )
+    s = local.withColumn("cos", F.round("cos", 4))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("src", "rank", "dst", "cos")
+    )
+
+
+def knn_graph_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    centroid_ids: list[int] | None = None,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """Approximate k-NN graph via IVF cells — the 10^9-vector path
+    knn_graph's docstring points to. Every vector probes its
+    `n_probe` nearest cells (top-n_probe emitted by the SAME
+    broadcast-centroid mapInPandas matmul that assigns cells — no
+    corpus-sized rank window); candidates are the members of probed
+    cells; each cell group runs ONE local probers x members matmul
+    (applyInPandas keyed on cell) and emits local top-k per src; the
+    global per-src rank window merges O(n_probe x k) rows per vector.
+
+    -> (src, rank, dst, cos), k rows per src max (fewer when the
+    probed cells hold < k other vectors — the recall trade IVF makes).
+    """
+    cids = centroid_ids or DEFAULT_CENTROID_IDS
+    cents = embeddings.filter(F.col("vec_id").isin(cids)).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    crows = sorted(
+        cents.select("cell", "cvec").collect(), key=lambda r: r["cell"]
+    )
+    cid = np.array([r["cell"] for r in crows], dtype=np.int64)
+    C = np.array([r["cvec"] for r in crows], dtype=np.float64)
+    csq = (C * C).sum(axis=1)
+    npb = min(n_probe, len(cid))
+
+    def probe_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + csq[None, :]
+            # top-n_probe cells, distance asc / cell-id asc ties: the
+            # cid array is sorted, so a stable argsort on d suffices
+            top = np.argsort(d, axis=1, kind="stable")[:, :npb]
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["cell0"] = cid[top[:, 0]]  # rn=1 == the assignment
+            out["probes"] = list(cid[top])
+            yield out
+
+    probed = embeddings.select("vec_id", "embedding").mapInPandas(
+        probe_kernel,
+        "vec_id long, embedding array<float>, cell0 long, "
+        "probes array<long>",
+    )
+    members = probed.select(
+        F.lit("m").alias("role"), "vec_id", "embedding",
+        F.col("cell0").alias("cell"),
+    )
+    probers = probed.select(
+        F.lit("p").alias("role"), "vec_id", "embedding",
+        F.explode("probes").alias("cell"),
+    )
+    both = members.unionByName(probers)
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["role"] == "p"].sort_values("vec_id")
+        m = pdf[pdf["role"] == "m"].sort_values("vec_id")
+        if not len(p) or not len(m):
+            return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
+                {"src": "int64", "dst": "int64", "cos": "float64"}
+            )
+        P = np.array(list(p["embedding"]), dtype=np.float64)
+        M = np.array(list(m["embedding"]), dtype=np.float64)
+        pid = p["vec_id"].to_numpy(np.int64)
+        mid = m["vec_id"].to_numpy(np.int64)
+        cos = (P / _safe_norm(P)) @ (M / _safe_norm(M)).T
+        cos[pid[:, None] == mid[None, :]] = -np.inf
+        sel = np.round(cos, 4)  # same select-rounded/emit-raw contract
+        kk = min(k, cos.shape[1])
+        top = np.argsort(-sel, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(cos, top, axis=1).ravel()
+        keep = vals > -np.inf
+        return pd.DataFrame(
+            {
+                "src": np.repeat(pid, kk)[keep],
+                "dst": mid[top.ravel()][keep],
+                "cos": vals[keep],
+            }
+        )
+
+    local = both.groupBy("cell").applyInPandas(
+        cell_kernel, "src long, dst long, cos double"
+    )
+    # (src, dst) pairs are already unique — a dst's member row lives in
+    # exactly one cell — so the only exchange left is the rank window
+    s = local.withColumn("cos", F.round("cos", 4))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("src", "rank", "dst", "cos")
+    )
+
+
 def rrf_hybrid(
     doc_table: DataFrame,
     query_terms: DataFrame,

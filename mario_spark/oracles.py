@@ -2075,6 +2075,84 @@ _COS64 = (
     " * ({B}[i]::DOUBLE / sqrt(list_sum(list_transform(generate_series(1, 64), j -> {B}[j]::DOUBLE * {B}[j]::DOUBLE)))))))"
 )
 
+# Exact 5-NN graph: every vector vs every other, per-element
+# normalized product sum (same FP op order as _COS64), rank per src.
+KNN_GRAPH_EXACT = """
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE
+           / sqrt(list_sum(list_transform(embedding,
+               y -> y::DOUBLE * y::DOUBLE)))) AS ne
+  FROM embeddings
+),
+sc AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_sum(list_transform(generate_series(1, 64),
+               i -> a.ne[i] * b.ne[i])), 4) AS cos
+  FROM nv a, nv b WHERE a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos DESC, dst ASC) AS rank
+  FROM sc
+)
+SELECT src, rank, dst, cos FROM rk WHERE rank <= 5
+"""
+
+
+def _knn_graph_ivf_oracle() -> str:
+    from mario_spark.ops.ann import DEFAULT_CENTROID_IDS, IVF_N_PROBE
+
+    cids = ", ".join(str(c) for c in DEFAULT_CENTROID_IDS)
+    sq = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+        " * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  WHERE vec_id IN ({cids})
+),
+dist AS (
+  SELECT e.vec_id, c.cell, {sq} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+rk AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM dist
+),
+assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+probe AS (SELECT vec_id AS src, cell FROM rk WHERE rn <= {IVF_N_PROBE}),
+nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE
+           / sqrt(list_sum(list_transform(embedding,
+               y -> y::DOUBLE * y::DOUBLE)))) AS ne
+  FROM embeddings
+),
+sc AS (
+  SELECT p.src, a.vec_id AS dst,
+         round(list_sum(list_transform(generate_series(1, 64),
+               i -> s.ne[i] * t.ne[i])), 4) AS cos
+  FROM probe p
+  JOIN assign a USING (cell)
+  JOIN nv s ON s.vec_id = p.src
+  JOIN nv t ON t.vec_id = a.vec_id
+  WHERE a.vec_id <> p.src
+),
+rk2 AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos DESC, dst ASC) AS rank
+  FROM sc
+)
+SELECT src, rank, dst, cos FROM rk2 WHERE rank <= 5
+"""
+
+
 ANN_BRUTE_TOPK = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
 sc AS (
@@ -5859,6 +5937,8 @@ SELECT qdoc AS query_id, rank, mdoc AS doc_id, score FROM rk WHERE rank <= 5
 """,
     "ann_lsh_pairs": _ann_lsh_oracle(),
     "ann_ivf_topk": _ann_ivf_oracle(),
+    "knn_graph_exact": KNN_GRAPH_EXACT,
+    "knn_graph_ivf": _knn_graph_ivf_oracle(),
     "lang_id": _lang_id_oracle(),
     "quality_score": _quality_oracle(),
     "gopher_quality": GOPHER_QUALITY,

@@ -1129,6 +1129,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(e, ANN_QUERY_IDS, k=10)
 
 
+def knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine 5-NN graph over the embeddings table — one
+    broadcast-matrix matmul per partition, local top-k per src, tiny
+    per-src rank merge (ops/ann.knn_graph; the batch twin of an HNSW
+    build, SURVEY §6 position note)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.knn_graph(e, k=5)
+
+
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 5-NN graph via IVF cells (n_probe=2): every vector
+    probes its 2 nearest sampled-centroid cells, candidates are cell
+    members, per-cell local matmuls — the 10^9-vector shape of
+    knn_graph_exact (ops/ann.knn_graph_ivf)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.knn_graph_ivf(e, k=5)
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import textstats
 
@@ -4014,6 +4036,8 @@ SUITE = {
     "ann_maxsim_topk": ann_maxsim_topk,
     "ann_lsh_pairs": ann_lsh_pairs,
     "ann_ivf_topk": ann_ivf_topk,
+    "knn_graph_exact": knn_graph_exact,
+    "knn_graph_ivf": knn_graph_ivf,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "gopher_quality": gopher_quality,

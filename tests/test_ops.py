@@ -599,3 +599,33 @@ def test_highlight_best_passage_picks_highest_idf_sum(spark):
     assert out.loc[0, "snippet"] == "<em>join</em> <em>hash</em> z"
     assert out.loc[2, "passage"] == 1 and out.loc[2, "score"] == 1.0
     assert out.loc[2, "snippet"] == "x <em>Join</em> y"
+
+
+def test_knn_graph_matches_numpy_and_ivf_is_subset(spark):
+    """knn_graph == the NxN numpy reference on every src; knn_graph_ivf
+    returns edges whose endpoints share a probed cell, each edge's cos
+    agreeing with the exact graph's value for that (src, dst)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ann.knn_graph(e, k=5).toPandas()
+    pdf = e.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = np.round(Vn @ Vn.T, 4)
+    np.fill_diagonal(cos, -np.inf)
+    for i, src in enumerate(ids):
+        order = np.lexsort((ids, -cos[i]))[:5]
+        sub = got[got["src"] == src].sort_values("rank")
+        assert sub["dst"].tolist() == ids[order].tolist(), src
+        np.testing.assert_allclose(
+            sub["cos"].to_numpy(), cos[i][order], atol=1e-9
+        )
+    # ivf variant: 5 edges per src here (probed cells hold >= 5
+    # others), and each edge's cos equals the exact pairwise value
+    ivf = ann.knn_graph_ivf(e, k=5).toPandas()
+    assert (ivf.groupby("src").size() == 5).all()
+    pos = {v: i for i, v in enumerate(ids)}
+    for r in ivf.itertuples():
+        assert abs(cos[pos[r.src], pos[r.dst]] - r.cos) < 1e-9
