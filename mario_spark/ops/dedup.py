@@ -797,15 +797,9 @@ def lsh_audit(
     truth = _verify_jaccard(terms, share, threshold).select(
         "doc_a", "doc_b"
     )
-    rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(sample, n_hashes, terms=terms)
-    bands = None
-    for b in range(n_bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = sigs.select(
-            "doc_id", F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = minhash_band_keys(
+        sample, n_hashes, n_bands, terms=terms
+    ).select("doc_id", "band_key")
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(r, F.col("l.band_key") == F.col("r.band_key"))
@@ -815,32 +809,36 @@ def lsh_audit(
         )
         .distinct()
     )
-    hit = truth.join(cand, ["doc_a", "doc_b"])
-    nt = truth.agg(F.count("*").cast("long").alias("n_true"))
-    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
-    nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
-    return (
-        nt.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(nh))
-        .select(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            F.round(
-                F.when(
-                    F.col("n_true") > 0,
-                    F.col("n_hit") / F.col("n_true"),
-                ).otherwise(F.lit(0.0)),
-                4,
-            ).alias("recall"),
-            F.round(
-                F.when(
-                    F.col("n_cand") > 0,
-                    F.col("n_hit") / F.col("n_cand"),
-                ).otherwise(F.lit(0.0)),
-                4,
-            ).alias("precision"),
-        )
+    # ONE evaluation of each side: a separate agg per count would
+    # re-run the verify and the band join once per branch (truth and
+    # cand were each computed twice); the full outer join + single agg
+    # computes all three counts in one pass
+    j = truth.withColumn("t", F.lit(1)).join(
+        cand.withColumn("c", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    return j.agg(
+        F.sum("t").cast("long").alias("n_true"),
+        F.sum("c").cast("long").alias("n_cand"),
+        F.sum(
+            F.coalesce(F.col("t"), F.lit(0))
+            * F.coalesce(F.col("c"), F.lit(0))
+        ).cast("long").alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.when(
+                F.col("n_true") > 0, F.col("n_hit") / F.col("n_true")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand")
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("precision"),
     )
 
 
