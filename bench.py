@@ -192,6 +192,9 @@ def main() -> None:
         "agg_geo_line",
         "mixture_resample",
         "exact_substring_dedup",
+        "knn_graph_exact",          # batch k-NN graph (HNSW twin)
+        "knn_graph_ivf",            # cell-bucketed 10^9-vector shape
+        "highlight_best_passage",   # unified-highlighter passage scorer
     ]:
         if name in SUITE:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())

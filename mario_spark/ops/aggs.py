@@ -1397,6 +1397,44 @@ def _cidr_bounds(cidr: str) -> tuple[int, int]:
     return lo, lo + span
 
 
+def ip_prefix_agg(
+    df: DataFrame, ip_col: str, prefix_length: int, min_doc_count: int = 1
+) -> DataFrame:
+    """ES ip_prefix agg (8.1+): one bucket per network prefix of
+    `prefix_length` bits — key = the masked dotted-quad address,
+    plus the prefix_length ES echoes into every bucket. One hash agg
+    over the codegen numeric form (mask = integer floor-div/multiply,
+    no UDF); buckets sort by the numeric prefix ascending, ES's order.
+    min_doc_count mirrors the agg's bucket-pruning knob (default 1,
+    as in ES).
+    -> (key, prefix_length, doc_count)
+    """
+    if not 0 <= prefix_length <= 32:
+        raise ValueError(f"prefix_length must be in [0, 32]: {prefix_length}")
+    span = 1 << (32 - prefix_length)
+    ipl = ipv4_to_long(ip_col)
+    pfx = (F.floor(ipl / span) * span).cast("long")
+    key = F.concat_ws(
+        ".",
+        (F.floor(F.col("_pfx") / 16777216) % 256).cast("int"),
+        (F.floor(F.col("_pfx") / 65536) % 256).cast("int"),
+        (F.floor(F.col("_pfx") / 256) % 256).cast("int"),
+        (F.col("_pfx") % 256).cast("int"),
+    )
+    return (
+        df.select(pfx.alias("_pfx"))
+        .groupBy("_pfx")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_doc_count)
+        .orderBy("_pfx")
+        .select(
+            key.alias("key"),
+            F.lit(prefix_length).cast("int").alias("prefix_length"),
+            "doc_count",
+        )
+    )
+
+
 def ip_range_agg(
     df: DataFrame,
     ip_col: str,

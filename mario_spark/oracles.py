@@ -5438,6 +5438,28 @@ SELECT '10.32.0.0/11', count(*) FILTER (ipl >= 169869312 AND ipl < 171966464)
 FROM ips
 """
 
+AGG_IP_PREFIX = """
+WITH ips AS (
+  SELECT 10 * 16777216
+         + (user_id % 64) * 65536
+         + (floor(event_id / 256)::BIGINT % 256) * 256
+         + (event_id % 256) AS ipl
+  FROM events
+),
+b AS (
+  SELECT (floor(ipl / 4096)::BIGINT * 4096) AS pfx,
+         count(*)::BIGINT AS doc_count
+  FROM ips GROUP BY 1
+)
+SELECT printf('%d.%d.%d.%d',
+              (floor(pfx / 16777216)::BIGINT % 256),
+              (floor(pfx / 65536)::BIGINT % 256),
+              (floor(pfx / 256)::BIGINT % 256),
+              (pfx % 256)) AS key,
+       20::INT AS prefix_length, doc_count
+FROM b ORDER BY pfx
+"""
+
 HOST_CAP_KEEP = """
 WITH d AS (
   SELECT doc_id, n_chars,
@@ -6174,6 +6196,7 @@ FROM k
     "bloom_decontaminate": BLOOM_DECONTAMINATE,
     "training_order": TRAINING_ORDER,
     "agg_ip_range": AGG_IP_RANGE,
+    "agg_ip_prefix": AGG_IP_PREFIX,
     "agg_children": AGG_CHILDREN,
     "host_cap_keep": HOST_CAP_KEEP,
     "cluster_mixture_weights": _cluster_mixture_oracle(),

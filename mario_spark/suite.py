@@ -3648,6 +3648,26 @@ def agg_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_prefix agg (8.1+): buckets per /20 network prefix over the
+    deterministic event-derived ip field — masked dotted-quad key +
+    echoed prefix_length, numeric-ascending order, one hash agg
+    (ops/aggs.ip_prefix_agg)."""
+    from mario_spark.ops import aggs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            F.lit(10),
+            F.pmod(F.col("user_id"), F.lit(64)).cast("string"),
+            F.pmod(F.floor(F.col("event_id") / 256), F.lit(256)).cast("string"),
+            F.pmod(F.col("event_id"), F.lit(256)).cast("string"),
+        ),
+    )
+    return aggs.ip_prefix_agg(ev, "ip", prefix_length=20)
+
+
 def agg_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `children` aggregation: terms bucket on a parent field
     (customer.c_mktsegment) with metrics over each bucket's child docs
@@ -4197,6 +4217,7 @@ SUITE = {
     "bloom_decontaminate": bloom_decontaminate,
     "training_order": training_order,
     "agg_ip_range": agg_ip_range,
+    "agg_ip_prefix": agg_ip_prefix,
     "agg_children": agg_children,
     "bpe_train_merges": bpe_train_merges,
     "bpe_encode_tokens": bpe_encode_tokens,
