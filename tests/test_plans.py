@@ -759,3 +759,48 @@ def test_synonym_graph_no_cartesian(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(search_synonym_graph(d, SYNONYM_GRAPH_SET, k=10))
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_plans_are_matmul_shaped(spark):
+    """knn_graph: one MapInPandas over the candidate scan (broadcast
+    query matrix rides the closure), no cartesian/NLJ, and the only
+    wide operators are the per-src rank window's exchange. The IVF
+    variant groups by cell (FlatMapGroupsInPandas) — again no
+    cartesian product anywhere."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = _plan(ann.knn_graph(e, k=5))
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # local top-k bounds the window input: the plan sorts AFTER the
+    # python stage, never the raw N x N pair stream
+    p2 = _plan(ann.knn_graph_ivf(e, k=5))
+    assert "FlatMapGroupsInPandas" in p2
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_ip_prefix_single_hash_agg(spark):
+    """ip_prefix agg: exactly one aggregation pair (partial+final) over
+    the scan — the mask is codegen arithmetic, no UDF, no join."""
+    from mario_spark.ops import aggs
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ip",
+        F.concat_ws(
+            ".", F.lit(10),
+            F.pmod(F.col("user_id"), F.lit(64)).cast("string"),
+            F.pmod(F.floor(F.col("event_id") / 256), F.lit(256)).cast("string"),
+            F.pmod(F.col("event_id"), F.lit(256)).cast("string"),
+        ),
+    )
+    p = _plan(aggs.ip_prefix_agg(ev, "ip", 20))
+    # formatted mode prints each node in the tree AND in the details
+    # section; count tree nodes only
+    assert p.count(") HashAggregate") == 2  # partial + final
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
