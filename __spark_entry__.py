@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rounds 1-2 drove the bm25/fuzzy/phrase/field families; round 3
 # surfaces geo grids, pipeline aggs, suggesters, ES|QL, ANN, dedup).
 _R3_ROTATION = [
-    "highlight_best_passage", "esql_fuse", "gopher_quality",
+    "highlight_best_passage", "knn_graph_exact", "knn_graph_ivf",
+    "agg_ip_prefix", "esql_fuse", "gopher_quality",
     "agg_geotile_grid", "agg_geohash_grid", "agg_geo_distance_rings",
     "geo_bbox", "agg_geo_centroid", "agg_geo_bounds", "geo_sort_topk",
     "geo_polygon_query", "agg_pipeline_monthly", "agg_bucket_selector",
