@@ -11,8 +11,8 @@ bench:            ## headline paths at sf0.1 on local[32] (one JSON line)
 bench-small:      ## fast iteration loop at sf0.01
 	SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
 
-scaling:          ## N vs 4N-core throughput evidence -> BENCH/BASELINE.md
-	python scripts/scaling_bench.py 800000 2
+scaling:          ## 1 vs 4 executor-JVM fleets -> BENCH/BASELINE.md
+	python scripts/scaling_bench.py 1600000 2 1,4
 
 pyfiles:          ## build dist/mario_spark.zip for spark-submit --py-files
 	bash scripts/make_pyfiles.sh
