@@ -65,7 +65,10 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 # The two executor-fleet sizes (must keep the 4x ratio the rule names).
-N, N4 = 2, 8
+# Default 1,4: the 2,8 upper level (16 busy cores + JVM overhead) sits
+# past this box's measured memory-bandwidth knee and measures the bus,
+# not the job (see BENCH/BASELINE.md round-2 interpretation).
+N, N4 = 1, 4
 CORES_PER_EXEC = 2
 SHM = "/dev/shm/bench"
 
