@@ -25,34 +25,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Families the per-round correctness sample hasn't covered yet are
-# listed first so a prefix sample exercises NEW operators each round
-# (rounds 1-2 drove the bm25/fuzzy/phrase/field families; round 3
-# surfaces geo grids, pipeline aggs, suggesters, ES|QL, ANN, dedup).
-_R3_ROTATION = [
-    "highlight_best_passage", "knn_graph_exact", "knn_graph_ivf",
-    "agg_ip_prefix", "esql_fuse", "gopher_quality",
-    "agg_geotile_grid", "agg_geohash_grid", "agg_geo_distance_rings",
-    "geo_bbox", "agg_geo_centroid", "agg_geo_bounds", "geo_sort_topk",
-    "geo_polygon_query", "agg_pipeline_monthly", "agg_bucket_selector",
-    "agg_max_bucket", "agg_bucket_sort", "agg_serial_diff",
-    "agg_cumulative_cardinality", "agg_moving_percentiles",
-    "agg_normalize", "agg_rate", "agg_stats_bucket", "term_suggest",
-    "term_suggest_popular", "phrase_suggest", "completion_suggest_fuzzy",
-    "completion_suggest_context", "terms_enum", "esql_stats",
-    "esql_enrich", "esql_fork", "esql_lookup_join", "esql_inlinestats",
-    "esql_change_point", "esql_grok", "esql_dissect", "ann_ivf_topk",
-    "ann_pq_topk", "ann_ivfpq_topk", "ann_bit_rescore",
-    "ann_maxsim_topk", "ann_filtered_topk", "incremental_minhash_dedup",
-    "dedup_components", "dedup_keep_best", "exact_substring_dedup",
-    "url_dedup", "semdedup_keep", "ccnet_buckets", "pii_redact",
-    "rank_eval_bm25",
+# listed first so a prefix sample exercises NEW operators each round.
+# Rounds 1-2 drove the bm25/fuzzy/phrase/field families; round 3
+# covered geo grids, pipeline aggs, suggesters, ES|QL, ANN, dedup.
+# Round 4: exactly 50 queries never sampled by the driver in r1-r3
+# (the three that fell past r3's 50-cut first, then the span /
+# parent-child / EQL / ES|QL-scalar / agg long-tail families, plus the
+# two formerly rows-only queries which now carry pinned value oracles).
+_R4_ROTATION = [
+    "ccnet_buckets", "pii_redact", "rank_eval_bm25",
+    "bpe_train_merges", "pack_best_fit_pieces",
+    "span_or_topk", "span_not_topk", "span_multi_topk",
+    "span_first_topk", "span_containing_topk", "span_within_topk",
+    "has_child_topk", "has_parent_match", "nested_query_match",
+    "agg_reverse_nested",
+    "eql_sequence_vp", "eql_sequence_until", "eql_sequence3_vcp",
+    "esql_eval", "esql_median", "esql_stats_where", "esql_mv_expand",
+    "esql_date_fns", "esql_string_fns", "esql_mv_fns", "esql_case",
+    "esql_count_distinct", "esql_where_dates", "esql_eval_fns",
+    "agg_date_histogram", "agg_percentiles", "agg_cardinality_users",
+    "agg_top_hits", "agg_significant_terms", "agg_significant_text",
+    "agg_composite_page", "agg_extended_stats", "agg_filters",
+    "agg_rare_terms", "agg_multi_terms", "agg_adjacency_matrix",
+    "agg_auto_date_histogram", "agg_matrix_stats", "agg_t_test",
+    "agg_boxplot", "agg_top_metrics", "agg_weighted_avg",
+    "agg_string_stats", "query_string_topk", "multifield_cross_topk",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mario_spark.suite import SUITE
 
-    out = {n: SUITE[n] for n in _R3_ROTATION if n in SUITE}
+    out = {n: SUITE[n] for n in _R4_ROTATION if n in SUITE}
     out.update(SUITE)
     return out
 

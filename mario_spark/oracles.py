@@ -5840,7 +5840,39 @@ SELECT query_id, rank, vec_id, cos FROM rk WHERE rank <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# Pinned-fixture oracles for the two queries whose feedback loops SQL
+# cannot express (iterative BPE training; FFD bin packing).  The
+# expected outputs are generated ONCE per scale factor by pure-Python
+# reference implementations sharing no code with the Spark kernels
+# (scripts/gen_rows_only_fixtures.py — the same references the pytest
+# twins encode), pinned as parquet under tests/fixtures/, and selected
+# by corpus mass: sf0.001 and sf0.01 both hold 500 docs, but their
+# SUM(n_chars) differs (153156 / 149174 / 1485576), so the sf-agnostic
+# SQL below resolves the right pinned rows for whichever corpus the
+# driver registered as the `documents` view.  An unknown corpus matches
+# zero fixture rows, failing the row-count gate loudly rather than
+# silently passing.
+from pathlib import Path as _Path
+
+_FIXDIR = _Path(__file__).resolve().parent.parent / "tests" / "fixtures"
+
+BPE_TRAIN_MERGES = f"""
+SELECT rank, "left", "right"
+FROM read_parquet('{_FIXDIR}/bpe_train_merges.parquet')
+WHERE corpus_chars = (SELECT SUM(n_chars) FROM documents)
+"""
+
+PACK_BEST_FIT_PIECES = f"""
+SELECT doc_id, shard, piece_idx, n_tokens, bin_id, bin_fill
+FROM read_parquet('{_FIXDIR}/pack_best_fit_pieces.parquet')
+WHERE corpus_chars = (SELECT SUM(n_chars) FROM documents)
+"""
+
+
 ORACLES: dict[str, str] = {
+    "bpe_train_merges": BPE_TRAIN_MERGES,
+    "pack_best_fit_pieces": PACK_BEST_FIT_PIECES,
     "doc_lengths": DOC_LENGTHS,
     "term_df": TERM_DF,
     "corpus_stats": CORPUS_STATS,

@@ -3782,9 +3782,11 @@ def host_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_best_fit_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit sequence packing (Ding et al. 2024 / Llama-3): FFD
     bin-packing per shard so no doc under seq_len is ever split
-    (ops/sample.pack_best_fit). Rows-only in the driver gate (the FFD
-    loop is not SQL-expressible); invariants + packing-quality bound
-    are pytest-verified (test_ops.test_pack_best_fit_*)."""
+    (ops/sample.pack_best_fit). The FFD loop is not SQL-expressible,
+    so the oracle reads a pinned fixture generated by an independent
+    pure-Python reference (scripts/gen_rows_only_fixtures.py), keyed
+    on corpus mass; invariants + packing-quality bound additionally
+    pytest-verified (test_ops.test_pack_best_fit_*)."""
     from mario_spark.ops.sample import pack_best_fit
 
     return pack_best_fit(_documents(spark, sf_dir), seq_len=256, n_shards=8)
@@ -3795,8 +3797,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge rules learned over the corpus char stream, one alphabet-
     bounded hash agg per iteration, deterministic tie-breaks. The
     feedback loop (each rule changes the next tokenization) is not
-    SQL-expressible, so this entry has no oracle — pytest pins it
-    against a pure-python reference instead."""
+    SQL-expressible, so the oracle reads a pinned fixture generated by
+    an independent pure-Python trainer
+    (scripts/gen_rows_only_fixtures.py), keyed on corpus mass; pytest
+    additionally pins the loop on a hand corpus."""
     from mario_spark.ops.textstats import bpe_train
 
     merges = bpe_train(_documents(spark, sf_dir), n_merges=5)
