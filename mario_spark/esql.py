@@ -715,8 +715,15 @@ def run_esql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{m.group(1)}.parquet")
     else:
         raise ValueError(f"ES|QL: bad FROM {stages[0]!r}")
-    for stage in stages[1:]:
-        df = _apply_stage(spark, sf_dir, df, stage)
+    kws = [s.split(None, 1)[0].upper() for s in stages]
+    for i, stage in enumerate(stages[1:], start=1):
+        # FORK materializes per-branch ranks (_fork_rank) ONLY when a
+        # FUSE stage later consumes them — a plain FORK output must
+        # match ES|QL's column contract (no internal rank column).
+        df = _apply_stage(
+            spark, sf_dir, df, stage,
+            fuse_follows="FUSE" in kws[i + 1:],
+        )
     return df
 
 
@@ -751,10 +758,17 @@ def _parse_sort_order(body: str) -> list:
 
 
 def _apply_stage(
-    spark: SparkSession, sf_dir: str, df: DataFrame, stage: str
+    spark: SparkSession,
+    sf_dir: str,
+    df: DataFrame,
+    stage: str,
+    fuse_follows: bool = False,
 ) -> DataFrame:
-    kw, _, body = stage.partition(" ")
-    kw = kw.upper()
+    # whitespace-agnostic keyword split: tabs/newlines after the
+    # command word are legal ES|QL (partition(" ") would swallow them)
+    parts = stage.split(None, 1)
+    kw = parts[0].upper()
+    body = parts[1] if len(parts) > 1 else ""
     if kw == "WHERE":
         df = _where(df, body)
     elif kw == "EVAL":
@@ -900,10 +914,16 @@ def _apply_stage(
                 b = _apply_stage(spark, sf_dir, b, st)
                 kw2 = st.split(None, 1)[0].upper()
                 if kw2 == "SORT":
-                    last_sort = st.partition(" ")[2]
-                elif kw2 not in ("LIMIT", "KEEP", "DROP", "RENAME"):
+                    # whitespace-agnostic body extraction (tabs and
+                    # newlines between SORT and its keys are legal)
+                    last_sort = st.split(None, 1)[1]
+                elif kw2 not in (
+                    "LIMIT", "KEEP", "DROP", "RENAME", "WHERE",
+                ):
                     # a later collapsing stage (STATS, MV_EXPAND, ...)
-                    # invalidates the captured ordering
+                    # invalidates the captured ordering; WHERE is a
+                    # filter — it preserves relative order, so the
+                    # declared SORT still ranks the surviving rows
                     last_sort = None
             if last_sort is not None:
                 keys = [
@@ -911,15 +931,29 @@ def _apply_stage(
                     for p in last_sort.split(",")
                 ]
                 if not all(c in b.columns for c in keys):
-                    # a KEEP/DROP/RENAME after SORT removed a sort key;
-                    # the declared ordering is no longer derivable
+                    # a KEEP/DROP/RENAME after SORT removed a sort key:
+                    # the branch DECLARED an ordering that is no longer
+                    # derivable — fusing on a substituted _score order
+                    # would silently contradict it, so refuse
+                    if fuse_follows:
+                        raise ValueError(
+                            f"ES|QL: FORK branch {i} sorts by "
+                            f"{last_sort!r} but a later KEEP/DROP/"
+                            "RENAME removed the sort key(s); FUSE "
+                            "cannot rank the branch — keep the sort "
+                            "keys in the branch output"
+                        )
                     last_sort = None
             # Capture the branch's rank AT materialization, from the
             # ordering its own SORT declared — FUSE must not guess it
             # back from _score (a branch sorted by ts ASC would get
             # silently wrong RRF ranks). Fallback for un-sorted scoring
             # branches: ES's own tie-break, _score DESC / _id ASC.
-            if last_sort is not None:
+            # Only when a FUSE stage actually consumes the ranks: a
+            # plain FORK emits ES|QL's own columns, nothing internal.
+            if not fuse_follows:
+                order = None
+            elif last_sort is not None:
                 order = _parse_sort_order(last_sort)
             elif "_score" in b.columns and "_id" in b.columns:
                 order = [F.desc("_score"), F.asc("_id")]

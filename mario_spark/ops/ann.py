@@ -501,7 +501,11 @@ def semdedup(
     )
 
 
-def knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    max_broadcast_vectors: int = 1_000_000,
+) -> DataFrame:
     """Exact cosine k-NN GRAPH over the whole vector table —
     (src, rank, dst, cos) with k rows per src, self-edges excluded,
     ties on the 4dp-rounded cosine breaking dst asc. The graph is the
@@ -518,7 +522,21 @@ def knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
     be dropped locally); the only exchange carries
     O(partitions x N x k) rows into the per-src rank window. Beyond
     broadcastable N, use knn_graph_ivf (cell-local matmuls).
+
+    COUNT-GATED: the exact algorithm needs every vector as a query, so
+    the query matrix is inherently corpus-sized; above
+    `max_broadcast_vectors` this function raises (before collecting
+    anything to the driver) and points at knn_graph_ivf rather than
+    OOM-ing the driver on a 10^9-row table.
     """
+    n = embeddings.count()
+    if n > max_broadcast_vectors:
+        raise ValueError(
+            f"knn_graph (exact) would broadcast {n} vectors as the "
+            f"driver-side query matrix (cap {max_broadcast_vectors}); "
+            "use knn_graph_ivf for corpora beyond the broadcastable "
+            "range, or raise max_broadcast_vectors explicitly"
+        )
     rows = (
         embeddings.select("vec_id", "embedding")
         .toPandas()
@@ -542,8 +560,11 @@ def knn_graph(embeddings: DataFrame, k: int = 5) -> DataFrame:
             # SELECT on the global criterion (4dp-rounded desc, dst
             # asc — stable argsort over id-asc columns) so a tie at
             # the k-th rounded score is never dropped locally; EMIT
-            # raw, the JVM F.round applies the repo's half-up rule
-            sel = np.round(cos, 4)
+            # raw. Half-up rounding (floor(x*1e4+0.5), wand.py's
+            # convention) matches the JVM F.round(HALF_UP) the global
+            # window ranks by — np.round's half-even would disagree at
+            # exact .00005 boundaries, the tie case this guards.
+            sel = np.floor(cos * 1e4 + 0.5)
             kk = min(k, cos.shape[1])
             top = np.argsort(-sel, axis=1, kind="stable")[:, :kk]
             vals = np.take_along_axis(cos, top, axis=1).ravel()
@@ -640,7 +661,8 @@ def knn_graph_ivf(
         mid = m["vec_id"].to_numpy(np.int64)
         cos = (P / _safe_norm(P)) @ (M / _safe_norm(M)).T
         cos[pid[:, None] == mid[None, :]] = -np.inf
-        sel = np.round(cos, 4)  # same select-rounded/emit-raw contract
+        # same select-rounded/emit-raw contract; half-up to match F.round
+        sel = np.floor(cos * 1e4 + 0.5)
         kk = min(k, cos.shape[1])
         top = np.argsort(-sel, axis=1, kind="stable")[:, :kk]
         vals = np.take_along_axis(cos, top, axis=1).ravel()

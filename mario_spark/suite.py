@@ -36,10 +36,26 @@ _DOC_CACHE: dict = {}
 def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DOC_CACHE:
+        # Bounded cache: a long-lived session sweeping several scale
+        # factors must not accumulate one persisted table per sf in
+        # executor memory — evict (and unpersist) every other entry of
+        # THIS application before building the new one. Cross-app keys
+        # are dead weight only in the dict, never in executors.
+        for old in [
+            o for o in _DOC_CACHE
+            if o[0] == key[0] and o != key
+        ]:
+            _DOC_CACHE.pop(old).unpersist()
         _DOC_CACHE[key] = docs.build_doc_table(
             documents_as_pages(spark, sf_dir)
         ).persist()
     return _DOC_CACHE[key]
+
+
+def clear_doc_cache() -> None:
+    """Unpersist and drop every cached doc table (bench-driver hook)."""
+    while _DOC_CACHE:
+        _DOC_CACHE.popitem()[1].unpersist()
 
 
 # ------------------------------------------------------------- text / index

@@ -966,8 +966,18 @@ class QuerySession:
         if not pfx:
             return arr
         lo = bisect.bisect_left(arr, pfx)
-        # every string starting with pfx sorts < pfx + chr(0x10FFFF)
-        hi = bisect.bisect_right(arr, pfx + "\U0010ffff", lo=lo)
+        # Exclusive upper bound: increment pfx's last code point (with
+        # carry past U+10FFFF) — the smallest string greater than EVERY
+        # string prefixed by pfx. (The naive pfx+chr(0x10FFFF) sentinel
+        # wrongly excludes terms like pfx+'\U0010ffff'+x, which sort
+        # above it.)
+        ub = None
+        for i in range(len(pfx) - 1, -1, -1):
+            c = ord(pfx[i])
+            if c < 0x10FFFF:
+                ub = pfx[:i] + chr(c + 1)
+                break
+        hi = len(arr) if ub is None else bisect.bisect_left(arr, ub, lo=lo)
         return arr[lo:hi]
 
     def search_multiterm(

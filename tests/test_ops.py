@@ -629,3 +629,118 @@ def test_knn_graph_matches_numpy_and_ivf_is_subset(spark):
     pos = {v: i for i, v in enumerate(ids)}
     for r in ivf.itertuples():
         assert abs(cos[pos[r.src], pos[r.dst]] - r.cos) < 1e-9
+
+
+def test_knn_graph_count_gate_never_collects_big_corpus(spark, monkeypatch):
+    """Above max_broadcast_vectors the exact knn_graph must raise with a
+    pointer to knn_graph_ivf BEFORE any driver-side materialization —
+    a 10^9-row corpus gets an actionable error, not a driver OOM."""
+    import pytest
+    from pyspark.sql import DataFrame
+
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def boom(self, *a, **k):
+        raise AssertionError("toPandas() called on the gated path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    with pytest.raises(ValueError, match="knn_graph_ivf"):
+        ann.knn_graph(e, k=5, max_broadcast_vectors=10)
+
+
+def test_fork_without_fuse_has_no_rank_column(spark):
+    """A FORK not consumed by FUSE must emit ES|QL's own columns — no
+    internal _fork_rank — even when a branch ends in SORT."""
+    from mario_spark.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    out = run_esql(
+        spark, sf,
+        "FROM documents | FORK ( SORT doc_id ASC | LIMIT 3 ) "
+        "( SORT doc_id DESC | LIMIT 3 ) | SORT _fork ASC, doc_id ASC",
+    )
+    assert "_fork_rank" not in out.columns
+    assert out.count() == 6
+
+
+def test_fork_fuse_whitespace_sort_and_where_after_sort(spark):
+    """Rank capture must survive tab/newline whitespace after SORT and
+    keep the declared ordering across a later WHERE (filters preserve
+    relative order, so ranks come from the branch's own SORT over the
+    surviving rows, not a _score fallback)."""
+    from mario_spark.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    got = run_esql(
+        spark, sf,
+        "FROM documents | RENAME doc_id AS _id | EVAL _score = _id * 0.0 "
+        "| FORK ( SORT\t_id\nASC | WHERE _id >= 2 | LIMIT 3 ) "
+        "( SORT _id DESC | LIMIT 3 ) "
+        "| FUSE | SORT _score DESC, _id ASC",
+    ).collect()
+    scores = {r["_id"]: r["_score"] for r in got}
+    # branch 1 survivors are _id 2,3,4 -> ranks 1,2,3 by its OWN sort;
+    # a _score-fallback would rank ties by _id asc too, so also pin the
+    # branch-2 side where _score order would invert the ranks
+    assert abs(scores[2] - 1.0 / 61.0) < 1e-6
+    assert scores[3] < scores[2] and scores[4] < scores[3]
+    n = 500
+    assert abs(scores[n - 1] - 1.0 / 61.0) < 1e-6
+
+
+def test_fork_fuse_dropped_sort_key_raises(spark):
+    """A FUSE-feeding branch that SORTs then DROPs its sort key has an
+    underivable declared ordering: raise, never silently substitute a
+    _score order that may contradict it."""
+    import pytest
+
+    from mario_spark.esql import run_esql
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="removed the sort key"):
+        run_esql(
+            spark, sf,
+            "FROM documents | RENAME doc_id AS _id "
+            "| EVAL _score = TO_DOUBLE(n_chars) "
+            "| FORK ( SORT n_chars ASC | LIMIT 3 | DROP n_chars ) "
+            "( SORT _id DESC | LIMIT 3 ) | FUSE",
+        )
+
+
+def test_prefix_window_includes_max_codepoint_terms():
+    """The bisect window's exclusive upper bound must be derived by
+    code-point increment: a vocabulary term pfx+U+10FFFF+suffix sorts
+    ABOVE the naive pfx+chr(0x10FFFF) sentinel yet still matches the
+    prefix, so the old bound silently dropped it."""
+    from mario_spark.wand import QuerySession
+
+    s = QuerySession.__new__(QuerySession)
+    weird = "ab\U0010ffffz"
+    s._df_map = {t: 1 for t in ["aa", "ab", "abc", weird, "ac", "b"]}
+    s._vocab_arr = None
+    got = s._prefix_window("ab")
+    assert got == ["ab", "abc", weird]
+    # all-U+10FFFF prefix: no finite upper bound, window runs to end
+    s2 = QuerySession.__new__(QuerySession)
+    s2._df_map = {"\U0010ffff": 1, "\U0010ffff\U0010ffffx": 1, "a": 1}
+    s2._vocab_arr = None
+    assert s2._prefix_window("\U0010ffff") == [
+        "\U0010ffff", "\U0010ffff\U0010ffffx"
+    ]
+
+
+def test_doc_cache_evicts_other_sf_dirs(spark):
+    """The suite's persisted doc-table cache must hold at most ONE
+    entry per application (ADVICE: unbounded growth across sf sweeps)."""
+    from mario_spark import suite
+
+    suite.clear_doc_cache()
+    suite._doc_table(spark, "/root/testdata/sf0.001")
+    a = suite._doc_table(spark, "/root/testdata/sf0.01")
+    assert len(suite._DOC_CACHE) == 1
+    # same-sf call is a cache hit (no rebuild, same object)
+    assert suite._doc_table(spark, "/root/testdata/sf0.01") is a
+    suite.clear_doc_cache()
+    assert len(suite._DOC_CACHE) == 0
