@@ -516,6 +516,26 @@ def search_wand(
     )
 
 
+def _prefix_range(arr: list[str], pfx: str) -> tuple[int, int]:
+    """[lo, hi) window of `arr` (sorted) holding every string with
+    prefix `pfx`. The exclusive upper bound increments pfx's last code
+    point (with carry past U+10FFFF) — the smallest string greater than
+    EVERY string prefixed by pfx; a naive pfx+chr(0x10FFFF) sentinel
+    wrongly excludes terms containing U+10FFFF right after the prefix,
+    which sort above it."""
+    import bisect
+
+    lo = bisect.bisect_left(arr, pfx)
+    ub = None
+    for i in range(len(pfx) - 1, -1, -1):
+        c = ord(pfx[i])
+        if c < 0x10FFFF:
+            ub = pfx[:i] + chr(c + 1)
+            break
+    hi = len(arr) if ub is None else bisect.bisect_left(arr, ub, lo=lo)
+    return lo, hi
+
+
 class QuerySession:
     """Warm query-serving handle — the coordinating-node state a search
     engine keeps between queries, made explicit:
@@ -568,8 +588,10 @@ class QuerySession:
         # sorted term array for bisect prefix windows (built lazily) —
         # the in-heap shape of Lucene's terms-index FST: multi-term
         # expansion walks only the matching prefix RANGE, not the
-        # whole vocabulary
+        # whole vocabulary. The reversed-term twin serves leading
+        # wildcards (*suffix) the same way — Lucene's reverse-field.
         self._vocab_arr: list[str] | None = None
+        self._rvocab_arr: list[str] | None = None
 
     def warm(self) -> "QuerySession":
         self.postings.count()
@@ -927,18 +949,27 @@ class QuerySession:
                 hits = list(self._prefix_window(q))
             elif kind == "wildcard":
                 # * -> .*, ? -> . over re-escaped literals; whole-term.
-                # The literal run before the first metachar bounds the
-                # scan to its prefix window (a LEADING wildcard windows
-                # nothing — the ES docs warn those are O(vocab) there
-                # too; the distributed fallback handles web vocab).
+                # The LONGER of the two literal runs bounds the scan:
+                # the run before the first metachar -> forward prefix
+                # window; the run after the last metachar -> suffix
+                # window over the REVERSED-term array (Lucene's
+                # reverse-field trick), so a leading wildcard *suffix
+                # is O(log V + window) too, not O(vocab). Only a
+                # both-ends-open pattern (*a*, ?a?) walks the vocab.
                 lit = _re.match(r"[^*?]*", q).group(0)
+                tail = _re.search(r"[^*?]*$", q).group(0)
                 pat = _re.compile(
                     ".*".join(
                         ".".join(_re.escape(p) for p in part.split("?"))
                         for part in q.split("*")
                     )
                 )
-                hits = [t for t in self._prefix_window(lit) if pat.fullmatch(t)]
+                cands = (
+                    self._prefix_window(lit)
+                    if len(lit) >= len(tail)
+                    else self._suffix_window(tail)
+                )
+                hits = [t for t in cands if pat.fullmatch(t)]
             elif kind == "regexp":
                 pat = _re.compile(q)
                 hits = [
@@ -958,27 +989,28 @@ class QuerySession:
         """All vocabulary terms starting with `pfx`, via bisect over
         the sorted term array — O(log V + window) instead of O(V).
         Empty prefix returns the whole vocabulary (sorted)."""
-        import bisect
-
         if self._vocab_arr is None:
             self._vocab_arr = sorted(self._df_map)
         arr = self._vocab_arr
         if not pfx:
             return arr
-        lo = bisect.bisect_left(arr, pfx)
-        # Exclusive upper bound: increment pfx's last code point (with
-        # carry past U+10FFFF) — the smallest string greater than EVERY
-        # string prefixed by pfx. (The naive pfx+chr(0x10FFFF) sentinel
-        # wrongly excludes terms like pfx+'\U0010ffff'+x, which sort
-        # above it.)
-        ub = None
-        for i in range(len(pfx) - 1, -1, -1):
-            c = ord(pfx[i])
-            if c < 0x10FFFF:
-                ub = pfx[:i] + chr(c + 1)
-                break
-        hi = len(arr) if ub is None else bisect.bisect_left(arr, ub, lo=lo)
+        lo, hi = _prefix_range(arr, pfx)
         return arr[lo:hi]
+
+    def _suffix_window(self, sfx: str) -> list[str]:
+        """All vocabulary terms ENDING with `sfx`, via bisect over a
+        reversed-term sorted array — Lucene's reverse-field trick for
+        leading wildcards: *suffix becomes a prefix window over the
+        reversed vocabulary, O(log V + window) instead of O(V). Built
+        lazily on the first leading-wildcard query; empty suffix
+        returns the whole vocabulary."""
+        if getattr(self, "_rvocab_arr", None) is None:
+            self._rvocab_arr = sorted(t[::-1] for t in self._df_map)
+        arr = self._rvocab_arr
+        if not sfx:
+            return [t[::-1] for t in arr]
+        lo, hi = _prefix_range(arr, sfx[::-1])
+        return [t[::-1] for t in arr[lo:hi]]
 
     def search_multiterm(
         self,

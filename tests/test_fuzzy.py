@@ -290,10 +290,30 @@ def test_warm_expansion_scans_only_prefix_window(spark, monkeypatch):
     pat = re.compile(r"w999.7")
     assert sorted(got[2]) == sorted(t for t in vocab if pat.fullmatch(t))
 
-    # leading wildcard still works (full scan — the documented O(V)
-    # case, as in ES)
+    # leading wildcard: windowed over the REVERSED-term array (Lucene's
+    # reverse-field trick) — the candidate scan must be suffix-window
+    # sized, nowhere near the 100k vocab
+    scans = {}
+    orig_sw = wand.QuerySession._suffix_window
+
+    def spy_sw(self, sfx):
+        out = orig_sw(self, sfx)
+        scans[sfx] = len(out)
+        return out
+
+    monkeypatch.setattr(wand.QuerySession, "_suffix_window", spy_sw)
     got = wand.QuerySession._expand(sess, [(3, "*eta")], "wildcard", 1, 1)
     assert got[3] == ["zeta"]
+    assert scans == {"eta": 1}  # one candidate scanned, not 100k
+
+    # mixed-literal wildcard picks the LONGER literal run as its window:
+    # head 'w' (1 char) loses to tail '042' (3 chars) over reversed terms
+    got = wand.QuerySession._expand(sess, [(5, "w*042")], "wildcard", 1, 1)
+    import re as _re2
+
+    pat = _re2.compile(r"w.*042")
+    assert sorted(got[5]) == sorted(t for t in vocab if pat.fullmatch(t))
+    assert scans["042"] == sum(t.endswith("042") for t in vocab) < 2000
 
     # regexp: literal prefix extracted, quantified char excluded
     got = wand.QuerySession._expand(sess, [(4, "joi?nt?")], "regexp", 1, 1)
