@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -64,11 +65,14 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mario-spark")
     ap.add_argument("--root", default=DEFAULT_ROOT, help="catalog root dir")
     ap.add_argument(
-        "--committer", default="file", choices=["file", "cas"],
+        "--committer", default="file", choices=["file", "cas", "s3"],
         help="catalog commit backend: 'file' = atomic rename "
         "(single driver on POSIX), 'cas' = generation-keyed "
         "conditional put (safe for CONCURRENT drivers; the shape an "
-        "S3/GCS/Iceberg backend implements)",
+        "S3/GCS/Iceberg backend implements), 's3' = the same CAS loop "
+        "through an S3-compatible If-None-Match put client (in-sandbox "
+        "a file-backed fake under <root>/.objectstore; real S3 is a "
+        "client swap)",
     )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -177,6 +181,15 @@ def main(argv: list[str] | None = None) -> int:
         from mario_spark.index import CasCommitter, set_committer
 
         set_committer(CasCommitter())
+    elif args.committer == "s3":
+        from mario_spark.index import ObjectStoreCommitter, set_committer
+        from mario_spark.objectstore import FakeS3Store
+
+        set_committer(
+            ObjectStoreCommitter(
+                FakeS3Store(os.path.join(args.root, ".objectstore"))
+            )
+        )
     spark = _spark(args)
     cat = _catalog(spark, args)
 

@@ -188,6 +188,59 @@ class CasCommitter(Committer):
         raise RuntimeError(f"update contention on {path}")
 
 
+class ObjectStoreCommitter(CasCommitter):
+    """CasCommitter over an S3-compatible conditional-put client
+    (objectstore.FakeS3Store in-sandbox; boto3 against real S3 is a
+    constructor swap — the client surface is put_object/get_object/
+    list_keys with ``If-None-Match: *`` put semantics, real S3 API
+    since 2024-08).
+
+    Inherits the whole read(gen) -> mutate -> put-if(gen+1) retry loop
+    from CasCommitter; only the two storage primitives differ —
+    `_latest` lists ``<path>.g<N>`` keys and reads the highest,
+    `_put_if` is one conditional put whose 412 is the lost race.
+
+    Atomicity-contract parity with the reference: mario promotes an
+    index through a single aliases POST that removes and adds in one
+    action list (reference pkg/client/elastic.go:113-125 — "actions
+    happen atomically"), so readers see the old or the new index,
+    never neither. Here the same all-or-nothing visibility is one
+    conditional put of the next registry generation: concurrent
+    promoters serialize on the 412, and a reader always loads a fully
+    committed generation.
+    """
+
+    def __init__(self, client) -> None:
+        super().__init__()
+        self.client = client
+
+    def _latest(self, path: str) -> tuple[int, dict | None]:
+        best, body = 0, None
+        pfx = path + ".g"
+        for key in self.client.list_keys(pfx):
+            try:
+                g = int(key[len(pfx):])
+            except ValueError:
+                continue
+            if g > best:
+                best = g
+        if best:
+            body = json.loads(self.client.get_object(f"{path}.g{best}"))
+        return best, body
+
+    def _put_if(self, path: str, gen: int, obj: dict) -> bool:
+        from mario_spark.objectstore import PreconditionFailed
+
+        body = json.dumps(obj, indent=1, sort_keys=True).encode()
+        try:
+            self.client.put_object(
+                f"{path}.g{gen}", body, if_none_match="*"
+            )
+            return True
+        except PreconditionFailed:
+            return False
+
+
 _COMMITTER = FileCommitter()
 
 

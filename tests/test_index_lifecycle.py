@@ -1274,3 +1274,115 @@ def test_cli_committer_flag_selects_cas(spark, root, capsys):
         assert name in out
     finally:
         idxmod.set_committer(prev)
+
+
+def test_fake_s3_conditional_put_semantics(tmp_path):
+    """The fake must honor S3's documented conditional-write contract:
+    If-None-Match '*' creates atomically or fails 412; unconditional
+    put overwrites; get of a missing key is 404; listing is by raw-key
+    prefix even for slash-bearing keys."""
+    import pytest
+
+    from mario_spark.objectstore import FakeS3Store, NoSuchKey, PreconditionFailed
+
+    s = FakeS3Store(str(tmp_path / "store"))
+    etag = s.put_object("cat/aliases.json.g1", b'{"a":1}', if_none_match="*")
+    assert isinstance(etag, str) and len(etag) == 32
+    with pytest.raises(PreconditionFailed):
+        s.put_object("cat/aliases.json.g1", b'{"a":2}', if_none_match="*")
+    assert s.get_object("cat/aliases.json.g1") == b'{"a":1}'  # loser invisible
+    s.put_object("cat/aliases.json.g1", b'{"a":3}')  # unconditional wins
+    assert s.get_object("cat/aliases.json.g1") == b'{"a":3}'
+    with pytest.raises(NoSuchKey):
+        s.get_object("cat/absent")
+    s.put_object("cat/aliases.json.g2", b"{}", if_none_match="*")
+    s.put_object("other/x", b"{}")
+    assert s.list_keys("cat/aliases.json.g") == [
+        "cat/aliases.json.g1", "cat/aliases.json.g2",
+    ]
+
+
+def test_objectstore_two_process_race_no_lost_update(tmp_path):
+    """Two real OS processes hammer ObjectStoreCommitter.update_json on
+    the SAME registry document through one shared FakeS3Store. Same
+    bar as the CasCommitter race: every update lands, and the
+    generation key sequence is dense 1..2n — the contract a real
+    S3 If-None-Match backend inherits unchanged (reference parity:
+    elastic.go's single-POST atomic alias swap)."""
+    import subprocess
+    import sys as _sys
+
+    store = str(tmp_path / "store")
+    path = "catalog/aliases.json"
+    n_each = 30
+    worker = (
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from mario_spark.index import ObjectStoreCommitter\n"
+        "from mario_spark.objectstore import FakeS3Store\n"
+        "c = ObjectStoreCommitter(FakeS3Store(%r))\n"
+        "who, n = sys.argv[1], int(sys.argv[2])\n"
+        "for i in range(n):\n"
+        "    c.update_json(%r, lambda a, i=i: {**(a or {}), f'{who}-{i}': [who]})\n"
+        % (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            store,
+            path,
+        )
+    )
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", worker, who, str(n_each)],
+            stderr=subprocess.PIPE,
+        )
+        for who in ("alpha", "beta")
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+
+    from mario_spark.index import ObjectStoreCommitter
+    from mario_spark.objectstore import FakeS3Store
+
+    s = FakeS3Store(store)
+    final = ObjectStoreCommitter(s).read_json(path)
+    want = {f"{who}-{i}" for who in ("alpha", "beta") for i in range(n_each)}
+    assert set(final) == want
+    gens = sorted(
+        int(k.rsplit(".g", 1)[1]) for k in s.list_keys(path + ".g")
+    )
+    assert gens == list(range(1, 2 * n_each + 1))
+    # each generation is a fully committed registry of exactly g keys
+    for g in (1, n_each, 2 * n_each):
+        assert len(json.loads(s.get_object(f"{path}.g{g}"))) == g
+
+
+def test_cli_committer_flag_selects_s3(spark, root, capsys):
+    """--committer s3 routes ALL catalog mutations through the
+    object-store backend: after a promote the registry exists only as
+    generation keys in the store (no plain aliases.json on the catalog
+    root), and the CLI reads it back through the same client."""
+    from mario_spark import index as idxmod
+    from mario_spark.cli import main
+    from mario_spark.objectstore import FakeS3Store
+
+    prev = idxmod._COMMITTER
+    try:
+        rc = main(["--root", root, "--committer", "s3", "ping"])
+        assert rc == 0
+        assert isinstance(idxmod._COMMITTER, idxmod.ObjectStoreCommitter)
+        name = "pages-2026-07-02t00-00-00z"
+        os.makedirs(os.path.join(root, name), exist_ok=True)
+        assert main(["--root", root, "--committer", "s3",
+                     "promote", "-i", name]) == 0
+        assert not os.path.exists(os.path.join(root, "aliases.json"))
+        store = FakeS3Store(os.path.join(root, ".objectstore"))
+        reg = os.path.join(root, "aliases.json")
+        assert store.list_keys(reg + ".g") == [reg + ".g1"]
+        capsys.readouterr()
+        assert main(["--root", root, "--committer", "s3",
+                     "aliases"]) == 0
+        out = capsys.readouterr().out
+        assert name in out
+    finally:
+        idxmod.set_committer(prev)
