@@ -814,6 +814,29 @@ class Index:
             "n_deleted": int(dels.get("n_deleted", 0)),
         }
 
+    def open_session(self, **kwargs) -> "QuerySession":
+        """Open a warm-serving QuerySession pinned to the index's
+        CURRENT committed-segment snapshot — the engine's point-in-time
+        contract (same as open_pit, but holding the postings cached and
+        the dictionary in driver memory for low-latency serving).
+
+        Snapshot semantics under concurrent writes: the session's
+        postings are repartitioned + persisted at open and its term
+        dictionary is collected once, so appends, merges — even merges
+        that DELETE the session's source segment files — do not change
+        (or break) what an already-warmed session serves. Seeing new
+        data is an explicit refresh: open a new session (ES semantics —
+        a PIT/scroll keeps serving its snapshot while the index moves
+        on). Call .warm() before relying on that: warming materializes
+        the cache while the source files still exist."""
+        from mario_spark.wand import QuerySession
+
+        st = self.stats()
+        return QuerySession(
+            self.postings(), self.dictionary(), st["n_docs"], st["avgdl"],
+            **kwargs,
+        )
+
     # ------------------------------------------------------ dense vectors
     def knn(
         self,

@@ -194,6 +194,23 @@ def _conjunctive_scores(
     return ids, total
 
 
+def _group_max(
+    parts: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dis-max merge of member-term posting arrays: per doc, the MAX
+    contribution across the group's members (Lucene BlendedTermQuery /
+    per-term dis_max with tie_breaker=0). Single-member groups pass
+    through untouched — the ungrouped hot path pays nothing."""
+    if len(parts) == 1:
+        return parts[0]
+    cat_ids = np.concatenate([p[0] for p in parts])
+    cat_c = np.concatenate([p[1] for p in parts])
+    gids, inv = np.unique(cat_ids, return_inverse=True)
+    gmax = np.full(gids.size, -np.inf)
+    np.maximum.at(gmax, inv, cat_c)
+    return gids, gmax
+
+
 def _bucket_kernel(
     pdf: pd.DataFrame,
     queries: list[tuple[int, list[str]]],
@@ -207,6 +224,8 @@ def _bucket_kernel(
     msm: int = 1,
     deleted: np.ndarray | None = None,
     filter_terms: list[str] | None = None,
+    groups: dict[int, list[list[str]]] | None = None,
+    avgdl_map: dict[str, float] | None = None,
 ) -> pd.DataFrame:
     """Score every query against one dbucket's candidate blocks.
 
@@ -237,12 +256,29 @@ def _bucket_kernel(
     true total >= its subset partial). Decoded blocks stay in the
     per-term cache, so the bootstrap's decode work is reused by the
     scoring pass.
+
+    groups = per-query dis-max TERM GROUPS (ES multi_match
+    cross_fields / Lucene BlendedTermQuery): groups[qid] partitions the
+    query's terms; a doc's score is the sum over groups of the MAX
+    member contribution (tie_breaker=0). Block-max pruning stays
+    active and SOUND: member-term block j may be skipped when
+    block_max[j] + sum(other groups' upper bounds) < θ — for any doc
+    whose group max lives in that block the bound caps its total, and
+    a doc whose max lives in another member has that member's block
+    surviving the same test whenever the doc can reach θ. Ungrouped
+    queries are singleton groups (bit-identical to the pre-group
+    kernel). avgdl_map gives per-term length normalization (a field's
+    own avgFieldLength under cross-field blending).
     """
     must_not = must_not or {}
     # metadata-only construction: NO decode happens here. must_not
     # terms get idf 0.0 — only their doc ids are consulted.
+    _adl = avgdl_map or {}
     tds: dict[str, _TermData] = {
-        t: _TermData(g.sort_values("block_id"), idf_map.get(t, 0.0), avgdl, k1, b)
+        t: _TermData(
+            g.sort_values("block_id"), idf_map.get(t, 0.0),
+            _adl.get(t, avgdl), k1, b,
+        )
         for t, g in pdf.groupby("term", sort=False)
     }
     bucket_max = {t: float(td.block_max.max()) for t, td in tds.items()}
@@ -274,11 +310,28 @@ def _bucket_kernel(
 
     out_q, out_d, out_s = [], [], []
     for qid, qterms in queries:
-        terms = [t for t in qterms if t in tds and t in idf_map]
+        qgroups_raw = groups.get(qid) if groups is not None else None
+        if qgroups_raw is None:
+            qgroups = [[t] for t in qterms if t in tds and t in idf_map]
+        else:
+            qgroups = [
+                m
+                for m in (
+                    [t for t in g if t in tds and t in idf_map]
+                    for g in qgroups_raw
+                )
+                if m
+            ]
+        terms = [t for g in qgroups for t in g]
         if not terms:
             continue
         excl = _excl_ids(qid)
         if conjunctive:
+            if qgroups_raw is not None:
+                raise ValueError(
+                    "conjunctive semantics are undefined for dis-max "
+                    "term groups (cross_fields is a disjunctive query)"
+                )
             # a doc needs EVERY term; all its postings live in this
             # bucket, so a term absent here rules out the whole bucket
             if len(terms) < len(qterms):
@@ -305,14 +358,18 @@ def _bucket_kernel(
         # (max idf == min df, so pick by idf) — the only forced decode.
         # Excluded docs are masked out of the bootstrap first: θ must
         # lower-bound the k-th best among VALID docs only.
-        if msm > len(terms):
+        gidf = [max(idf_map[t] for t in g) for g in qgroups]
+        group_ub = [max(bucket_max[t] for t in g) for g in qgroups]
+        if msm > len(qgroups):
             # all of a doc's postings live in this bucket, so no doc
             # here can match msm distinct terms (ES: a query with
             # fewer terms than the minimum matches nothing)
             continue
         if msm <= 1:
-            rare = max(terms, key=lambda t: idf_map[t])
-            b_ids, boot = tds[rare].full()
+            gi = max(range(len(qgroups)), key=lambda i: gidf[i])
+            b_ids, boot = _group_max(
+                [tds[t].full() for t in qgroups[gi]]
+            )
             # θ must lower-bound the k-th best among docs that can
             # actually surface: mask both exclusions and the filter
             if excl is not None:
@@ -327,12 +384,16 @@ def _bucket_kernel(
             )
         else:
             # pigeonhole bootstrap (see docstring): decode the
-            # (n - msm + 1) rarest terms; θ = k-th best subset-partial
-            # among docs already matching >= msm terms WITHIN the subset
-            boot_terms = sorted(terms, key=lambda t: -idf_map[t])[
-                : len(terms) - msm + 1
+            # (n - msm + 1) rarest GROUPS; θ = k-th best subset-partial
+            # among docs already matching >= msm groups WITHIN the
+            # subset (group partial = dis-max over members)
+            boot_gis = sorted(
+                range(len(qgroups)), key=lambda i: -gidf[i]
+            )[: len(qgroups) - msm + 1]
+            bparts = [
+                _group_max([tds[t].full() for t in qgroups[i]])
+                for i in boot_gis
             ]
-            bparts = [tds[t].full() for t in boot_terms]
             b_ids = np.concatenate([p[0] for p in bparts])
             b_sc = np.concatenate([p[1] for p in bparts])
             uniq_b, inv_b = np.unique(b_ids, return_inverse=True)
@@ -348,17 +409,23 @@ def _bucket_kernel(
                 if boot.size >= k
                 else -np.inf
             )
-        total_ub = sum(bucket_max[t] for t in terms)
+        total_ub = sum(group_ub)
         ids_parts, contrib_parts = [], []
-        for t in terms:
-            td = tds[t]
-            ub_other = total_ub - bucket_max[t]
-            # 2. prune on STORED impacts, 3. decode survivors only
-            live = (td.block_max + ub_other) >= (theta - _EPS)
-            t_ids, t_contrib = td.gather(live)
-            if t_ids.size:
-                ids_parts.append(t_ids)
-                contrib_parts.append(t_contrib)
+        for g, g_ub in zip(qgroups, group_ub):
+            ub_other = total_ub - g_ub
+            parts = []
+            for t in g:
+                td = tds[t]
+                # 2. prune on STORED impacts, 3. decode survivors only
+                live = (td.block_max + ub_other) >= (theta - _EPS)
+                t_ids, t_contrib = td.gather(live)
+                if t_ids.size:
+                    parts.append((t_ids, t_contrib))
+            if not parts:
+                continue
+            g_ids, g_contrib = _group_max(parts)
+            ids_parts.append(g_ids)
+            contrib_parts.append(g_contrib)
         if not ids_parts:
             continue
         ids = np.concatenate(ids_parts)
@@ -367,8 +434,9 @@ def _bucket_kernel(
         totals = np.bincount(inv, weights=contrib)
         keep = np.ones(uniq.size, dtype=bool)
         if msm > 1:
-            # each term lists a doc at most once, so bincount(inv)
-            # counts DISTINCT matching terms per doc
+            # each group emits a doc at most once, so bincount(inv)
+            # counts DISTINCT matching groups per doc (== terms when
+            # groups are singletons)
             keep &= np.bincount(inv) >= msm
         if excl is not None:
             keep &= ~np.isin(uniq, excl, assume_unique=True)
@@ -409,6 +477,8 @@ def _run_kernel(
     msm: int = 1,
     deleted: np.ndarray | None = None,
     filter_terms: list[str] | None = None,
+    groups: dict[int, list[list[str]]] | None = None,
+    avgdl_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """Shared execution tail: term-pruned scan -> per-dbucket kernel ->
     per-query rank window over the tiny candidate union. `deleted`
@@ -428,7 +498,7 @@ def _run_kernel(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _bucket_kernel(
             pdf, queries, idf_map, avgdl, k, k1, b, conjunctive, must_not,
-            msm, deleted, filter_terms,
+            msm, deleted, filter_terms, groups, avgdl_map,
         )
 
     local = cand.groupBy("dbucket").applyInPandas(
@@ -696,6 +766,103 @@ class QuerySession:
             nmap or None, min_should_match, filter_terms=flist,
         )
 
+    def search_cross_fields(
+        self,
+        queries: list[tuple[int, str]],
+        boosts: dict[str, float],
+        k: int = 10,
+        k1: float = K1,
+        b: float = B,
+        driver_limit: int = 200_000,
+    ) -> DataFrame:
+        """ES multi_match type=cross_fields served warm THROUGH the
+        block-max WAND kernel (Lucene runs BlendedTermQuery under its
+        WANDScorer the same way). Semantics match
+        fields.search_cross_fields exactly (rank-identical, asserted in
+        tests): per term, df blends to the MAX across the searched
+        fields (capped at each field's docCount), each (field, term)
+        scores BM25 with the blended idf but the FIELD's own length
+        norm and boost, the best field wins per (query, term, doc)
+        (dis_max, tie_breaker=0), doc score = sum over terms.
+
+        Kernel mapping: each query term becomes a GROUP of
+        field-prefixed member terms; boost x blended-idf rides in the
+        member's idf slot and the field's avgFieldLength in avgdl_map,
+        so _TermData's contribution formula IS the cross-field
+        per-member score. Block-max pruning stays active at the group
+        level — see _bucket_kernel's docstring for the soundness
+        argument (pinned by a prune-count kernel test)."""
+        if not self.field_stats:
+            raise ValueError(
+                "cross_fields needs a field-scoped session "
+                "(construct with field_stats={field: (n_docs, avgdl)})"
+            )
+        unknown = sorted(set(boosts) - set(self.field_stats))
+        if unknown:
+            raise ValueError(
+                f"no field_stats for {unknown} "
+                f"(have {sorted(self.field_stats)})"
+            )
+        from mario_spark.analyze import py_tokenize
+
+        qtok = [
+            (int(qid), list(dict.fromkeys(py_tokenize(text))))
+            for qid, text in queries
+        ]
+        base_terms = sorted({t for _, ts in qtok for t in ts})
+        dfm = self._df_for(
+            [f"{f}:{t}" for t in base_terms for f in boosts]
+        )
+        idf_map: dict[str, float] = {}
+        avgdl_map: dict[str, float] = {}
+        for t in base_terms:
+            bdf = max(
+                (dfm.get(f"{f}:{t}", 0) for f in boosts), default=0
+            )
+            if bdf <= 0:
+                continue
+            for f, boost in boosts.items():
+                key = f"{f}:{t}"
+                if key not in dfm:
+                    continue  # term absent from this field: no member
+                n_f, ad_f = (float(v) for v in self.field_stats[f])
+                dfc = min(float(bdf), n_f)
+                idf_map[key] = float(boost) * _idf(n_f, dfc)
+                avgdl_map[key] = ad_f if ad_f else 1.0
+        groups: dict[int, list[list[str]]] = {}
+        qlist: list[tuple[int, list[str]]] = []
+        for qid, ts in sorted(qtok):
+            gs = [
+                m
+                for m in (
+                    [
+                        f"{f}:{t}"
+                        for f in boosts
+                        if f"{f}:{t}" in idf_map
+                    ]
+                    for t in ts
+                )
+                if m
+            ]
+            if gs:
+                groups[qid] = gs
+                qlist.append((qid, [t for g in gs for t in g]))
+        all_terms = sorted({t for _, ts in qlist for t in ts})
+        if (
+            driver_limit
+            and self._df_map is not None
+            and sum(self._df_map.get(t, 0) for t in all_terms)
+            <= driver_limit
+        ):
+            return self._search_driver(
+                qlist, idf_map, self.avgdl, k, k1, b, False,
+                groups=groups, avgdl_map=avgdl_map,
+            )
+        return _run_kernel(
+            self.postings, qlist, idf_map, self.avgdl, k, k1, b, False,
+            groups=groups, avgdl_map=avgdl_map,
+        )
+
     def search_phrase(
         self,
         queries: list[tuple[int, str]],
@@ -859,6 +1026,8 @@ class QuerySession:
         must_not: dict[int, list[str]] | None = None,
         msm: int = 1,
         filter_terms: list[str] | None = None,
+        groups: dict[int, list[list[str]]] | None = None,
+        avgdl_map: dict[str, float] | None = None,
     ) -> DataFrame:
         terms = sorted({t for _, ts in qlist for t in ts if t in idf_map})
         spark = self.postings.sparkSession
@@ -874,7 +1043,7 @@ class QuerySession:
         parts = [
             _bucket_kernel(
                 g, qlist, idf_map, avgdl, k, k1, b, conjunctive, must_not,
-                msm, None, filter_terms,
+                msm, None, filter_terms, groups, avgdl_map,
             )
             for _, g in rows.groupby("dbucket", sort=True)
         ]

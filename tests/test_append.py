@@ -158,3 +158,58 @@ def test_pit_search_is_snapshot_stable(spark, tmp_path):
     live = _canon(idx.search(q, k=10))
     assert not live.equals(before)
     pages.unpersist()
+
+
+def test_warm_session_snapshot_across_append_and_merge(spark, tmp_path):
+    """A warmed QuerySession keeps serving its open-time snapshot while
+    a segment append AND a tiered merge (which deletes the session's
+    source segment files) land between two warm queries — byte-identical
+    results, never a torn mix. Seeing the new data is an explicit
+    refresh: a session opened after the merge serves exactly what the
+    post-merge index serves (ES PIT semantics for warm serving)."""
+    from mario_spark.merge import maybe_merge
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    pages = pages_df(spark, 680, seed=31, partitions=4).persist()
+    doc_num = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+
+    idx = cat.create("sess-2026-01-01t00-00-00z")
+    idx.ingest(pages.filter(doc_num < 600), segment_docs=1024)
+    for i in range(3):  # three small same-tier appends (one shy of merge)
+        idx.append(
+            pages.filter((doc_num >= 600 + 20 * i) & (doc_num < 620 + 20 * i))
+        )
+
+    sess = idx.open_session().warm()
+    queries = make_pages_query_set(seed=31, n=10)
+    before = _canon(sess.search(queries, k=10))
+    assert len(before) > 0
+
+    # append + tiered merge land between the two warm queries; the
+    # merge rewrites the four small segments and DELETES their files
+    segs_before = idx.paths.committed_segments()
+    idx.append(pages.filter((doc_num >= 660) & (doc_num < 680)))
+    assert maybe_merge(idx, max_per_tier=4, tier_factor=10.0) is not None
+    assert idx.paths.committed_segments() != segs_before
+
+    again = _canon(sess.search(queries, k=10))
+    pd.testing.assert_frame_equal(before, again)  # old snapshot, intact
+
+    # the driver fast path and the distributed path agree on the
+    # snapshot too (driver_limit=0 forces the distributed kernel)
+    dist = _canon(sess.search(queries, k=10, driver_limit=0))
+    pd.testing.assert_frame_equal(before, dist)
+
+    # refresh: a session opened NOW serves the post-merge truth
+    idx2 = cat.open("sess-2026-01-01t00-00-00z")
+    fresh = idx2.open_session().warm()
+    want = _canon(
+        idx2.search(query_terms_df(spark, queries), k=10)
+    )
+    got = _canon(fresh.search(queries, k=10))
+    pd.testing.assert_frame_equal(got, want)
+    # the appended docs are visible only through the refreshed session
+    assert not before.equals(got)
+    sess.postings.unpersist()
+    fresh.postings.unpersist()
+    pages.unpersist()

@@ -359,3 +359,85 @@ def test_wand_conjunctive_range_prunes_decode(spark, monkeypatch):
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
     d.unpersist()
+
+
+def test_wand_cross_fields_groups_prune_blocks(spark, monkeypatch):
+    """Dis-max term groups (cross_fields blending / BlendedTermQuery)
+    must KEEP block-max pruning: θ bootstrapped from the rarest GROUP's
+    max-partials prunes the weak blocks of its members, and the result
+    is identical to a brute full-decode dis-max reference. Corpus: 200
+    short docs strong in aaa+bbb (one group), 200 long docs weak in
+    aaa, 400 long ddd docs (the other group) — the weak aaa blocks
+    must be pruned under the group bound block_max + Σ other-group
+    ubs."""
+    import mario_spark.wand as wand
+
+    rows = (
+        [(i, "aaa bbb " * 6) for i in range(200)]
+        + [(i, "aaa " + "filler " * 50) for i in range(200, 400)]
+        + [(i, "ddd " + "filler " * 50) for i in range(400, 800)]
+    )
+    d = docs.build_doc_table(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).persist()
+    st_ = docs.corpus_stats(d).collect()[0]
+    post, dic, _ = build_postings(d, st_["n_docs"], range_width=1 << 20)
+    pdf = post.toPandas()
+    idf_map = {
+        r.term: idf(float(st_["n_docs"]), float(r.df))
+        for r in dic.toPandas().itertuples()
+    }
+
+    pruned = {"n": 0, "seen": 0}
+    orig = wand._TermData.gather
+
+    def spy(self, live):
+        pruned["n"] += int(live.size - live.sum())
+        pruned["seen"] += int(live.size)
+        return orig(self, live)
+
+    monkeypatch.setattr(wand._TermData, "gather", spy)
+    groups = {0: [["aaa", "bbb"], ["ddd"]]}
+    kout = wand._bucket_kernel(
+        pdf, [(0, ["aaa", "bbb", "ddd"])], idf_map, float(st_["avgdl"]),
+        10, 1.2, 0.75, groups=groups,
+    )
+    assert pruned["seen"] > 0
+    assert pruned["n"] > 0, f"grouped WAND pruned no blocks ({pruned})"
+
+    # brute reference: full decode, per-group dis-max, sum over groups
+    tds = {
+        t: wand._TermData(
+            g.sort_values("block_id"), idf_map[t], float(st_["avgdl"]),
+            1.2, 0.75,
+        )
+        for t, g in pdf.groupby("term")
+    }
+    from collections import defaultdict
+
+    score = defaultdict(float)
+    for g in groups[0]:
+        gm = {}
+        for t in g:
+            ids, c = tds[t].full()
+            for i, cc in zip(ids.tolist(), c.tolist()):
+                gm[i] = max(gm.get(i, float("-inf")), cc)
+        for i, v in gm.items():
+            score[i] += v
+    r4 = lambda x: float(np.floor(x * 1e4 + 0.5) / 1e4)
+    best = sorted(score.items(), key=lambda kv: (-r4(kv[1]), kv[0]))[:10]
+    got = _kernel_canon(kout, 10)
+    assert got["doc_id"].tolist() == [i for i, _ in best]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), [r4(v) for _, v in best], atol=1e-9
+    )
+    # conjunctive + groups is undefined: must refuse, not mis-score
+    import pytest
+
+    with pytest.raises(ValueError, match="dis-max"):
+        wand._bucket_kernel(
+            pdf, [(0, ["aaa", "bbb", "ddd"])], idf_map,
+            float(st_["avgdl"]), 10, 1.2, 0.75, conjunctive=True,
+            groups=groups,
+        )
+    d.unpersist()

@@ -200,3 +200,55 @@ def test_query_string_degenerate_inputs_empty_not_crash(spark):
         for q in ("", "+", "-merge", '-"a b"' if fn is search_simple_query_string else "-x"):
             out = fn(d, [(0, q)])
             assert out.count() == 0, (fn.__name__, q)
+
+
+def test_cross_fields_warm_session_matches_composition(spark, root):
+    """multi_match cross_fields served through the warm WAND kernel
+    (dis-max term groups, blended idf, per-field avgdl in avgdl_map)
+    must be rank-identical to the oracle-checked composition path
+    (fields.search_cross_fields over the raw field doc table), on both
+    the driver fast path and the distributed kernel path."""
+    from pyspark.sql import functions as F
+
+    from mario_spark import fields as fieldsmod
+    from mario_spark.fixtures import make_pages_query_set, query_terms_df
+    from mario_spark.wand import QuerySession
+
+    pages = pages_df(spark, 400, seed=17, partitions=4).withColumn(
+        "title", F.substring("text", 1, 48)
+    )
+    cat = Catalog(spark, root)
+    idx = cat.create("pages-2026-02-01t00-00-00z")
+    idx.ingest(
+        pages, segment_docs=256,
+        fields={"title": "title", "contents": "text"},
+    )
+    boosts = {"title": 2.0, "contents": 1.0}
+    queries = make_pages_query_set(seed=17, n=8)
+
+    fdocs = fieldsmod.build_field_doc_table(
+        assign_doc_ids(pages),
+        {"title": F.col("title"), "contents": F.col("text")},
+    )
+    q = query_terms_df(spark, queries)
+    want = _canon(fieldsmod.search_cross_fields(fdocs, q, boosts, k=10))
+    assert len(want) > 0
+
+    fst = idx.field_stats()
+    sess = QuerySession(
+        idx.postings(), idx.dictionary(), idx.stats()["n_docs"],
+        idx.stats()["avgdl"],
+        field_stats={
+            f: (s["n_docs"], s["avgdl"]) for f, s in fst.items()
+        },
+    ).warm()
+    got = _canon(sess.search_cross_fields(queries, boosts, k=10))
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    got_d = _canon(
+        sess.search_cross_fields(queries, boosts, k=10, driver_limit=0)
+    )
+    pd.testing.assert_frame_equal(got_d, want, check_exact=False, atol=1e-9)
+    # a field outside the session's stats must refuse
+    with pytest.raises(ValueError):
+        sess.search_cross_fields(queries, {"nope": 1.0}, k=10)
+    sess.postings.unpersist()
