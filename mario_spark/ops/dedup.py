@@ -86,13 +86,14 @@ def minhash_lsh_pairs(
     bands = minhash_band_keys(
         documents, n_hashes, n_bands, terms=terms
     ).select("doc_id", "band_key")
-    l, r = bands.alias("l"), bands.alias("r")
     cand = (
-        l.join(r, F.col("l.band_key") == F.col("r.band_key"))
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        _salted_band_join(
+            bands.select(F.col("doc_id").alias("doc_a"), "band_key"),
+            bands.select(F.col("doc_id").alias("doc_b"), "band_key"),
+            ["band_key"],
         )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     return _verify_jaccard(terms, cand, threshold)
@@ -178,13 +179,92 @@ def incremental_near_dup(
     ob = minhash_band_keys(old_docs, n_hashes, n_bands, terms=to).select(
         F.col("doc_id").alias("doc_b"), "band", "band_key"
     )
-    cand = nb.join(ob, ["band", "band_key"]).select("doc_a", "doc_b").distinct()
+    cand = (
+        _salted_band_join(nb, ob, ["band", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     return _verify_jaccard(
         terms.select("doc_id", "term"), cand, threshold
     ).select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("old_doc"),
         "jaccard",
+    )
+
+
+# candidate pairs one join task may emit before the band join is salted
+_PAIR_TASK_CAP = 2_000_000
+
+
+def _salted_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    cap: int | None = None,
+) -> DataFrame:
+    """Equi-join on `keys`, result-identical to `left.join(right, keys)`,
+    with oversized key groups split across tasks.
+
+    Why: LSH band buckets are power-law. On real web data boilerplate
+    clusters (empty pages, templates, error pages) put 10^4-10^5 docs
+    behind ONE band_key, so a plain equi-join emits na*nb (10^8+) pair
+    rows from a single task. AQE's skew split cannot help: it triggers
+    on shuffle-READ bytes, and the hot bucket's join INPUT is
+    kilobytes — the explosion is in the join OUTPUT. The classic fix
+    (salting): count pairs per key first (two linear aggs over the
+    digest tables, joined and broadcast — only keys whose output
+    exceeds `cap` survive, a handful of boilerplate buckets), split
+    the left side of each hot key into s = ceil(na*nb/cap) salt groups
+    by doc-id hash, replicate the right side s times, join on
+    keys+salt. Non-hot keys get salt 0 on both sides and join exactly
+    as before. Measured on the degenerate sf1 stretch corpus (one
+    bucket = 251M of 1.04B pair rows): pair generation 126 s -> 46 s.
+    """
+    cap = cap or _PAIR_TASK_CAP
+    lid = next(c for c in left.columns if c not in keys)
+    rid = next(c for c in right.columns if c not in keys)
+    hot = (
+        left.groupBy(*keys).agg(F.count("*").alias("_na"))
+        .join(right.groupBy(*keys).agg(F.count("*").alias("_nb")), keys)
+        .withColumn(
+            "_s",
+            F.ceil((F.col("_na") * F.col("_nb")) / F.lit(cap)).cast("int"),
+        )
+        .filter(F.col("_s") > 1)
+        .select(*keys, "_s")
+    )
+    l2 = (
+        left.join(F.broadcast(hot), keys, "left")
+        .withColumn(
+            "_salt",
+            F.coalesce(
+                F.pmod(F.xxhash64(lid), F.col("_s")), F.lit(0)
+            ).cast("int"),
+        )
+        .drop("_s")
+    )
+    r2 = (
+        right.join(F.broadcast(hot), keys, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("_s") - 1, F.lit(0)))
+            ),
+        )
+        .drop("_s")
+    )
+    # SHUFFLE_HASH, build = left: after the (keys, salt) shuffle a hot
+    # key's partition holds ~na/s left rows vs nb replicated right rows,
+    # so the left build map stays tiny. The hint also stops Spark from
+    # BROADCASTING the replicated right side — its size estimate
+    # predates the explode (s copies of every hot-bucket row), which
+    # measured as a driver OOM on the sf1 stretch corpus; and at 10^12
+    # docs no band table is broadcastable anyway.
+    return (
+        l2.hint("SHUFFLE_HASH")
+        .join(r2, keys + ["_salt"])
+        .select(*keys, lid, rid)
     )
 
 
@@ -200,27 +280,51 @@ def _verify_jaccard(
     hashes (one agg keyed on doc_id), join each side of the candidate
     table against that compact table (two doc_id-keyed joins carrying
     digests-only arrays), and intersect the two small arrays inside
-    whole-stage codegen (`array_intersect`). A size-ratio prune runs
-    before the intersect: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
-    whose sizes alone rule out the threshold never pay for the
-    intersection (slack 1e-4 preserves the round-to-4dp-then-filter
-    contract). xxhash64 stands in for the term string: collisions at
-    web vocab (2^-64 birthday term) are negligible and deterministic.
+    whole-stage codegen (`array_intersect`). xxhash64 stands in for
+    the term string: collisions at web vocab (2^-64 birthday term) are
+    negligible and deterministic.
+
+    Join strategy matters when candidates are dense (a degenerate or
+    boilerplate-heavy corpus makes |cand| quadratic): both joins are
+    SHUFFLE_HASH-hinted so the candidate stream is STREAMED against a
+    per-partition hash map of the doc-digest table. The sort-merge
+    plan Spark picks by default must sort the candidate table twice —
+    with the fetched arrays aboard — which measured 14x slower and
+    OOMed executors on the sf1 stretch corpus (467M candidates); the
+    build side is one row per doc and always fits. A size-only prune
+    runs BEFORE the arrays are fetched: jaccard <=
+    min(|A|,|B|)/max(|A|,|B|), so pairs whose sizes alone rule out the
+    threshold never shuffle an array at all (slack 1e-4 preserves the
+    round-to-4dp-then-filter contract).
     """
     doc_terms = terms.groupBy("doc_id").agg(
         F.collect_set(F.xxhash64("term")).alias("hset")
     )
+    sizes = doc_terms.select("doc_id", F.size("hset").alias("sz"))
     a = doc_terms.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
     b = doc_terms.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
-    sza, szb = F.size("ha"), F.size("hb")
+    sza, szb = F.col("sza"), F.col("szb")
+    pruned = (
+        cand.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")
+            ).hint("SHUFFLE_HASH"),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
+            ).hint("SHUFFLE_HASH"),
+            "doc_b",
+        )
+        .filter(
+            F.least(sza, szb) >= (threshold - 1e-4) * F.greatest(sza, szb)
+        )
+    )
     inter = F.size(F.array_intersect("ha", "hb"))
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(
-            F.least(sza, szb)
-            >= (threshold - 1e-4) * F.greatest(sza, szb)
-        )
+        pruned.join(a.hint("SHUFFLE_HASH"), "doc_a")
+        .join(b.hint("SHUFFLE_HASH"), "doc_b")
         .withColumn("jaccard", F.round(inter / (sza + szb - inter), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -744,3 +744,51 @@ def test_doc_cache_evicts_other_sf_dirs(spark):
     assert suite._doc_table(spark, "/root/testdata/sf0.01") is a
     suite.clear_doc_cache()
     assert len(suite._DOC_CACHE) == 0
+
+
+def test_salted_band_join_identical_to_plain_join(spark, docs_pdf):
+    """_salted_band_join with a cap small enough to salt EVERY bucket
+    must return exactly the rows of the plain equi-join (salting is a
+    physical rewrite, never a semantic one)."""
+    from pyspark.sql import functions as F
+
+    bands = dedup.minhash_band_keys(docs_pdf).select("doc_id", "band_key")
+    l = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    r = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    plain = (
+        l.join(r, "band_key")
+        .select("doc_a", "doc_b")
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    salted = (
+        dedup._salted_band_join(l, r, ["band_key"], cap=3)
+        .select("doc_a", "doc_b")
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    assert len(plain) == len(salted)
+    assert plain.equals(salted)
+
+
+def test_lsh_pairs_match_before_and_after_salting_threshold(spark, docs_pdf):
+    """End-to-end: minhash_lsh_pairs under a tiny salting cap equals the
+    default-cap result (every candidate pair survives the rewrite)."""
+    import pandas as pd
+
+    want = (
+        dedup.minhash_lsh_pairs(docs_pdf, threshold=0.5)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    orig = dedup._PAIR_TASK_CAP
+    try:
+        dedup._PAIR_TASK_CAP = 5
+        got = (
+            dedup.minhash_lsh_pairs(docs_pdf, threshold=0.5)
+            .toPandas()
+            .sort_values(["doc_a", "doc_b"], ignore_index=True)
+        )
+    finally:
+        dedup._PAIR_TASK_CAP = orig
+    pd.testing.assert_frame_equal(want, got)

@@ -804,3 +804,19 @@ def test_ip_prefix_single_hash_agg(spark):
     assert p.count(") HashAggregate") == 2  # partial + final
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p
+
+
+def test_lsh_verify_joins_are_shuffled_hash(spark):
+    """Jaccard verify must stream the candidate table through
+    SHUFFLE_HASH joins against the per-doc digest tables — the default
+    sort-merge plan sorts the (possibly quadratic) candidate stream
+    twice with fetched arrays aboard, which measured 14x slower and
+    OOMed executors on the sf1 stretch corpus. The size-prune joins and
+    the array joins are all hinted, so the plan must carry at least 4
+    ShuffledHashJoins and the salted pair join a 5th."""
+    from mario_spark.suite import minhash_lsh_pairs
+
+    plan = _plan(minhash_lsh_pairs(spark, SF_DIR))
+    assert plan.count("ShuffledHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
