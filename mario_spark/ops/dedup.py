@@ -291,40 +291,36 @@ def _verify_jaccard(
     plan Spark picks by default must sort the candidate table twice —
     with the fetched arrays aboard — which measured 14x slower and
     OOMed executors on the sf1 stretch corpus (467M candidates); the
-    build side is one row per doc and always fits. A size-only prune
-    runs BEFORE the arrays are fetched: jaccard <=
-    min(|A|,|B|)/max(|A|,|B|), so pairs whose sizes alone rule out the
-    threshold never shuffle an array at all (slack 1e-4 preserves the
-    round-to-4dp-then-filter contract).
+    build side is one row per doc and always fits. The size-ratio
+    prune (jaccard <= min(|A|,|B|)/max(|A|,|B|), slack 1e-4 preserving
+    the round-to-4dp-then-filter contract) filters BEFORE the intersect
+    expression, so ruled-out pairs never pay for the intersection. An
+    A/B against a 4-join variant that joined (doc_id, size) first to
+    keep pruned pairs' arrays out of the second exchange measured
+    SLOWER at both 5k and 50k docs (two extra int exchanges cost more
+    than the array bytes they saved), so sizes ride the build table.
     """
     doc_terms = terms.groupBy("doc_id").agg(
         F.collect_set(F.xxhash64("term")).alias("hset")
+    ).select("doc_id", F.size("hset").alias("sz"), "hset")
+    a = doc_terms.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sza"),
+        F.col("hset").alias("ha"),
     )
-    sizes = doc_terms.select("doc_id", F.size("hset").alias("sz"))
-    a = doc_terms.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha"))
-    b = doc_terms.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb"))
+    b = doc_terms.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("szb"),
+        F.col("hset").alias("hb"),
+    )
     sza, szb = F.col("sza"), F.col("szb")
-    pruned = (
-        cand.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")
-            ).hint("SHUFFLE_HASH"),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
-            ).hint("SHUFFLE_HASH"),
-            "doc_b",
-        )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cand.join(a.hint("SHUFFLE_HASH"), "doc_a")
+        .join(b.hint("SHUFFLE_HASH"), "doc_b")
         .filter(
             F.least(sza, szb) >= (threshold - 1e-4) * F.greatest(sza, szb)
         )
-    )
-    inter = F.size(F.array_intersect("ha", "hb"))
-    return (
-        pruned.join(a.hint("SHUFFLE_HASH"), "doc_a")
-        .join(b.hint("SHUFFLE_HASH"), "doc_b")
         .withColumn("jaccard", F.round(inter / (sza + szb - inter), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

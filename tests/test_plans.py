@@ -811,12 +811,11 @@ def test_lsh_verify_joins_are_shuffled_hash(spark):
     SHUFFLE_HASH joins against the per-doc digest tables — the default
     sort-merge plan sorts the (possibly quadratic) candidate stream
     twice with fetched arrays aboard, which measured 14x slower and
-    OOMed executors on the sf1 stretch corpus. The size-prune joins and
-    the array joins are all hinted, so the plan must carry at least 4
-    ShuffledHashJoins and the salted pair join a 5th."""
+    OOMed executors on the sf1 stretch corpus. Both digest joins are
+    hinted and the salted pair join adds a 3rd."""
     from mario_spark.suite import minhash_lsh_pairs
 
     plan = _plan(minhash_lsh_pairs(spark, SF_DIR))
-    assert plan.count("ShuffledHashJoin") >= 5
+    assert plan.count("ShuffledHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
