@@ -23,3 +23,6 @@ smoke:            ## driver-contract smoke: flagship query over sf0.001
 	from mario_spark.session import get_spark; \
 	s = get_spark('smoke', master='local[8]', shuffle_partitions=8); \
 	df = e.entry(s); print(df.count(), 'rows,', len(e.queries()), 'queries')"
+
+bench-sf1:        ## 10x stretch point (generates .localdata/sf1 on first run)
+	python scripts/bench_sf1.py
