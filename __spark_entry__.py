@@ -32,31 +32,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # (the three that fell past r3's 50-cut first, then the span /
 # parent-child / EQL / ES|QL-scalar / agg long-tail families, plus the
 # two formerly rows-only queries which now carry pinned value oracles).
-_R4_ROTATION = [
-    "ccnet_buckets", "pii_redact", "rank_eval_bm25",
-    "bpe_train_merges", "pack_best_fit_pieces",
-    "span_or_topk", "span_not_topk", "span_multi_topk",
-    "span_first_topk", "span_containing_topk", "span_within_topk",
-    "has_child_topk", "has_parent_match", "nested_query_match",
-    "agg_reverse_nested",
-    "eql_sequence_vp", "eql_sequence_until", "eql_sequence3_vcp",
-    "esql_eval", "esql_median", "esql_stats_where", "esql_mv_expand",
-    "esql_date_fns", "esql_string_fns", "esql_mv_fns", "esql_case",
-    "esql_count_distinct", "esql_where_dates", "esql_eval_fns",
-    "agg_date_histogram", "agg_percentiles", "agg_cardinality_users",
-    "agg_top_hits", "agg_significant_terms", "agg_significant_text",
-    "agg_composite_page", "agg_extended_stats", "agg_filters",
-    "agg_rare_terms", "agg_multi_terms", "agg_adjacency_matrix",
-    "agg_auto_date_histogram", "agg_matrix_stats", "agg_t_test",
-    "agg_boxplot", "agg_top_metrics", "agg_weighted_avg",
-    "agg_string_stats", "query_string_topk", "multifield_cross_topk",
+# Round 5: exactly 50 queries never sampled by the driver in r1-r4
+# (all 99 remaining were independently judge-verified green vs DuckDB
+# in round 4; this rotation turns 50 of them into driver CORRECTNESS
+# rows — agg long tail, ES|QL scalar tail, rank_feature / script_score
+# / percolate, the dedup+quality family, multimodal, and the hybrid /
+# interval query surfaces).
+_R5_ROTATION = [
+    "agg_terms_sharded", "agg_variable_width", "agg_frequent_item_sets",
+    "agg_bucket_ks_test", "agg_bucket_correlation", "agg_nested_terms",
+    "agg_percentile_ranks", "agg_sampler_terms", "agg_diversified_sampler",
+    "agg_terms_order_metric", "agg_change_point", "agg_global_bucket",
+    "agg_stats_lang", "agg_ip_range", "agg_children",
+    "esql_sample", "esql_where_in_like", "esql_where_or",
+    "esql_null_sort", "esql_mv_text", "esql_stats_ext",
+    "esql_row_math", "esql_bucket_stats",
+    "rank_feature_topk", "rank_feature_log_topk",
+    "rank_feature_sigmoid_topk", "script_score_topk", "percolate_match",
+    "distance_feature_topk", "terms_set_topk", "pinned_topk",
+    "chunk_dedup", "c4_line_filter", "bloom_decontaminate",
+    "dup_ngram_frac", "near_dedup_survivors", "ngram_decontaminate",
+    "clean_corpus", "fingerprint_keys", "clf_quality_score",
+    "lsh_recall_audit",
+    "multimodal_frames", "multimodal_resize",
+    "combined_fields_topk", "intervals_topk", "rrf_hybrid_topk",
+    "simple_qs_topk", "query_string_fields_topk", "sparse_vector_topk",
+    "multiphrase_topk",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mario_spark.suite import SUITE
 
-    out = {n: SUITE[n] for n in _R4_ROTATION if n in SUITE}
+    out = {n: SUITE[n] for n in _R5_ROTATION if n in SUITE}
     out.update(SUITE)
     return out
 

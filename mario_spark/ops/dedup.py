@@ -213,18 +213,38 @@ def _salted_band_join(
     on shuffle-READ bytes, and the hot bucket's join INPUT is
     kilobytes — the explosion is in the join OUTPUT. The classic fix
     (salting): count pairs per key first (two linear aggs over the
-    digest tables, joined and broadcast — only keys whose output
-    exceeds `cap` survive, a handful of boilerplate buckets), split
-    the left side of each hot key into s = ceil(na*nb/cap) salt groups
-    by doc-id hash, replicate the right side s times, join on
-    keys+salt. Non-hot keys get salt 0 on both sides and join exactly
-    as before. Measured on the degenerate sf1 stretch corpus (one
-    bucket = 251M of 1.04B pair rows): pair generation 126 s -> 46 s.
+    digest tables, joined — only keys whose output exceeds `cap`
+    survive, a handful of boilerplate buckets), split the left side of
+    each hot key into s = ceil(na*nb/cap) salt groups by doc-id hash,
+    replicate the right side s times, join on keys+salt. Non-hot keys
+    get salt 0 on both sides and join exactly as before. Measured on
+    the degenerate sf1 stretch corpus (one bucket = 251M of 1.04B pair
+    rows): pair generation 126 s -> 46 s.
+
+    The hot-key table is materialized EAGERLY (one collect) and the
+    salting rewrite applied only when it is non-empty. Three reasons:
+    (a) on corpora with no hot buckets — most real shards, and every
+    small snapshot — the whole salt machinery (two broadcast left
+    joins + an explode on the probe side) is pure constant-factor
+    overhead on top of the plain equi-join; skipping it restored the
+    sf0.1 incremental-dedup bench to its pre-salting line while the
+    sf1 degenerate corpus keeps the 46 s salted path. (b) The driver
+    copy is bounded by construction: |hot| <= total_pairs/cap rows of
+    (keys, int) — the exact table the lazy version BROADCAST anyway,
+    so any corpus that fits the old plan fits this one (10^12 output
+    pairs at the default cap -> <=500k rows, a few MB). (c) Collected
+    hot keys become a local relation, so the salt plan no longer
+    re-runs the two count aggs inside the join job. Both inputs are
+    persisted first: the counts job and the join job share one
+    materialization of the band digests (at 10^12 docs the band table
+    is persistent state anyway — see minhash_band_keys).
     """
     cap = cap or _PAIR_TASK_CAP
     lid = next(c for c in left.columns if c not in keys)
     rid = next(c for c in right.columns if c not in keys)
-    hot = (
+    left = left.persist()
+    right = right.persist()
+    hot_plan = (
         left.groupBy(*keys).agg(F.count("*").alias("_na"))
         .join(right.groupBy(*keys).agg(F.count("*").alias("_nb")), keys)
         .withColumn(
@@ -234,6 +254,18 @@ def _salted_band_join(
         .filter(F.col("_s") > 1)
         .select(*keys, "_s")
     )
+    hot_rows = hot_plan.collect()
+    if not hot_rows:
+        # no bucket can exceed cap pairs: the plain digest-keyed join
+        # IS the salted plan with s=1 everywhere — skip the rewrite.
+        # SHUFFLE_HASH for the same reason as below: band tables are
+        # never broadcastable at scale and need no sort.
+        return (
+            left.hint("SHUFFLE_HASH")
+            .join(right, keys)
+            .select(*keys, lid, rid)
+        )
+    hot = left.sparkSession.createDataFrame(hot_rows, hot_plan.schema)
     l2 = (
         left.join(F.broadcast(hot), keys, "left")
         .withColumn(

@@ -792,3 +792,32 @@ def test_lsh_pairs_match_before_and_after_salting_threshold(spark, docs_pdf):
     finally:
         dedup._PAIR_TASK_CAP = orig
     pd.testing.assert_frame_equal(want, got)
+
+
+def test_salted_band_join_skips_salting_when_no_hot_keys(spark, docs_pdf):
+    """With the default cap no sandbox bucket is hot, so the eager
+    hot-key probe must route to the plain equi-join plan (no salt
+    column, no explode) while returning exactly the plain-join rows —
+    the conditional rewrite is free when there is nothing to salt."""
+    from pyspark.sql import functions as F
+
+    bands = dedup.minhash_band_keys(docs_pdf).select("doc_id", "band_key")
+    l = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    r = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    joined = dedup._salted_band_join(l, r, ["band_key"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # no salt column anywhere (the band-key INPUT legitimately contains
+    # a posexplode; only the rewrite's salt/sequence machinery is out)
+    assert "_salt" not in plan
+    plain = (
+        l.join(r, "band_key")
+        .select("doc_a", "doc_b")
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    got = (
+        joined.select("doc_a", "doc_b")
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    assert plain.equals(got)
