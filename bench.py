@@ -33,6 +33,18 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # box telemetry (self-calibrating artifact): single-core cpu/mem
+    # probes BEFORE Spark starts plus the CPU-steal share over the
+    # whole run, so cross-round comparisons can normalize for box
+    # regime (this box's throughput drifts ~1.5-2x on co-tenant noise)
+    # without archaeology. The probes are the same kernels
+    # scripts/box_calibration.py uses for the scaling ceiling.
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    import box_calibration as _boxcal
+
+    box: dict = dict(_boxcal.quick_probe())
+    _steal0 = _boxcal.steal_jiffies()
+
     from mario_spark import docs, query
     from mario_spark.fixtures import (
         DOCUMENTS_QUERY_SET,
@@ -200,6 +212,11 @@ def main() -> None:
             timed(name, lambda n=name: SUITE[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+    b1, s1 = _boxcal.steal_jiffies()
+    b0, s0 = _steal0
+    box["steal_pct"] = round(
+        100.0 * (s1 - s0) / max(b1 - b0 + s1 - s0, 1), 3
+    )
     print(
         json.dumps(
             {
@@ -210,6 +227,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "extra": extra,
+                "box": box,
             }
         )
     )

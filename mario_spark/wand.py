@@ -39,6 +39,8 @@ blocks are never VByte-decoded at all):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -50,6 +52,15 @@ from mario_spark.postings import idf as _idf
 from mario_spark.query import B, K1, SCORE_DECIMALS
 
 _EPS = 1e-9
+
+# QuerySession dictionary bounds: vocabularies at most VOCAB_CACHE_MAX
+# terms are collected whole into driver memory (the warm fast path);
+# larger ones switch to executor-side range-partitioned shards with a
+# DF_LRU_MAX-entry driver LRU of query-touched dfs. 2M terms ~ 100 MB
+# of driver dict — comfortable; 10^8-10^9 web-vocab terms would be
+# tens of GB, which is the ceiling this bound removes.
+VOCAB_CACHE_MAX = 2_000_000
+DF_LRU_MAX = 200_000
 
 
 def _regex_literal_prefix(pattern: str) -> str:
@@ -586,24 +597,49 @@ def search_wand(
     )
 
 
-def _prefix_range(arr: list[str], pfx: str) -> tuple[int, int]:
-    """[lo, hi) window of `arr` (sorted) holding every string with
-    prefix `pfx`. The exclusive upper bound increments pfx's last code
-    point (with carry past U+10FFFF) — the smallest string greater than
-    EVERY string prefixed by pfx; a naive pfx+chr(0x10FFFF) sentinel
-    wrongly excludes terms containing U+10FFFF right after the prefix,
-    which sort above it."""
-    import bisect
-
-    lo = bisect.bisect_left(arr, pfx)
-    ub = None
+def _prefix_ub(pfx: str) -> str | None:
+    """The exclusive upper bound of the prefix range: increments pfx's
+    last code point (with carry past U+10FFFF) — the smallest string
+    greater than EVERY string prefixed by pfx; a naive
+    pfx+chr(0x10FFFF) sentinel wrongly excludes terms containing
+    U+10FFFF right after the prefix, which sort above it. None when no
+    such bound exists (pfx is all-U+10FFFF or empty)."""
     for i in range(len(pfx) - 1, -1, -1):
         c = ord(pfx[i])
         if c < 0x10FFFF:
-            ub = pfx[:i] + chr(c + 1)
-            break
+            return pfx[:i] + chr(c + 1)
+    return None
+
+
+def _prefix_range(arr: list[str], pfx: str) -> tuple[int, int]:
+    """[lo, hi) window of `arr` (sorted) holding every string with
+    prefix `pfx` (bounds per _prefix_ub)."""
+    import bisect
+
+    lo = bisect.bisect_left(arr, pfx)
+    ub = _prefix_ub(pfx)
     hi = len(arr) if ub is None else bisect.bisect_left(arr, ub, lo=lo)
     return lo, hi
+
+
+def _window_anchor(kind: str, q: str, prefix_length: int) -> bool:
+    """True when the pattern pins a non-empty literal at either end,
+    so sharded expansion can fetch a bounded dictionary window instead
+    of walking the vocabulary (Lucene's terms-index seek has the same
+    precondition; unanchored patterns scan)."""
+    import re as _re
+
+    if kind == "fuzzy":
+        return bool(q[:prefix_length])
+    if kind == "prefix":
+        return bool(q)
+    if kind == "wildcard":
+        return bool(_re.match(r"[^*?]*", q).group(0)) or bool(
+            _re.search(r"[^*?]*$", q).group(0)
+        )
+    if kind == "regexp":
+        return bool(_regex_literal_prefix(q))
+    return True
 
 
 class QuerySession:
@@ -615,9 +651,20 @@ class QuerySession:
       shuffle stage (the cold path pays one per query).
     - the term dictionary collected into a driver-side dict (one job at
       open, ~vocab-sized — exactly the in-memory term dictionary an ES
-      data node holds per shard; for a vocabulary too large for the
-      driver pass cache_dictionary=False and each search falls back to
-      the pushdown-filtered distributed lookup).
+      data node holds per shard) ONLY while the vocabulary is at most
+      `vocab_cache_max` terms. Above it the session switches to the
+      SHARDED dictionary mode: the (term, df) table is range-partitioned
+      on term and cached executor-side (Lucene holds its terms index
+      per-shard, not on one node), the driver keeps a bounded LRU of
+      query-touched dfs (`df_lru_max` entries, misses batch-fetched by
+      one pushdown-filtered lookup), and multi-term expansion collects
+      only the pattern's own prefix/suffix WINDOW via range predicates
+      that prune the cached shards. Memory contract: driver heap in
+      sharded mode is O(df_lru_max + largest expansion window), never
+      O(vocab) — at 10^8-10^9 web-vocab terms the full dict would be
+      tens of GB. Results are bit-identical across modes (asserted in
+      tests). cache_dictionary=False keeps the legacy mode: no driver
+      state at all, every lookup/expansion fully distributed.
     - queries enter as raw text and are analyzed driver-side with the
       pinned tokenizer (a query is a handful of terms — no Spark job).
 
@@ -641,6 +688,8 @@ class QuerySession:
         n_buckets: int | None = None,
         cache_dictionary: bool = True,
         field_stats: dict[str, tuple[int, float]] | None = None,
+        vocab_cache_max: int | None = VOCAB_CACHE_MAX,
+        df_lru_max: int = DF_LRU_MAX,
     ):
         spark = postings.sparkSession
         n = n_buckets or spark.sparkContext.defaultParallelism
@@ -650,11 +699,25 @@ class QuerySession:
         # per-field (n_docs, avgdl) for serving a fields=... index:
         # search(field=...) scopes terms and scores with these stats
         self.field_stats = field_stats or {}
-        self._df_map: dict[str, int] | None = (
-            {r["term"]: int(r["df"]) for r in dictionary.collect()}
-            if cache_dictionary
-            else None
-        )
+        self._n_shards = n
+        self._df_map: dict[str, int] | None = None
+        # sharded-dictionary state (vocab > vocab_cache_max): executor-
+        # cached range-partitioned (term, df) shards + a bounded driver
+        # LRU of query-touched dfs (0 = negative-cached OOV term)
+        self._dict_fwd: DataFrame | None = None
+        self._rdict: DataFrame | None = None  # reversed-term twin, lazy
+        self._df_lru: "OrderedDict[str, int]" = OrderedDict()
+        self._df_lru_max = df_lru_max
+        if cache_dictionary:
+            n_terms = dictionary.count()
+            if vocab_cache_max is None or n_terms <= vocab_cache_max:
+                self._df_map = {
+                    r["term"]: int(r["df"]) for r in dictionary.collect()
+                }
+            else:
+                self._dict_fwd = dictionary.repartitionByRange(
+                    n, "term"
+                ).persist()
         # sorted term array for bisect prefix windows (built lazily) —
         # the in-heap shape of Lucene's terms-index FST: multi-term
         # expansion walks only the matching prefix RANGE, not the
@@ -668,14 +731,10 @@ class QuerySession:
         return self
 
     def _idf_for(self, terms: list[str], n_docs: float) -> dict[str, float]:
-        if self._df_map is not None:
-            return {
-                t: _idf(n_docs, float(self._df_map[t]))
-                for t in terms
-                if t in self._df_map
-            }
-        rows = self.dictionary.filter(F.col("term").isin(terms)).collect()
-        return {r["term"]: _idf(n_docs, float(r["df"])) for r in rows}
+        return {
+            t: _idf(n_docs, float(df))
+            for t, df in self._df_for(terms).items()
+        }
 
     def search(
         self,
@@ -751,11 +810,16 @@ class QuerySession:
             .union(t for ts in nmap.values() for t in ts)
             .union(flist or [])
         )
-        idf_map = self._idf_for(terms, n_docs)
+        # one dictionary consult covers scoring idfs AND the fast-path
+        # candidate-volume gate — in sharded mode that is at most one
+        # batched LRU-miss lookup, never a full-vocab materialization
+        dfm = self._df_for(all_terms)
+        idf_map = {
+            t: _idf(n_docs, float(dfm[t])) for t in terms if t in dfm
+        }
         if (
             driver_limit
-            and self._df_map is not None
-            and sum(self._df_map.get(t, 0) for t in all_terms) <= driver_limit
+            and sum(dfm.values()) <= driver_limit
         ):
             return self._search_driver(
                 qlist, idf_map, avgdl, k, k1, b, conjunctive,
@@ -850,9 +914,7 @@ class QuerySession:
         all_terms = sorted({t for _, ts in qlist for t in ts})
         if (
             driver_limit
-            and self._df_map is not None
-            and sum(self._df_map.get(t, 0) for t in all_terms)
-            <= driver_limit
+            and sum(dfm.get(t, 0) for t in all_terms) <= driver_limit
         ):
             return self._search_driver(
                 qlist, idf_map, self.avgdl, k, k1, b, False,
@@ -917,8 +979,38 @@ class QuerySession:
         )
 
     def _df_for(self, terms: list[str]) -> dict[str, int]:
+        """{term: df} for the dictionary terms among `terms`. Full-map
+        mode reads the driver dict; sharded mode serves from the
+        bounded LRU and batch-fetches misses with ONE pushdown-filtered
+        lookup against the cached shards (absent terms negative-cached
+        as 0 so repeated OOV queries cost no job); legacy mode
+        (cache_dictionary=False) always looks up distributed."""
         if self._df_map is not None:
             return {t: self._df_map[t] for t in terms if t in self._df_map}
+        if self._dict_fwd is not None:
+            out: dict[str, int] = {}
+            missing: set[str] = set()
+            for t in terms:
+                v = self._df_lru.get(t)
+                if v is None:
+                    missing.add(t)
+                else:
+                    self._df_lru.move_to_end(t)
+                    if v > 0:
+                        out[t] = v
+            if missing:
+                rows = self._dict_fwd.filter(
+                    F.col("term").isin(sorted(missing))
+                ).collect()
+                found = {r["term"]: int(r["df"]) for r in rows}
+                for t in missing:
+                    v = found.get(t, 0)
+                    self._df_lru[t] = v
+                    if v > 0:
+                        out[t] = v
+                while len(self._df_lru) > self._df_lru_max:
+                    self._df_lru.popitem(last=False)
+            return out
         rows = self.dictionary.filter(
             F.col("term").isin(sorted(terms))
         ).collect()
@@ -1078,34 +1170,30 @@ class QuerySession:
         """Multi-term expansion against the term dictionary. With the
         driver dictionary cached this is a pure in-memory vocabulary
         walk (exactly what an ES coordinating/data node does against
-        its in-heap terms index — no cluster round-trip); otherwise it
-        falls back to the one-pass distributed expansion join."""
+        its in-heap terms index — no cluster round-trip). In sharded
+        mode the same walk runs against windows FETCHED from the
+        executor-side shards: a pattern anchored by a literal at either
+        end collects only its prefix (or reversed-suffix) range — the
+        driver never holds the vocabulary — while the rare both-ends-
+        open pattern (*a*, an unanchored regexp) routes to the one-pass
+        distributed expansion join, as does everything in legacy
+        cache_dictionary=False mode."""
         import re as _re
+
+        if self._df_map is None and self._dict_fwd is None:
+            return self._expand_distributed(
+                queries, kind, max_edits, prefix_length
+            )
 
         from mario_spark import fuzzy as fuzzymod
 
-        if self._df_map is None:
-            spark = self.postings.sparkSession
-            qdf = spark.createDataFrame(
-                list(queries), "query_id long, term string"
-            )
-            exp = {
-                "fuzzy": lambda: fuzzymod.expand_terms(
-                    self.dictionary, qdf, max_edits, prefix_length
-                ),
-                "prefix": lambda: fuzzymod.expand_prefix(self.dictionary, qdf),
-                "wildcard": lambda: fuzzymod.expand_wildcard(
-                    self.dictionary, qdf
-                ),
-                "regexp": lambda: fuzzymod.expand_regexp(self.dictionary, qdf),
-            }[kind]()
-            out: dict[int, list[str]] = {}
-            for r in exp.collect():
-                out.setdefault(int(r["query_id"]), []).append(r["term"])
-            return out
-
-        out = {}
+        sharded = self._df_map is None
+        deferred: list[tuple[int, str]] = []
+        out: dict[int, list[str]] = {}
         for qid, q in queries:
+            if sharded and not _window_anchor(kind, q, prefix_length):
+                deferred.append((qid, q))
+                continue
             if kind == "fuzzy":
                 pfx = q[:prefix_length]
                 hits = [
@@ -1152,34 +1240,112 @@ class QuerySession:
                 )
             if hits:
                 out.setdefault(int(qid), []).extend(hits)
+        if deferred:
+            dist = self._expand_distributed(
+                deferred, kind, max_edits, prefix_length
+            )
+            for qid, ts in dist.items():
+                out.setdefault(qid, []).extend(ts)
+        return out
+
+    def _expand_distributed(
+        self,
+        queries: list[tuple[int, str]],
+        kind: str,
+        max_edits: int,
+        prefix_length: int,
+    ) -> dict[int, list[str]]:
+        """One-pass distributed expansion join against the dictionary
+        DataFrame — the scale path for unanchored patterns and the
+        whole path in legacy cache_dictionary=False mode."""
+        from mario_spark import fuzzy as fuzzymod
+
+        spark = self.postings.sparkSession
+        qdf = spark.createDataFrame(
+            list(queries), "query_id long, term string"
+        )
+        exp = {
+            "fuzzy": lambda: fuzzymod.expand_terms(
+                self.dictionary, qdf, max_edits, prefix_length
+            ),
+            "prefix": lambda: fuzzymod.expand_prefix(self.dictionary, qdf),
+            "wildcard": lambda: fuzzymod.expand_wildcard(
+                self.dictionary, qdf
+            ),
+            "regexp": lambda: fuzzymod.expand_regexp(self.dictionary, qdf),
+        }[kind]()
+        out: dict[int, list[str]] = {}
+        for r in exp.collect():
+            out.setdefault(int(r["query_id"]), []).append(r["term"])
         return out
 
     def _prefix_window(self, pfx: str) -> list[str]:
-        """All vocabulary terms starting with `pfx`, via bisect over
-        the sorted term array — O(log V + window) instead of O(V).
-        Empty prefix returns the whole vocabulary (sorted)."""
-        if self._vocab_arr is None:
-            self._vocab_arr = sorted(self._df_map)
-        arr = self._vocab_arr
-        if not pfx:
-            return arr
-        lo, hi = _prefix_range(arr, pfx)
-        return arr[lo:hi]
+        """All vocabulary terms starting with `pfx`. Full-map mode:
+        bisect over the sorted term array — O(log V + window) instead
+        of O(V); empty prefix returns the whole vocabulary (sorted).
+        Sharded mode: ONE range-predicate collect against the cached
+        range-partitioned shards — the driver receives only the window
+        (the range bounds prune non-overlapping cached partitions), and
+        the fetched dfs prime the LRU since expansion always scores the
+        window terms right after. Callers guarantee pfx is non-empty in
+        sharded mode (_window_anchor routes unanchored patterns to the
+        distributed expansion)."""
+        if self._df_map is not None:
+            if self._vocab_arr is None:
+                self._vocab_arr = sorted(self._df_map)
+            arr = self._vocab_arr
+            if not pfx:
+                return arr
+            lo, hi = _prefix_range(arr, pfx)
+            return arr[lo:hi]
+        assert pfx, "sharded prefix window needs a non-empty literal"
+        ub = _prefix_ub(pfx)
+        cond = F.col("term") >= pfx
+        if ub is not None:
+            cond = cond & (F.col("term") < ub)
+        rows = self._dict_fwd.filter(cond).select("term", "df").collect()
+        self._lru_put({r["term"]: int(r["df"]) for r in rows})
+        return sorted(r["term"] for r in rows)
 
     def _suffix_window(self, sfx: str) -> list[str]:
-        """All vocabulary terms ENDING with `sfx`, via bisect over a
-        reversed-term sorted array — Lucene's reverse-field trick for
-        leading wildcards: *suffix becomes a prefix window over the
-        reversed vocabulary, O(log V + window) instead of O(V). Built
-        lazily on the first leading-wildcard query; empty suffix
-        returns the whole vocabulary."""
-        if getattr(self, "_rvocab_arr", None) is None:
-            self._rvocab_arr = sorted(t[::-1] for t in self._df_map)
-        arr = self._rvocab_arr
-        if not sfx:
-            return [t[::-1] for t in arr]
-        lo, hi = _prefix_range(arr, sfx[::-1])
-        return [t[::-1] for t in arr[lo:hi]]
+        """All vocabulary terms ENDING with `sfx` — Lucene's
+        reverse-field trick for leading wildcards: *suffix becomes a
+        prefix window over the reversed vocabulary, O(log V + window)
+        instead of O(V). Full-map mode bisects a reversed-term sorted
+        array (built lazily on the first leading-wildcard query; empty
+        suffix returns the whole vocabulary). Sharded mode collects the
+        reversed-prefix range from a lazily built, range-partitioned
+        reversed-term twin of the dictionary shards."""
+        if self._df_map is not None:
+            if getattr(self, "_rvocab_arr", None) is None:
+                self._rvocab_arr = sorted(t[::-1] for t in self._df_map)
+            arr = self._rvocab_arr
+            if not sfx:
+                return [t[::-1] for t in arr]
+            lo, hi = _prefix_range(arr, sfx[::-1])
+            return [t[::-1] for t in arr[lo:hi]]
+        assert sfx, "sharded suffix window needs a non-empty literal"
+        if self._rdict is None:
+            self._rdict = (
+                self.dictionary.select(
+                    F.reverse("term").alias("rterm"), "term", "df"
+                )
+                .repartitionByRange(self._n_shards, "rterm")
+                .persist()
+            )
+        rpfx = sfx[::-1]
+        ub = _prefix_ub(rpfx)
+        cond = F.col("rterm") >= rpfx
+        if ub is not None:
+            cond = cond & (F.col("rterm") < ub)
+        rows = self._rdict.filter(cond).select("term", "df").collect()
+        self._lru_put({r["term"]: int(r["df"]) for r in rows})
+        return sorted(r["term"] for r in rows)
+
+    def _lru_put(self, dfs: dict[str, int]) -> None:
+        self._df_lru.update(dfs)
+        while len(self._df_lru) > self._df_lru_max:
+            self._df_lru.popitem(last=False)
 
     def search_multiterm(
         self,
@@ -1200,11 +1366,13 @@ class QuerySession:
         qmap = self._expand(queries, kind, max_edits, prefix_length)
         qlist = sorted((qid, sorted(ts)) for qid, ts in qmap.items())
         terms = sorted({t for _, ts in qlist for t in ts})
-        idf_map = self._idf_for(terms, self.n_docs)
+        dfm = self._df_for(terms)
+        idf_map = {
+            t: _idf(self.n_docs, float(df)) for t, df in dfm.items()
+        }
         if (
             driver_limit
-            and self._df_map is not None
-            and sum(self._df_map.get(t, 0) for t in terms) <= driver_limit
+            and sum(dfm.values()) <= driver_limit
         ):
             return self._search_driver(
                 qlist, idf_map, self.avgdl, k, k1, b, conjunctive=False
@@ -1216,3 +1384,7 @@ class QuerySession:
 
     def close(self) -> None:
         self.postings.unpersist()
+        if self._dict_fwd is not None:
+            self._dict_fwd.unpersist()
+        if self._rdict is not None:
+            self._rdict.unpersist()

@@ -65,15 +65,47 @@ def _run(kind: str, procs: int) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    levels = (
-        tuple(int(c) for c in sys.argv[1].split(","))
-        if len(sys.argv) > 1
-        else (2, 8)
-    )
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+def steal_jiffies() -> tuple[int, int]:
+    """(busy, steal) jiffies since boot from /proc/stat line 1."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return sum(int(x) for x in parts[1:8]), int(parts[8])
+
+
+def steal_pct(window_sec: float = 5.0) -> float:
+    """% of CPU time stolen by co-tenants over a sampling window —
+    the cheap regime telltale every bench artifact should carry."""
+    b0, s0 = steal_jiffies()
+    time.sleep(window_sec)
+    b1, s1 = steal_jiffies()
+    return round(100.0 * (s1 - s0) / max(b1 - b0 + s1 - s0, 1), 3)
+
+
+def quick_probe() -> dict:
+    """~2 s single-core probes: integer-ALU seconds for a fixed loop
+    (catches frequency scaling / co-tenant slowdown) and memory
+    passes/sec over a 64 MB working set (catches bus pressure).
+    Recorded into bench artifacts so a later judge can normalize
+    cross-round numbers without regime archaeology: the same binary
+    on a 1.5x-slower box shows a ~1.5x-slower cpu probe."""
+    t0 = time.perf_counter()
+    _cpu_chunk(80_000_000)  # fixed work; seconds vary with box regime
+    cpu_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _mem_chunk(12)
+    mem_sec = time.perf_counter() - t0
+    return {
+        "cpu_probe_sec": round(cpu_sec, 3),
+        "mem_probe_passes_per_sec": round(12 / mem_sec, 1),
+    }
+
+
+def calibrate(levels: tuple[int, int] = (2, 8), repeats: int = 2) -> dict:
+    """Full strong-scaling ceiling measurement (see module docstring):
+    returns {'cpu': {...,'eff'}, 'mem': {...,'eff'}} — the scaling
+    efficiency a PERFECT job could achieve on this box right now."""
     n, n4 = levels
-    out: dict = {"levels": levels, "repeats": repeats}
+    out: dict = {"levels": list(levels), "repeats": repeats}
     for kind in ("cpu", "mem"):
         _run(kind, n4)  # warm-up (page cache, pool spawn)
         # A-B interleaved like scaling_bench, medians per level
@@ -91,7 +123,17 @@ def main() -> None:
             "raw": {str(k): [round(x, 2) for x in v] for k, v in ts.items()},
             "eff": round((t_n / t_4n) / (n4 / n), 3),
         }
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    levels = (
+        tuple(int(c) for c in sys.argv[1].split(","))
+        if len(sys.argv) > 1
+        else (2, 8)
+    )
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    print(json.dumps(calibrate(levels, repeats)))
 
 
 if __name__ == "__main__":

@@ -207,6 +207,30 @@ def main() -> None:
         N, N4 = (int(c) for c in sys.argv[3].split(","))
         assert N4 == 4 * N, "the rule's criterion is N vs 4N"
 
+    sys.path.insert(0, str(REPO / "scripts"))
+    import box_calibration as boxcal
+
+    # Calm-regime gate (round-4 lesson: a contended box compresses the
+    # ratio mechanically; defer rather than publish a contended pair as
+    # the only data point). SCALE_GATE_STEAL=<pct> samples steal over
+    # 20 s first and exits 3 ("retry later") when at/above it.
+    gate = float(os.environ.get("SCALE_GATE_STEAL", "0") or 0)
+    if gate:
+        pre_steal = boxcal.steal_pct(20.0)
+        if pre_steal >= gate:
+            print(json.dumps({"deferred": True, "pre_steal_pct": pre_steal,
+                              "gate_pct": gate}))
+            sys.exit(3)
+        print(json.dumps({"deferred": False, "pre_steal_pct": pre_steal,
+                          "gate_pct": gate}))
+
+    # Box ceiling: what a PERFECT embarrassingly-parallel job could
+    # scale at on this box right now (cpu = ALU/frequency; mem =
+    # shared-bus bandwidth, the binding resource per the round-2/4
+    # analysis). Levels (2,8) mirror the two fleets' busy task cores.
+    box: dict = {"probe": boxcal.quick_probe()}
+    box["ceiling"] = boxcal.calibrate((2 * N, 2 * N4), repeats=1)
+
     os.makedirs(SHM, exist_ok=True)
     input_path = f"{SHM}/pages_{n_docs}"
     if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
@@ -225,6 +249,7 @@ def main() -> None:
     # machine drift (co-tenant noise, thermals) hits both equally, and
     # take the median run within each session, then the median across
     # sessions.
+    print(json.dumps({"box": box}))
     sessions = {N: [], N4: []}
     for _ in range(2):
         for n_exec in (N, N4):
@@ -234,10 +259,12 @@ def main() -> None:
             r["steal_pct"] = round(100.0 * (s1 - s0) / max(b1 - b0 + s1 - s0, 1), 2)
             print(json.dumps(r))
             sessions[n_exec].append(r)
-    _write_report(sessions, n_docs, repeats)
+    _write_report(sessions, n_docs, repeats, box)
 
 
-def _write_report(sessions: dict, n_docs: int, repeats: int) -> None:
+def _write_report(
+    sessions: dict, n_docs: int, repeats: int, box: dict | None = None
+) -> None:
     def med_result(rs: list[dict]) -> dict:
         rs = sorted(rs, key=lambda r: r["sec"])
         return rs[len(rs) // 2] if len(rs) % 2 else rs[0]  # even: faster median
@@ -257,6 +284,25 @@ def _write_report(sessions: dict, n_docs: int, repeats: int) -> None:
     raw = [r for pair in zip(sessions[N], sessions[N4]) for r in pair]
     raw_lines = "\n".join(json.dumps(r) for r in raw)
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    box_md = ""
+    if box:
+        ceil = box["ceiling"]
+        eff_box = min(ceil["cpu"]["eff"], ceil["mem"]["eff"])
+        best_pair = max(pair_effs) if pair_effs else eff
+        box_md = f"""
+**Box ceiling measured the same hour** (scripts/box_calibration.py at
+{ceil['levels'][0]} vs {ceil['levels'][1]} processes — the two fleets'
+busy task cores; no Spark, no shuffle, embarrassingly parallel):
+cpu eff {ceil['cpu']['eff']}, mem eff {ceil['mem']['eff']} ->
+**eff_box = {eff_box}**, the strong-scaling efficiency this box could
+deliver a PERFECT job right now. Normalized job efficiency
+(best same-regime pair / eff_box) = **{best_pair / eff_box:.3f}**.
+Single-core probes: cpu {box['probe']['cpu_probe_sec']} s,
+mem {box['probe']['mem_probe_passes_per_sec']} passes/s
+(compare across rounds to detect regime drift). Full box JSON rides
+with the raw session lines below.
+"""
+        raw_lines = json.dumps({"box": box}) + "\n" + raw_lines
     md = f"""# BENCH/BASELINE — measured index-build scaling (N vs 4N executors)
 
 Produced by `python scripts/scaling_bench.py {n_docs} {repeats}` on {stamp}.
@@ -307,7 +353,7 @@ medians; target >= 0.8).
 **Per-adjacent-pair efficiencies (both levels in the same box regime):
 {pair_effs}** — the drift-robust estimator; see the box-drift note
 below for why these can differ from the cross-session figure.
-
+{box_md}
 Raw per-session results (chronological, A-B-A-B):
 
 ```
