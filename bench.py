@@ -136,6 +136,24 @@ def main() -> None:
         timings["bm25_wand_session"] / len(qset), 4
     )
 
+    # sharded-dictionary serving (the 100x-vocab mode, forced on by a
+    # tiny threshold): same query batch with the driver holding only a
+    # bounded LRU instead of the vocabulary — the line that prices the
+    # warm-session scale fix
+    sh = QuerySession(
+        built["post"], built["dic"],
+        built["st"]["n_docs"], built["st"]["avgdl"],
+        vocab_cache_max=10,
+    ).warm()
+    sh.search(qset[:3]).count()  # plan/codegen + first LRU fill warm-up
+    t0 = time.perf_counter()
+    sh.search(qset, k=10).count()
+    timings["bm25_wand_session_sharded"] = round(time.perf_counter() - t0, 3)
+    extra["sec_per_query_session_sharded"] = round(
+        timings["bm25_wand_session_sharded"] / len(qset), 4
+    )
+    sh.close()
+
     singles = [qset[i] for i in (0, 5, 21, 30, 45)]
     t0 = time.perf_counter()
     for qid, qtext in singles:
@@ -206,6 +224,7 @@ def main() -> None:
         "exact_substring_dedup",
         "knn_graph_exact",          # batch k-NN graph (HNSW twin)
         "knn_graph_ivf",            # cell-bucketed 10^9-vector shape
+        "ivf_recall_audit",         # measured IVF recall/probe curve
         "highlight_best_passage",   # unified-highlighter passage scorer
     ]:
         if name in SUITE:

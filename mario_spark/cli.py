@@ -183,13 +183,19 @@ def main(argv: list[str] | None = None) -> int:
         set_committer(CasCommitter())
     elif args.committer == "s3":
         from mario_spark.index import ObjectStoreCommitter, set_committer
-        from mario_spark.objectstore import FakeS3Store
+        from mario_spark.objectstore import Boto3S3Store, FakeS3Store
 
-        set_committer(
-            ObjectStoreCommitter(
-                FakeS3Store(os.path.join(args.root, ".objectstore"))
+        # MARIO_S3_TEST_BUCKET set -> real boto3 client (endpoint/creds
+        # from MARIO_S3_ENDPOINT + the AWS chain); unset -> the
+        # file-backed fake under <root>/.objectstore, same contract
+        if os.environ.get("MARIO_S3_TEST_BUCKET"):
+            set_committer(ObjectStoreCommitter(Boto3S3Store.from_env()))
+        else:
+            set_committer(
+                ObjectStoreCommitter(
+                    FakeS3Store(os.path.join(args.root, ".objectstore"))
+                )
             )
-        )
     spark = _spark(args)
     cat = _catalog(spark, args)
 

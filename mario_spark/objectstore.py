@@ -124,3 +124,121 @@ class FakeS3Store:
             if key.startswith(prefix):
                 out.append(key)
         return sorted(out)
+
+
+class Boto3S3Store:
+    """boto3-backed implementation of the same three-call surface —
+    the production client for ObjectStoreCommitter against real S3
+    (or any S3-compatible endpoint: minio, moto-server, GCS's XML
+    interop layer). Construction is the only difference from
+    FakeS3Store; the committer above it is unchanged, which is the
+    whole point of the narrow surface.
+
+    Error mapping (the CAS loop's contract):
+    - HTTP 412 PreconditionFailed on a conditional put -> raise
+      PreconditionFailed (lost the create-if-absent race; committer
+      re-reads and retries).
+    - HTTP 409 ConditionalRequestConflict (real S3 returns this when
+      CONCURRENT conditional writes to one key are in flight) is
+      mapped to PreconditionFailed too: the committer's re-read/retry
+      loop is exactly S3's documented recovery ("retry the request").
+    - Missing key on get -> NoSuchKey.
+
+    Reference parity: the atomic registry-generation put stands in for
+    mario's single atomic aliases POST
+    (/root/reference/pkg/client/elastic.go:113-125).
+
+    Credentials ride the standard AWS chain (env/config/IMDS);
+    `endpoint_url` points the client at a non-AWS endpoint. from_env()
+    builds the store the integration tests use: MARIO_S3_TEST_BUCKET
+    (required), MARIO_S3_ENDPOINT and MARIO_S3_PREFIX (optional).
+    """
+
+    def __init__(
+        self,
+        bucket: str,
+        prefix: str = "",
+        client=None,
+        endpoint_url: str | None = None,
+        region: str | None = None,
+    ) -> None:
+        if client is None:
+            import boto3
+
+            kw: dict = {}
+            if endpoint_url:
+                kw["endpoint_url"] = endpoint_url
+            if region:
+                kw["region_name"] = region
+            client = boto3.client("s3", **kw)
+        self.client = client
+        self.bucket = bucket
+        self.prefix = prefix
+
+    @classmethod
+    def from_env(cls) -> "Boto3S3Store":
+        bucket = os.environ["MARIO_S3_TEST_BUCKET"]
+        return cls(
+            bucket,
+            prefix=os.environ.get("MARIO_S3_PREFIX", ""),
+            endpoint_url=os.environ.get("MARIO_S3_ENDPOINT") or None,
+            region=os.environ.get("AWS_REGION") or None,
+        )
+
+    def _k(self, key: str) -> str:
+        return self.prefix + key
+
+    def put_object(
+        self, key: str, body: bytes, if_none_match: str | None = None
+    ) -> str:
+        from botocore.exceptions import ClientError
+
+        if if_none_match is not None and if_none_match != "*":
+            raise ValueError("only If-None-Match: '*' is supported")
+        kw: dict = {
+            "Bucket": self.bucket,
+            "Key": self._k(key),
+            "Body": body,
+        }
+        if if_none_match == "*":
+            kw["IfNoneMatch"] = "*"
+        try:
+            resp = self.client.put_object(**kw)
+        except ClientError as e:
+            status = e.response.get("ResponseMetadata", {}).get(
+                "HTTPStatusCode"
+            )
+            code = e.response.get("Error", {}).get("Code", "")
+            if if_none_match == "*" and (
+                status in (412, 409)
+                or code in ("PreconditionFailed", "ConditionalRequestConflict")
+            ):
+                raise PreconditionFailed(key) from None
+            raise
+        return resp.get("ETag", "").strip('"')
+
+    def get_object(self, key: str) -> bytes:
+        from botocore.exceptions import ClientError
+
+        try:
+            return self.client.get_object(
+                Bucket=self.bucket, Key=self._k(key)
+            )["Body"].read()
+        except ClientError as e:
+            status = e.response.get("ResponseMetadata", {}).get(
+                "HTTPStatusCode"
+            )
+            code = e.response.get("Error", {}).get("Code", "")
+            if status == 404 or code in ("NoSuchKey", "404"):
+                raise NoSuchKey(key) from None
+            raise
+
+    def list_keys(self, prefix: str) -> list[str]:
+        out: list[str] = []
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(
+            Bucket=self.bucket, Prefix=self._k(prefix)
+        ):
+            for obj in page.get("Contents", []):
+                out.append(obj["Key"][len(self.prefix):])
+        return sorted(out)

@@ -1403,3 +1403,84 @@ def maxsim_topk(
             "score",
         )
     )
+
+
+AUDIT_PROBE_LEVELS = (1, 2, 4, 8)
+
+
+def ivf_recall_audit(
+    embeddings: DataFrame,
+    probe_levels: tuple[int, ...] = AUDIT_PROBE_LEVELS,
+    query_ids: list[int] | None = None,
+    centroid_ids: list[int] | None = None,
+    k_graph: int = 5,
+    k_topk: int = 10,
+) -> DataFrame:
+    """Measure-don't-guess audit of the IVF approximation (the ANN
+    mirror of dedup.lsh_audit): recall of `knn_graph_ivf` and
+    `ivf_topk` against their exact twins (`knn_graph`, `brute_topk`)
+    at each probe level -> one row per (family, n_probe):
+
+        (family 'graph'|'topk', n_probe, n_true, n_hit, recall)
+
+    recall = |approx edges ∩ exact edges| / |exact edges| with the
+    engines' own deterministic tie-breaks (4dp cosine desc, id asc),
+    so the curve is exactly reproducible — the published number that
+    tells an operator which n_probe clears their recall floor.
+    n_probe = n_cells probes everything, so the curve's endpoint is
+    1.0 by construction. Honest caveat the measurement forces: the
+    sandbox corpus is UNIFORM random vectors — IVF's worst case (no
+    cluster structure, so neighbors scatter across cells: measured
+    0.25/0.41/0.69/1.0 at 1/2/4/8 probes of 8 cells) — which is
+    precisely why this audit exists: the ≥0.9 probe level is a
+    per-corpus measurement, not a transferable constant.
+
+    Scale contract: ground truth is the exact twin, so the audit is
+    inherently bounded by knn_graph's broadcast count gate — at 10^9
+    vectors you run it on a sampled slice, exactly like the LSH audit
+    (sample-bounded by design; an exact all-pairs truth at full corpus
+    scale does not exist anywhere).
+    """
+    qids = query_ids or [0, 1, 2, 3, 4]
+    exact_g = knn_graph(embeddings, k=k_graph).select("src", "dst").persist()
+    exact_t = (
+        brute_topk(embeddings, qids, k=k_topk)
+        .select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
+        .persist()
+    )
+    out = None
+    for p in probe_levels:
+        approx = {
+            "graph": knn_graph_ivf(
+                embeddings, k=k_graph, centroid_ids=centroid_ids, n_probe=p
+            ).select("src", "dst"),
+            "topk": ivf_topk(
+                embeddings, qids, k=k_topk,
+                n_probe=p, centroid_ids=centroid_ids,
+            ).select(
+                F.col("query_id").alias("src"), F.col("vec_id").alias("dst")
+            ),
+        }
+        for fam, exact in (("graph", exact_g), ("topk", exact_t)):
+            j = exact.join(
+                approx[fam].withColumn("_c", F.lit(1)), ["src", "dst"], "left"
+            )
+            row = (
+                j.agg(
+                    F.count("*").cast("long").alias("n_true"),
+                    F.sum(F.coalesce(F.col("_c"), F.lit(0)))
+                    .cast("long")
+                    .alias("n_hit"),
+                )
+                .select(
+                    F.lit(fam).alias("family"),
+                    F.lit(p).cast("long").alias("n_probe"),
+                    "n_true",
+                    "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_true"), 4).alias(
+                        "recall"
+                    ),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out.orderBy("family", "n_probe")

@@ -2217,6 +2217,105 @@ SELECT query_id, rank, vec_id, cos FROM rk2 WHERE rank <= 10
 """
 
 
+def _ivf_recall_audit_oracle() -> str:
+    """Recall/probe curve of the IVF families vs their exact twins,
+    reproduced from first principles: exact graph/topk and each probe
+    level's IVF graph/topk are rebuilt in SQL with the engines' own
+    deterministic tie-breaks (4dp cosine DESC, id ASC), then each
+    exact edge set LEFT-joins its approximation to count hits."""
+    from mario_spark.ops.ann import AUDIT_PROBE_LEVELS, DEFAULT_CENTROID_IDS
+
+    cids = ", ".join(str(c) for c in DEFAULT_CENTROID_IDS)
+    sq = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)"
+        " * (e.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE)))"
+    )
+    cos_nv = (
+        "round(list_sum(list_transform(generate_series(1, 64), "
+        "i -> s.ne[i] * t.ne[i])), 4)"
+    )
+    lvl_ctes, rows = [], []
+    for p in AUDIT_PROBE_LEVELS:
+        lvl_ctes.append(f"""ivg_{p} AS (
+  SELECT src, dst FROM (
+    SELECT pr.vec_id AS src, a.vec_id AS dst,
+           row_number() OVER (PARTITION BY pr.vec_id
+               ORDER BY {cos_nv} DESC, a.vec_id ASC) AS rank
+    FROM (SELECT vec_id, cell FROM rk WHERE rn <= {p}) pr
+    JOIN assign a USING (cell)
+    JOIN nv s ON s.vec_id = pr.vec_id
+    JOIN nv t ON t.vec_id = a.vec_id
+    WHERE a.vec_id <> pr.vec_id
+  ) WHERE rank <= 5
+),
+ivt_{p} AS (
+  SELECT src, dst FROM (
+    SELECT pr.vec_id AS src, a.vec_id AS dst,
+           row_number() OVER (PARTITION BY pr.vec_id
+               ORDER BY {cos_nv} DESC, a.vec_id ASC) AS rank
+    FROM (SELECT vec_id, cell FROM rk
+          WHERE rn <= {p} AND vec_id IN (0, 1, 2, 3, 4)) pr
+    JOIN assign a USING (cell)
+    JOIN nv s ON s.vec_id = pr.vec_id
+    JOIN nv t ON t.vec_id = a.vec_id
+    WHERE a.vec_id <> pr.vec_id
+  ) WHERE rank <= 10
+)""")
+        for fam, ex, iv in (
+            ("graph", "exg", f"ivg_{p}"),
+            ("topk", "ext", f"ivt_{p}"),
+        ):
+            rows.append(f"""SELECT '{fam}' AS family, {p}::BIGINT AS n_probe,
+       count(*)::BIGINT AS n_true,
+       count(iv.src)::BIGINT AS n_hit,
+       round(count(iv.src)::DOUBLE / count(*), 4) AS recall
+FROM {ex} LEFT JOIN {iv} iv ON iv.src = {ex}.src AND iv.dst = {ex}.dst""")
+    return f"""
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE
+           / sqrt(list_sum(list_transform(embedding,
+               y -> y::DOUBLE * y::DOUBLE)))) AS ne
+  FROM embeddings
+),
+exg AS (
+  SELECT src, dst FROM (
+    SELECT s.vec_id AS src, t.vec_id AS dst,
+           row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY {cos_nv} DESC, t.vec_id ASC) AS rank
+    FROM nv s, nv t WHERE s.vec_id <> t.vec_id
+  ) WHERE rank <= 5
+),
+ext AS (
+  SELECT src, dst FROM (
+    SELECT s.vec_id AS src, t.vec_id AS dst,
+           row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY {cos_nv} DESC, t.vec_id ASC) AS rank
+    FROM nv s, nv t
+    WHERE s.vec_id <> t.vec_id AND s.vec_id IN (0, 1, 2, 3, 4)
+  ) WHERE rank <= 10
+),
+cents AS (
+  SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+  WHERE vec_id IN ({cids})
+),
+dist AS (
+  SELECT e.vec_id, c.cell, {sq} AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+rk AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM dist
+),
+assign AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+{",".join(lvl_ctes)}
+{" UNION ALL ".join(rows)}
+ORDER BY family, n_probe
+"""
+
+
 def _ann_lsh_oracle() -> str:
     from mario_spark.ops.ann import hyperplanes
 
@@ -5993,6 +6092,7 @@ SELECT qdoc AS query_id, rank, mdoc AS doc_id, score FROM rk WHERE rank <= 5
     "ann_ivf_topk": _ann_ivf_oracle(),
     "knn_graph_exact": KNN_GRAPH_EXACT,
     "knn_graph_ivf": _knn_graph_ivf_oracle(),
+    "ivf_recall_audit": _ivf_recall_audit_oracle(),
     "lang_id": _lang_id_oracle(),
     "quality_score": _quality_oracle(),
     "gopher_quality": GOPHER_QUALITY,

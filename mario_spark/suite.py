@@ -1178,6 +1178,17 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.knn_graph_ivf(e, k=5)
 
 
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-quality audit (mirror of lsh_recall_audit): measured recall
+    of knn_graph_ivf and ivf_topk vs their exact twins at n_probe in
+    {1,2,4,8} — the recall/probe curve that picks the n_probe clearing
+    a 0.9 floor (ops/ann.ivf_recall_audit)."""
+    from mario_spark.ops import ann
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_recall_audit(e)
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mario_spark.ops import textstats
 
@@ -4089,6 +4100,7 @@ SUITE = {
     "ann_ivf_topk": ann_ivf_topk,
     "knn_graph_exact": knn_graph_exact,
     "knn_graph_ivf": knn_graph_ivf,
+    "ivf_recall_audit": ivf_recall_audit,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "gopher_quality": gopher_quality,

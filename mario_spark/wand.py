@@ -728,6 +728,8 @@ class QuerySession:
 
     def warm(self) -> "QuerySession":
         self.postings.count()
+        if self._dict_fwd is not None:
+            self._dict_fwd.count()  # materialize the dictionary shards
         return self
 
     def _idf_for(self, terms: list[str], n_docs: float) -> dict[str, float]:

@@ -79,6 +79,50 @@ DOC_QUERIES = [
     "mixture_resample",
     "exact_substring_dedup",
     "highlight_best_passage",
+    # --- round-5 extension (verdict item 8): the expensive families
+    # the 38-entry round-4 stretch left out — spans, multiterm
+    # expansion, WAND bool variants, the LSH/cluster dedup family,
+    # the agg long tail, documents-backed ES|QL, and the hybrid/
+    # rerank surfaces. EQL and the events/TPC-H-backed entries stay
+    # excluded by protocol (no sf1 twin of the driver's star schema).
+    "span_or_topk",
+    "span_not_topk",
+    "span_first_topk",
+    "span_containing_topk",
+    "span_within_topk",
+    "prefix_topk",
+    "wildcard_topk",
+    "regexp_topk",
+    "fuzzy_damerau_topk",
+    "bm25_topk_wand",
+    "bm25_topk_and",
+    "bm25_topk_not",
+    "bm25_topk_msm",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_components",
+    "dedup_keep_best",
+    "chunk_dedup",
+    "winnow_fingerprints",
+    "dup_ngram_frac",
+    "near_dedup_survivors",
+    "agg_significant_text",
+    "agg_variable_width",
+    "agg_frequent_item_sets",
+    "agg_matrix_stats",
+    "agg_percentiles",
+    "agg_sampler_terms",
+    "scripted_metric_mad",
+    "esql_stats",
+    "esql_sample",
+    "esql_mv_text",
+    "multiphrase_topk",
+    "sparse_vector_topk",
+    "collapse_topk",
+    "rerank_topk",
+    "categorize_text_docs",
+    "bloom_decontaminate",
+    "multifield_cross_topk",
 ]
 # embeddings-backed entries (2k vs 20k vectors)
 EMB_QUERIES = [
@@ -88,6 +132,11 @@ EMB_QUERIES = [
     "ann_bit_rescore",
     "knn_graph_exact",
     "knn_graph_ivf",
+    # round-5 extension
+    "ann_ivf_topk",
+    "ann_maxsim_topk",
+    "semdedup_keep",
+    "ivf_recall_audit",
 ]
 N_DOCS = {SF01: 5_000, SF1: 50_000}
 N_VECS = {SF01: 2_000, SF1: 20_000}
