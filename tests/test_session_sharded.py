@@ -150,3 +150,40 @@ def test_sharded_lru_eviction_keeps_results_exact(spark):
         assert len(sess._df_lru) <= 5
     sess.close()
     d.unpersist()
+
+
+def test_sharded_phrase_and_query_string_match_full_cache(spark):
+    """The positions-bearing serving paths (match_phrase and the full
+    query_string mini-language, incl. phrase clauses) must be
+    rank-identical between the full-cache and sharded-dictionary
+    sessions — they consult the dictionary only through _df_for, so
+    the LRU must be invisible to results."""
+    from mario_spark.suite import _pos_index
+
+    post, dic, st = _pos_index(spark, "/root/testdata/sf0.001")
+    full = QuerySession(post, dic, st["n_docs"], st["avgdl"])
+    shard = QuerySession(
+        post, dic, st["n_docs"], st["avgdl"], vocab_cache_max=10
+    )
+    assert shard._df_map is None
+    phrases = [(0, "common crawl"), (1, "the web"), (2, "data set")]
+    pd.testing.assert_frame_equal(
+        _canon(shard.search_phrase(phrases, k=10)),
+        _canon(full.search_phrase(phrases, k=10)),
+        check_exact=False,
+        atol=1e-9,
+    )
+    qs = [
+        (0, '"common crawl" AND data'),
+        (1, "web OR -crawl"),
+        (2, "+data +set"),
+    ]
+    pd.testing.assert_frame_equal(
+        _canon(shard.search_query_string(qs, k=10)),
+        _canon(full.search_query_string(qs, k=10)),
+        check_exact=False,
+        atol=1e-9,
+    )
+    assert shard._vocab_arr is None and len(shard._df_lru) < dic.count()
+    full.close()
+    shard.close()
