@@ -72,12 +72,25 @@ def minhash_lsh_pairs(
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
     threshold: float = JACCARD_THRESHOLD,
+    prefetch_sizes: bool | None = None,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidates, verified by exact Jaccard.
 
     -> (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold,
     jaccard rounded to 4dp.
+
+    prefetch_sizes (default: auto — on when threshold >= 0.7): run the
+    int-only size-ratio prune before the array-carrying verify joins;
+    see _verify_jaccard for the disk/throughput trade it flips.
+
+    max_candidate_pairs: refuse (ValueError, pre-generation — see
+    _salted_band_join's gate) when the exact candidate-pair total
+    exceeds it; None = unbounded (the default for pair LISTING, whose
+    consumers stream the output).
     """
+    if prefetch_sizes is None:
+        prefetch_sizes = threshold >= 0.7
     # tokenize ONCE: signatures and the Jaccard verify share the same
     # (doc_id, term) frame instead of re-running the pandas tokenizer;
     # band keys come from the single-pass posexplode (one signature agg
@@ -91,12 +104,13 @@ def minhash_lsh_pairs(
             bands.select(F.col("doc_id").alias("doc_a"), "band_key"),
             bands.select(F.col("doc_id").alias("doc_b"), "band_key"),
             ["band_key"],
+            max_pairs=max_candidate_pairs,
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(terms, cand, threshold)
+    return _verify_jaccard(terms, cand, threshold, prefetch_sizes)
 
 
 def minhash_band_keys(
@@ -202,6 +216,7 @@ def _salted_band_join(
     right: DataFrame,
     keys: list[str],
     cap: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Equi-join on `keys`, result-identical to `left.join(right, keys)`,
     with oversized key groups split across tasks.
@@ -244,10 +259,33 @@ def _salted_band_join(
     rid = next(c for c in right.columns if c not in keys)
     left = left.persist()
     right = right.persist()
-    hot_plan = (
+    cnt = (
         left.groupBy(*keys).agg(F.count("*").alias("_na"))
         .join(right.groupBy(*keys).agg(F.count("*").alias("_nb")), keys)
-        .withColumn(
+        .persist()
+    )
+    if max_pairs is not None:
+        # output-volume gate (same philosophy as knn_graph's count
+        # gate): the per-key counts are already computed, so the EXACT
+        # ordered candidate-pair total is one agg away — refuse with a
+        # designed error BEFORE a single pair row is generated, rather
+        # than run a quadratic-output join out of cluster spill disk.
+        total = cnt.agg(
+            F.sum(F.col("_na") * F.col("_nb")).alias("t")
+        ).collect()[0]["t"] or 0
+        if total > max_pairs:
+            raise ValueError(
+                f"banded join would generate ~{total:,} candidate "
+                f"pairs (cap {max_pairs:,}): the corpus is dup-dense "
+                "enough that the pair/edge volume is quadratic in "
+                "cluster size. Scale paths: incremental_near_dup "
+                "(snapshot-vs-corpus, never old-vs-old), per-shard "
+                "dedup_components over bounded partitions, or raise "
+                "max_candidate_pairs explicitly if the spill budget "
+                "allows."
+            )
+    hot_plan = (
+        cnt.withColumn(
             "_s",
             F.ceil((F.col("_na") * F.col("_nb")) / F.lit(cap)).cast("int"),
         )
@@ -255,6 +293,7 @@ def _salted_band_join(
         .select(*keys, "_s")
     )
     hot_rows = hot_plan.collect()
+    cnt.unpersist()
     if not hot_rows:
         # no bucket can exceed cap pairs: the plain digest-keyed join
         # IS the salted plan with s=1 everywhere — skip the rewrite.
@@ -301,7 +340,10 @@ def _salted_band_join(
 
 
 def _verify_jaccard(
-    terms: DataFrame, cand: DataFrame, threshold: float
+    terms: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    prefetch_sizes: bool = False,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-doc term-HASH arrays.
 
@@ -330,11 +372,47 @@ def _verify_jaccard(
     A/B against a 4-join variant that joined (doc_id, size) first to
     keep pruned pairs' arrays out of the second exchange measured
     SLOWER at both 5k and 50k docs (two extra int exchanges cost more
-    than the array bytes they saved), so sizes ride the build table.
+    than the array bytes they saved), so sizes ride the build table —
+    at the DEFAULT threshold, on non-degenerate candidate densities.
+
+    prefetch_sizes=True flips that trade for the high-threshold /
+    dense-candidate regime (dedup_components at jaccard >= 0.8 on a
+    dup-dense corpus): the size-ratio prune runs FIRST over int-only
+    (doc_a, doc_b, sz) exchanges and the term-hash arrays are fetched
+    only for pairs the prune cannot rule out. Semantics are identical
+    (the prune is the same inequality either way — pinned by a
+    parametrized identity test); what changes is DISK, not results:
+    with arrays aboard every candidate, the round-5 sf1 stretch
+    measured the verify shuffle of the quadratic-candidate corpus
+    exceeding the sandbox's ~90 GB spill quota, while at 0.8 the size
+    filter kills most cross-cluster candidates before their ~KB-sized
+    arrays ever enter an exchange. At 10^12 docs this is the
+    difference between shuffling O(|survivors|) and O(|candidates|)
+    array payloads.
     """
     doc_terms = terms.groupBy("doc_id").agg(
         F.collect_set(F.xxhash64("term")).alias("hset")
     ).select("doc_id", F.size("hset").alias("sz"), "hset")
+    sza, szb = F.col("sza"), F.col("szb")
+    size_ok = F.least(sza, szb) >= (threshold - 1e-4) * F.greatest(sza, szb)
+    if prefetch_sizes:
+        sizes = doc_terms.select("doc_id", "sz")
+        cand = (
+            cand.join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")
+                ).hint("SHUFFLE_HASH"),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
+                ).hint("SHUFFLE_HASH"),
+                "doc_b",
+            )
+            .filter(size_ok)
+            .select("doc_a", "doc_b")
+        )
     a = doc_terms.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sz").alias("sza"),
@@ -345,14 +423,11 @@ def _verify_jaccard(
         F.col("sz").alias("szb"),
         F.col("hset").alias("hb"),
     )
-    sza, szb = F.col("sza"), F.col("szb")
     inter = F.size(F.array_intersect("ha", "hb"))
     return (
         cand.join(a.hint("SHUFFLE_HASH"), "doc_a")
         .join(b.hint("SHUFFLE_HASH"), "doc_b")
-        .filter(
-            F.least(sza, szb) >= (threshold - 1e-4) * F.greatest(sza, szb)
-        )
+        .filter(size_ok)
         .withColumn("jaccard", F.round(inter / (sza + szb - inter), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -536,8 +611,23 @@ def simhash_pairs(
 CLUSTER_THRESHOLD = 0.8
 
 
+# candidate-pair ceiling for the MATERIALIZING consumers (connected
+# components must hold the whole verified edge list as executor
+# storage for the duration of the fixpoint): the round-5 sf1 stretch
+# measured the adversarially dup-dense 50k-doc corpus generating
+# ~1.04e9 candidates whose verify + edge storage exceeded a ~90 GB
+# spill budget, twice, with every streaming mitigation already on
+# (salted join, sizes-first prune, lineage cut). Quadratic OUTPUT is
+# an algorithm-class property, not a plan defect — so above this bound
+# the operator refuses with the scale paths named, exactly like
+# knn_graph's broadcast count gate.
+MAX_COMPONENT_CANDIDATES = 500_000_000
+
+
 def dedup_components(
-    documents: DataFrame, threshold: float = CLUSTER_THRESHOLD
+    documents: DataFrame,
+    threshold: float = CLUSTER_THRESHOLD,
+    max_candidate_pairs: int | None = MAX_COMPONENT_CANDIDATES,
 ) -> DataFrame:
     """Connected components of the verified near-duplicate graph:
     -> (doc_id, comp) where comp = min doc_id reachable through
@@ -552,15 +642,32 @@ def dedup_components(
     per round (localCheckpoint) so the plan stays flat at any round
     count. The DuckDB oracle computes the same components via a
     recursive transitive-closure CTE.
+
+    The edge table is EAGERLY lineage-cut (localCheckpoint) before the
+    loop, not merely persisted: a persisted-but-lineaged edge frame
+    keeps the whole pair-generation DAG — the banded join and the
+    digest verify, tens of GB of shuffle files on a dup-dense corpus —
+    referenced for the lifetime of the fixpoint, so nothing upstream
+    can be cleaned while rounds run. The round-5 sf1 stretch measured
+    this directly: with lineage aboard the propagation ran the box out
+    of shuffle disk; after the cut only the verified EDGE ROWS (the
+    graph itself) stay stored and every upstream shuffle is
+    collectable. At 10^12 docs this is the difference between holding
+    the dedup graph (output-sized) and holding the LSH machinery
+    (corpus-sized) for the whole iteration.
     """
-    pairs = minhash_lsh_pairs(documents, threshold=threshold).select(
+    pairs = minhash_lsh_pairs(
+        documents,
+        threshold=threshold,
+        max_candidate_pairs=max_candidate_pairs,
+    ).select(
         "doc_a", "doc_b"
     )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).persist()
+    ).localCheckpoint()
     labels = documents.select(
         "doc_id", F.col("doc_id").alias("comp")
     ).localCheckpoint()
@@ -598,7 +705,6 @@ def dedup_components(
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 

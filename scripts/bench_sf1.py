@@ -99,13 +99,9 @@ DOC_QUERIES = [
     "bm25_topk_not",
     "bm25_topk_msm",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "dedup_components",
-    "dedup_keep_best",
     "chunk_dedup",
     "winnow_fingerprints",
     "dup_ngram_frac",
-    "near_dedup_survivors",
     "agg_significant_text",
     "agg_variable_width",
     "agg_frequent_item_sets",
@@ -137,6 +133,22 @@ EMB_QUERIES = [
     "ann_maxsim_topk",
     "semdedup_keep",
     "ivf_recall_audit",
+]
+# sf0.1-ONLY entries (timed at the low level, no sf1 ratio): the
+# quadratic-OUTPUT class the round-5 stretch measured directly. On the
+# adversarially dup-dense sf1 corpus, exact char-5-gram all-pairs
+# Jaccard and the verified J>=0.8 edge set both exceed ~90 GB of
+# shuffle/storage BEFORE completing — with every streaming mitigation
+# already on (salted band join, sizes-first verify prune, lineage-cut
+# edges). dedup_components and its dependents now refuse above
+# MAX_COMPONENT_CANDIDATES by design (ops/dedup.py), so at sf1 they
+# raise rather than run the box out of spill disk; the scale paths
+# (incremental_near_dup, per-shard components) are named in the error.
+SF01_ONLY = [
+    "ngram_jaccard_pairs",
+    "dedup_components",
+    "near_dedup_survivors",
+    "dedup_keep_best",
 ]
 N_DOCS = {SF01: 5_000, SF1: 50_000}
 N_VECS = {SF01: 2_000, SF1: 20_000}
@@ -195,11 +207,19 @@ def main() -> None:
         suite._pos_index(spark, sf_dir)[0].count()
         builds[sf_dir]["pos_index"] = round(time.perf_counter() - t0, 3)
 
-        for name in DOC_QUERIES + EMB_QUERIES:
+        names = DOC_QUERIES + EMB_QUERIES
+        if sf_dir == SF01:
+            names = names + SF01_ONLY
+        for name in names:
             fn = suite.SUITE[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             results[sf_dir][name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"[{sf_dir.rsplit('/', 1)[-1]}] {name}: "
+                f"{results[sf_dir][name]}s",
+                file=sys.stderr, flush=True,
+            )
         # NOTE: _doc_table's bounded cache evicts the other sf's entry
         # when the next level builds — intended (suite.py:38-48)
 
@@ -223,6 +243,9 @@ def main() -> None:
         "perdoc_ratio": ratios,
         "max_ratio": max(ratios.values()),
         "max_ratio_query": max(ratios, key=ratios.get),
+        "gated_sf01_only": {
+            n: results[SF01][n] for n in SF01_ONLY if n in results[SF01]
+        },
         "total_sf01": round(sum(results[SF01].values()), 3),
         "total_sf1": round(sum(results[SF1].values()), 3),
     }
@@ -243,6 +266,9 @@ def main() -> None:
         }
 
     print(json.dumps(out))
+    # survive stdout-pipeline mishaps: the artifact lands on disk too
+    art = Path(__file__).resolve().parents[1] / "BENCH" / "SF1_STRETCH.json"
+    art.write_text(json.dumps(out, indent=1))
     spark.stop()
 
 

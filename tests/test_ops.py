@@ -821,3 +821,44 @@ def test_salted_band_join_skips_salting_when_no_hot_keys(spark, docs_pdf):
         .sort_values(["doc_a", "doc_b"], ignore_index=True)
     )
     assert plain.equals(got)
+
+
+def test_verify_jaccard_prefetch_sizes_identical(spark, docs_pdf):
+    """The sizes-first verify (int-only prune exchanges before any
+    array fetch — the disk-bounded path dedup_components uses at
+    threshold 0.8) must return exactly the rows of the default
+    arrays-aboard verify at every threshold: the rewrite moves the
+    prune, never the semantics."""
+    import pandas as pd
+
+    for thr in (0.5, 0.8):
+        frames = [
+            dedup.minhash_lsh_pairs(
+                docs_pdf, threshold=thr, prefetch_sizes=pf
+            )
+            .toPandas()
+            .sort_values(["doc_a", "doc_b"], ignore_index=True)
+            for pf in (False, True)
+        ]
+        pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
+def test_component_candidate_gate_refuses_before_generating(spark, docs_pdf):
+    """dedup_components' candidate gate: with the cap forced tiny the
+    call must raise BEFORE any pair row is generated (the exact total
+    comes from the already-computed per-key count aggs), naming the
+    scale paths; with the default cap the sandbox corpus passes."""
+    import pytest
+
+    with pytest.raises(ValueError, match="incremental_near_dup"):
+        dedup.dedup_components(docs_pdf, max_candidate_pairs=10)
+    # default cap: unaffected (result identical to ungated)
+    a = (
+        dedup.dedup_components(docs_pdf)
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        dedup.dedup_components(docs_pdf, max_candidate_pairs=None)
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
